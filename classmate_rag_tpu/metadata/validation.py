@@ -1,0 +1,145 @@
+"""CLI-boundary metadata validation.
+
+Behavior mirrors the reference (rag/metadata/validation.py:150-242):
+- strict path raises ``ValueError`` on unknown language/doc_type or tags with
+  characters outside ``[A-Za-z0-9_-]``;
+- ``fixup=True`` coerces instead: language -> "auto", unknown doc_type ->
+  inferred (or None), tags slugified to ``[a-z0-9_]``;
+- doc_type rules: an explicitly-passed invalid doc_type errors even with
+  fixup; a missing/"other" doc_type takes ``inferred_doc_type`` when given
+  and is never auto-set to "other".
+
+Implemented without pydantic — plain functions are simpler, faster at import
+time, and carry no v1/v2 compatibility shim.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+_LANGS = {"en", "it", "auto"}
+_DOC_TYPES = {"pdf", "docx", "pptx", "md", "txt", "html", "csv", "epub", "other"}
+_DOC_TYPE_FIXES = {"ppt": "pptx", "markdown": "md", "text": "txt", "htm": "html"}
+_LANG_FIXES = {
+    "en": "en", "eng": "en", "english": "en",
+    "it": "it", "ita": "it", "italian": "it", "italiano": "it",
+    "auto": "auto", "detect": "auto", "auto-detect": "auto",
+}
+_TAG_STRICT_RE = re.compile(r"[A-Za-z0-9_\-]+")
+_TAG_SLUG_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _clean_str(v: Any) -> Optional[str]:
+    if v is None:
+        return None
+    s = str(v).strip()
+    return s or None
+
+
+def _norm_lang(v: Any) -> Optional[str]:
+    s = _clean_str(v)
+    if s is None:
+        return None
+    return _LANG_FIXES.get(s.lower())
+
+
+def _norm_doc_type(v: Any) -> Optional[str]:
+    s = _clean_str(v)
+    if s is None:
+        return None
+    s = s.lower()
+    if s in _DOC_TYPES:
+        return s
+    return _DOC_TYPE_FIXES.get(s)
+
+
+def slug_tag(tag: str) -> str:
+    """Lowercase and collapse non-alphanumerics to underscores."""
+    s = _TAG_SLUG_RE.sub("_", (tag or "").lower().strip())
+    return s.strip("_")
+
+
+def _split_tags(v: Any) -> Optional[List[str]]:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        arr = [p.strip() for p in v.split(",") if p.strip()]
+    else:
+        arr = [str(x).strip() for x in list(v) if str(x).strip()]
+    return arr or None
+
+
+def validate_cli_metadata(
+    raw: Dict[str, Any],
+    *,
+    fixup: bool = False,
+    inferred_doc_type: Optional[str] = None,
+    explicit_doc_type: bool = False,
+) -> Dict[str, Any]:
+    """Validate + normalize CLI metadata; see module docstring for rules."""
+    lang_in = raw.get("language")
+    lang = _norm_lang(lang_in)
+    if _clean_str(lang_in) is not None and lang is None:
+        if not fixup:
+            raise ValueError(
+                f"unsupported language '{lang_in}' (allowed: en/it/auto)"
+            )
+        lang = "auto"
+
+    dt_in = raw.get("doc_type")
+    dt = _norm_doc_type(dt_in)
+    if _clean_str(dt_in) is not None and dt is None:
+        if explicit_doc_type or not fixup:
+            raise ValueError(
+                f"unsupported doc_type '{dt_in}' (allowed: {sorted(_DOC_TYPES)})"
+            )
+        dt = None
+
+    data: Dict[str, Any] = {
+        "course": _clean_str(raw.get("course")),
+        "unit": _clean_str(raw.get("unit")),
+        "language": lang,
+        "doc_type": dt,
+        "author": _clean_str(raw.get("author")),
+        "semester": _clean_str(raw.get("semester")),
+        "tags": _split_tags(raw.get("tags")),
+    }
+
+    if fixup and data["language"] is None:
+        data["language"] = "auto"
+
+    # doc_type inference: never auto-set to "other".
+    if data["doc_type"] is None or data["doc_type"] == "other":
+        if inferred_doc_type:
+            data["doc_type"] = inferred_doc_type
+        elif explicit_doc_type and data["doc_type"] == "other":
+            data["doc_type"] = "other"
+        else:
+            data["doc_type"] = None
+
+    tags = data.get("tags")
+    if tags:
+        cleaned: List[str] = []
+        for t in tags:
+            if fixup:
+                s = slug_tag(t)
+                if s:
+                    cleaned.append(s)
+            else:
+                if _TAG_STRICT_RE.fullmatch(t):
+                    cleaned.append(t)
+                else:
+                    raise ValueError(
+                        f"invalid tag '{t}'; use letters, numbers, '_' or '-' "
+                        "(or pass --fixup)"
+                    )
+        seen = set()
+        deduped = []
+        for t in cleaned:
+            if t not in seen:
+                seen.add(t)
+                deduped.append(t)
+        data["tags"] = deduped or None
+
+    return data
