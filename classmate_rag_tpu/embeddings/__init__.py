@@ -1,0 +1,69 @@
+"""Embedding backends: TPU E5 encoder, hashing fallback, disk cache.
+
+``get_embedder`` is the factory used across the pipeline. Backend choice
+(config.embedding_backend):
+- "auto": E5 with real weights when a local snapshot exists, else hashing;
+- "e5": the JAX transformer regardless (random init without weights);
+- "hash": the deterministic hashing embedder.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+from classmate_rag_tpu.config import Config, load_config
+from classmate_rag_tpu.embeddings.cache import CachingEmbedder
+from classmate_rag_tpu.embeddings.hashing import HashingEmbedder
+
+
+def _find_local_snapshot(model_name: str, model_dir: Optional[str]) -> Optional[str]:
+    """Locate a local HF snapshot for model_name (no network access ever)."""
+    candidates = []
+    if model_dir:
+        candidates.append(Path(model_dir))
+    hf_home = os.getenv("HF_HOME") or os.path.expanduser("~/.cache/huggingface")
+    repo_dir = "models--" + model_name.replace("/", "--")
+    candidates.append(Path(hf_home) / "hub" / repo_dir / "snapshots")
+    candidates.append(Path("./models") / model_name.split("/")[-1])
+    for cand in candidates:
+        if not cand.exists():
+            continue
+        if (cand / "tokenizer.json").exists() or (cand / "model.safetensors").exists():
+            return str(cand)
+        for sub in sorted(cand.glob("*")):
+            if (sub / "model.safetensors").exists() or (sub / "pytorch_model.bin").exists():
+                return str(sub)
+    return None
+
+
+def get_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):
+    """Build the configured embedding backend (uncached)."""
+    cfg = cfg or load_config()
+    name = model_name or cfg.embedding_model_name
+    backend = cfg.embedding_backend.lower()
+
+    if backend == "hash":
+        return HashingEmbedder(model_name=f"hash-{name.split('/')[-1]}")
+
+    snapshot = _find_local_snapshot(name, cfg.embedding_model_dir)
+    if backend == "auto" and snapshot is None:
+        return HashingEmbedder(model_name=f"hash-{name.split('/')[-1]}")
+
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder  # defer jax import
+
+    return E5Encoder(model_name=name, model_dir=snapshot)
+
+
+def get_caching_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):
+    cfg = cfg or load_config()
+    return CachingEmbedder(get_embedder(cfg, model_name), cache_dir=cfg.emb_cache_dir)
+
+
+__all__ = [
+    "CachingEmbedder",
+    "HashingEmbedder",
+    "get_caching_embedder",
+    "get_embedder",
+]

@@ -1,0 +1,114 @@
+"""E5 encoder: batched, bucketed, jitted TPU forward with E5 semantics.
+
+Replaces the reference's SentenceTransformer wrapper
+(rag/embeddings/__init__.py:36-105): "query: "/"passage: " prefixes,
+L2-normalized float32 output. Differences are all TPU-first:
+
+- inputs are grouped into length buckets (32..512) and padded, so XLA
+  compiles a handful of static shapes once and reuses them;
+- batch size scales inversely with bucket length to keep tokens/step
+  constant (one compile per (bucket, batch) pair, MXU kept busy);
+- the forward is a single jitted function; weights are device-resident.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classmate_rag_tpu.embeddings.model import (
+    EncoderConfig,
+    Params,
+    encode,
+    encoder_flops,
+    init_params,
+    load_params_from_hf,
+)
+from classmate_rag_tpu.embeddings.tokenizer import (
+    bucket_length,
+    load_tokenizer,
+    pad_to_bucket,
+)
+
+# Target tokens per device step; batch = budget / bucket_len.
+_TOKENS_PER_STEP = 16384
+
+
+class E5Encoder:
+    """JAX E5 encoder with query/passage prefixes and length bucketing."""
+
+    def __init__(
+        self,
+        model_name: str = "intfloat/multilingual-e5-base",
+        model_dir: Optional[str] = None,
+        config: Optional[EncoderConfig] = None,
+        max_length: int = 512,
+        params: Optional[Params] = None,
+    ) -> None:
+        self.model_name = model_name
+        self.config = config or EncoderConfig.for_model_name(model_name)
+        self.dim = self.config.hidden
+        self.max_length = min(max_length, self.config.max_positions - 2)
+        self.tokenizer = load_tokenizer(
+            model_dir, max_length=self.max_length,
+            vocab_size=self.config.vocab_size,
+        )
+        self.has_pretrained_weights = False
+
+        if params is not None:
+            self.params = params
+        else:
+            loaded = load_params_from_hf(model_dir, self.config) if model_dir else None
+            if loaded is not None:
+                self.params = loaded
+                self.has_pretrained_weights = True
+            else:
+                self.params = init_params(self.config, seed_key=model_name)
+
+        self._jit_encode = jax.jit(partial(encode, config=self.config))
+        self.last_flops = 0.0
+
+    # ------------------------------------------------------------------
+    def _forward_bucket(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = self._jit_encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        self.last_flops += encoder_flops(self.config, ids.shape[0], ids.shape[1])
+        return np.asarray(out, dtype=np.float32)
+
+    def _encode_texts(self, texts: Sequence[str], prefix: str) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        prefixed = [f"{prefix}{t or ''}" for t in texts]
+        encoded = self.tokenizer.encode_batch(prefixed, self.max_length)
+
+        # Group indices by bucket; process each bucket in padded batches.
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        by_bucket: dict[int, List[int]] = {}
+        for i, ids in enumerate(encoded):
+            by_bucket.setdefault(bucket_length(len(ids)), []).append(i)
+
+        for bucket, indices in sorted(by_bucket.items()):
+            batch_size = max(8, _TOKENS_PER_STEP // bucket)
+            # Round the batch to a power of two to bound compile count.
+            batch_size = 2 ** int(math.ceil(math.log2(batch_size)))
+            for start in range(0, len(indices), batch_size):
+                group = indices[start : start + batch_size]
+                rows = [encoded[i] for i in group]
+                # Pad the *batch* dimension too (static shapes for XLA).
+                n_pad = batch_size - len(rows)
+                rows_padded = rows + [[0]] * n_pad
+                ids_arr, mask_arr = pad_to_bucket(rows_padded, bucket)
+                vecs = self._forward_bucket(ids_arr, mask_arr)
+                out[np.asarray(group)] = vecs[: len(group)]
+        return out
+
+    # Public surface (matches the reference embedder).
+    def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+        return self._encode_texts(texts, "query: ")
+
+    def encode_passages(self, texts: Sequence[str]) -> np.ndarray:
+        return self._encode_texts(texts, "passage: ")

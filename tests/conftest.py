@@ -9,7 +9,10 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: this machine's axon sitecustomize pins
+# JAX_PLATFORMS=axon (real TPU) unless PALLAS_AXON_POOL_IPS is cleared.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

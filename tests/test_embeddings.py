@@ -1,0 +1,113 @@
+"""Embedding stack: tokenizer, JAX encoder, hashing backend, disk cache."""
+
+import numpy as np
+import pytest
+
+from classmate_rag_tpu.embeddings.hashing import HashingEmbedder
+from classmate_rag_tpu.embeddings.cache import CachingEmbedder
+from classmate_rag_tpu.embeddings.tokenizer import (
+    BOS_ID,
+    EOS_ID,
+    HashTokenizer,
+    bucket_length,
+    pad_to_bucket,
+)
+
+
+def test_hash_tokenizer_deterministic_and_bounded():
+    tok = HashTokenizer()
+    a = tok.encode("Hello, world! Ciao mondo.")
+    b = tok.encode("Hello, world! Ciao mondo.")
+    assert a == b
+    assert a[0] == BOS_ID and a[-1] == EOS_ID
+    assert all(0 <= i < tok.vocab_size for i in a)
+
+
+def test_hash_tokenizer_truncates():
+    tok = HashTokenizer()
+    ids = tok.encode("word " * 2000, max_length=64)
+    assert len(ids) == 64
+    assert ids[-1] == EOS_ID
+
+
+def test_bucketing_and_padding():
+    assert bucket_length(10) == 32
+    assert bucket_length(33) == 64
+    assert bucket_length(1000) == 512
+    ids, mask = pad_to_bucket([[0, 5, 2], [0, 2]], 8)
+    assert ids.shape == (2, 8)
+    assert mask[0].tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+    assert mask[1].tolist() == [1, 1, 0, 0, 0, 0, 0, 0]
+
+
+def test_hashing_embedder_similarity_ordering():
+    emb = HashingEmbedder(dim=256)
+    vecs = emb.encode_passages([
+        "the derivative measures the rate of change of a function",
+        "derivatives and rates of change in calculus functions",
+        "recipes for cooking pasta with tomato sauce",
+    ])
+    q = emb.encode_queries(["what is the derivative rate of change"])[0]
+    sims = vecs @ q
+    assert sims[0] > sims[2]
+    assert sims[1] > sims[2]
+    # All vectors unit-norm.
+    norms = np.linalg.norm(vecs, axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_jax_encoder_shapes_and_determinism():
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    enc = E5Encoder(model_name="test-tiny", config=EncoderConfig.small_test())
+    out1 = enc.encode_passages(["hello world", "a longer sentence about math"])
+    out2 = enc.encode_passages(["hello world", "a longer sentence about math"])
+    assert out1.shape == (2, enc.dim)
+    np.testing.assert_allclose(out1, out2, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(out1, axis=1), 1.0, atol=1e-4)
+    # Query and passage prefixes must differ.
+    q = enc.encode_queries(["hello world"])
+    assert not np.allclose(q[0], out1[0])
+
+
+def test_jax_encoder_batch_invariance():
+    """Same text embeds identically alone or inside a larger batch."""
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    enc = E5Encoder(model_name="test-tiny", config=EncoderConfig.small_test())
+    alone = enc.encode_passages(["the same text"])[0]
+    batch = enc.encode_passages(["other a", "the same text", "other b longer text here"])
+    np.testing.assert_allclose(alone, batch[1], atol=1e-4)
+
+
+def test_caching_embedder_roundtrip(tmp_path):
+    base = HashingEmbedder(dim=64)
+    calls = {"n": 0}
+    orig = base.encode_passages
+
+    def counting(texts):
+        calls["n"] += len(texts)
+        return orig(texts)
+
+    base.encode_passages = counting
+    cached = CachingEmbedder(base, cache_dir=str(tmp_path))
+    texts = ["alpha beta", "gamma delta"]
+    v1 = cached.encode_passages(texts)
+    assert calls["n"] == 2
+    v2 = cached.encode_passages(texts + ["epsilon zeta"])
+    assert calls["n"] == 3  # only the new text is a miss
+    np.testing.assert_allclose(v1, v2[:2])
+
+
+def test_caching_embedder_corrupted_file_is_miss(tmp_path):
+    base = HashingEmbedder(dim=32)
+    cached = CachingEmbedder(base, cache_dir=str(tmp_path))
+    v1 = cached.encode_queries(["text one"])
+    # Corrupt the cache file.
+    files = list(tmp_path.rglob("*.npy"))
+    assert files
+    files[0].write_bytes(b"garbage")
+    v2 = cached.encode_queries(["text one"])
+    np.testing.assert_allclose(v1, v2)
