@@ -1,0 +1,126 @@
+"""Chunk catalog: the durable source of truth for all admin operations.
+
+Persists as JSONL with one ``{"id", "text", "tokens", "metadata"}`` object
+per line at ``<bm25_dir>/bm25_index.jsonl`` — the exact format and location
+of the reference's BM25 store (rag/retrieval/bm25.py:220-248), so dumps and
+catalogs interoperate across the two stacks. Unlike the reference, the
+rewrite is atomic (tmp file + rename) — the reference could truncate the
+catalog on a crash mid-save.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
+
+
+@dataclass
+class CatalogEntry:
+    id: str
+    text: str
+    tokens: List[str]
+    metadata: Dict[str, Any]
+
+
+@dataclass
+class Catalog:
+    path: Path
+    _entries: Dict[str, CatalogEntry] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load_or_create(cls, directory: str | Path, filename: str = "bm25_index.jsonl") -> "Catalog":
+        cat = cls(path=Path(directory) / filename)
+        cat.load()
+        return cat
+
+    def load(self) -> None:
+        self._entries.clear()
+        if not self.path.exists():
+            return
+        with self.path.open("r", encoding="utf-8", errors="ignore") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                cid = str(rec.get("id") or "")
+                if not cid:
+                    continue
+                self._entries[cid] = CatalogEntry(
+                    id=cid,
+                    text=str(rec.get("text") or ""),
+                    tokens=list(rec.get("tokens") or []),
+                    metadata=dict(rec.get("metadata") or {}),
+                )
+
+    def save(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".jsonl.tmp")
+        with tmp.open("w", encoding="utf-8") as f:
+            for e in self._entries.values():
+                f.write(json.dumps(
+                    {"id": e.id, "text": e.text, "tokens": e.tokens,
+                     "metadata": e.metadata},
+                    ensure_ascii=False,
+                ) + "\n")
+        os.replace(tmp, self.path)
+
+    # ------------------------------------------------------------------
+    def upsert(self, entry: CatalogEntry) -> None:
+        self._entries[entry.id] = entry
+
+    def delete(self, ids: Sequence[str]) -> int:
+        n = 0
+        for cid in ids:
+            if self._entries.pop(cid, None) is not None:
+                n += 1
+        return n
+
+    def get(self, cid: str) -> Optional[CatalogEntry]:
+        return self._entries.get(cid)
+
+    def __contains__(self, cid: str) -> bool:
+        return cid in self._entries
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    @property
+    def ids(self) -> List[str]:
+        return list(self._entries.keys())
+
+    def entries(self) -> Iterator[CatalogEntry]:
+        return iter(self._entries.values())
+
+    def items(self) -> Iterator[tuple[str, CatalogEntry]]:
+        return iter(self._entries.items())
+
+    # ------------------------------------------------------------------
+    def matches_simple(
+        self, meta: Mapping[str, Any], where: Optional[Mapping[str, Any]]
+    ) -> bool:
+        """Simple-filter semantics shared with the reference admin plane
+        (rag/admin/manage.py:75-95): equality on the six filter fields,
+        ``tags`` requires all requested tags present, ``$and`` recurses."""
+        if not where:
+            return True
+        if "$and" in where:
+            return all(self.matches_simple(meta, w) for w in where["$and"])
+        if "tags" in where:
+            t = where["tags"]
+            if isinstance(t, Mapping) and "$contains" in t:
+                t = t["$contains"]
+            want = {t} if isinstance(t, str) else set(t or [])
+            if not want.issubset(set(meta.get("tags") or [])):
+                return False
+        for f in ("course", "unit", "language", "doc_type", "author", "semester"):
+            if f in where and meta.get(f) != where[f]:
+                return False
+        return True

@@ -1,0 +1,222 @@
+"""BM25 tokenization and the on-device scoring formulation.
+
+Tokenizer parity with the reference (rag/retrieval/bm25.py:34-70): unicode
+latin-letter words (diacritics kept), lowercased, per-document-language
+stopword removal (EN/IT sets), 1-character tokens dropped. Scoring parity
+with rank_bm25's BM25Okapi as used there (rag/retrieval/bm25.py:145,191-197):
+k1=1.5, b=0.75, idf = ln((N−df+0.5)/(df+0.5)) with negative idfs replaced
+by ε·mean(idf) (ε=0.25), and — the reference's defining quirk — all corpus
+statistics (df, avgdl, vocabulary) computed over the *filtered subset* per
+query (rag/retrieval/bm25.py:175-212 rebuilds BM25 on the subset).
+
+The TPU formulation replaces the per-query index rebuild with packed
+[N, L] unique-term/term-frequency arrays scored in one gather pass:
+
+    score(n) = Σ_l  w[term_ids[n, l]] · sat(tfs[n, l], dl_n)
+
+where ``w`` is a [V]-sized vector holding idf·multiplicity for the query's
+terms (scattered per query, zero elsewhere) and ``sat`` is the BM25 tf
+saturation. Subset df for the ε rule comes from one scatter-add pass over
+the masked rows; the unfiltered case uses a cached full-corpus df.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+K1 = 1.5
+B = 0.75
+EPSILON = 0.25
+
+_TOKEN_RE = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]+")
+
+# High-frequency function words; matching the reference's intent (and EN/IT
+# coverage) — removal must agree between index and query time for parity.
+STOPWORDS_EN = frozenset(
+    """a an the and or but if then else for to of in on at by with from as is
+    are was were be been being it its this that these those i you he she we
+    they them his her their my your our me us not no yes do does did doing
+    can could should would may might will shall about into over under again
+    further there here when where why how what which who whom""".split()
+)
+STOPWORDS_IT = frozenset(
+    """un uno una le la il lo gli i l e o ma se allora altrimenti per di a da
+    in su con come è era sono siamo siete fui fu furono essere stato questo
+    questa questi queste quello quella quelli quelle ciò cio io tu lui lei
+    noi voi loro mio mia tuo tua suo sua nostro vostro non no si sia fare fa
+    fatto posso può puo puoi possono dovrebbe potrebbe sarà sara sarebbe
+    saremmo sarete siano che perché perche quando dove cosa quale chi""".split()
+)
+
+
+def stopwords_for(lang: Optional[str]) -> frozenset:
+    lang = (lang or "").lower()
+    if lang.startswith("it"):
+        return STOPWORDS_IT
+    return STOPWORDS_EN
+
+
+def tokenize(text: str, lang: Optional[str] = None) -> List[str]:
+    """Lowercased unicode-letter tokens minus stopwords and 1-char tokens."""
+    sw = stopwords_for(lang)
+    return [
+        t for t in (m.group(0).lower() for m in _TOKEN_RE.finditer(text or ""))
+        if len(t) > 1 and t not in sw
+    ]
+
+
+def pack_tokens(
+    tokens: Sequence[str],
+    vocab: Dict[str, int],
+    width: int,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Count term frequencies, intern terms, pack into fixed-width arrays.
+
+    Returns (term_ids i32 [width] −1-padded, tfs u8 [width], doc_len).
+    When a chunk has more distinct terms than ``width`` the highest-tf terms
+    win (first-seen order breaks ties). doc_len counts all tokens (matching
+    BM25Okapi's ``len(document)``).
+    """
+    counts: Dict[str, int] = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    items = list(counts.items())
+    if len(items) > width:
+        items.sort(key=lambda kv: -kv[1])  # stable: first-seen wins ties
+        items = items[:width]
+    ids = np.full(width, -1, dtype=np.int32)
+    tfs = np.zeros(width, dtype=np.uint8)
+    for j, (term, tf) in enumerate(items):
+        tid = vocab.get(term)
+        if tid is None:
+            tid = len(vocab)
+            vocab[term] = tid
+        ids[j] = tid
+        tfs[j] = min(tf, 255)
+    return ids, tfs, float(len(tokens))
+
+
+# ---------------------------------------------------------------------------
+# Device scoring
+# ---------------------------------------------------------------------------
+
+def _bm25_device_fns():
+    """Deferred jax import so host-only paths never pull in jax."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("vocab_pad",))
+    def subset_df(term_ids, tfs, keep, vocab_pad: int):
+        """df over masked rows: scatter-add of term presence → [vocab_pad+1]."""
+        present = (term_ids >= 0) & (tfs > 0) & keep[:, None]
+        scatter_idx = jnp.where(present, term_ids, vocab_pad)
+        df = jnp.zeros(vocab_pad + 1, jnp.float32).at[scatter_idx].add(
+            jnp.where(present, 1.0, 0.0)
+        )
+        return df.at[vocab_pad].set(0.0)
+
+    @functools.partial(jax.jit, static_argnames=("top_k", "vocab_pad"))
+    def bm25_scores_topk(
+        term_ids,      # i32 [N, L]
+        tfs,           # u8  [N, L]
+        doc_len,       # f32 [N]
+        mask_bias,     # f32 [N] (0 keep / -inf drop)
+        df,            # f32 [vocab_pad+1] — subset df
+        q_terms,       # i32 [M] (-1 padded)
+        q_counts,      # f32 [M] query-term multiplicity
+        top_k: int,
+        vocab_pad: int,
+    ):
+        keep = mask_bias == 0.0
+        n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+
+        # idf with the BM25Okapi ε rule over the subset vocabulary.
+        raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
+        in_vocab = df > 0
+        n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
+        avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
+        eps = EPSILON * avg_idf
+        idf = jnp.where(in_vocab, jnp.where(raw_idf < 0, eps, raw_idf), 0.0)
+
+        # Per-query weight vector: idf × multiplicity at the query's terms.
+        q_safe = jnp.where(q_terms >= 0, q_terms, vocab_pad)
+        w = jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
+            jnp.where(q_terms >= 0, q_counts, 0.0) * idf[q_safe]
+        ).at[vocab_pad].set(0.0)
+
+        avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
+
+        # One gather pass over the packed arrays.
+        gathered_w = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]  # [N, L]
+        tf = tfs.astype(jnp.float32)
+        sat = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc_len[:, None] / avgdl))
+        scores = jnp.sum(gathered_w * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
+
+        vals, idx = jax.lax.top_k(scores + mask_bias, top_k)
+        return vals, idx.astype(jnp.int32)
+
+    return subset_df, bm25_scores_topk
+
+
+_DEVICE_FNS = None
+
+
+def device_fns():
+    global _DEVICE_FNS
+    if _DEVICE_FNS is None:
+        _DEVICE_FNS = _bm25_device_fns()
+    return _DEVICE_FNS
+
+
+# ---------------------------------------------------------------------------
+# Pure-python oracle (tests + tiny corpora): exact BM25Okapi semantics
+# ---------------------------------------------------------------------------
+
+def bm25_oracle_scores(
+    corpus_tokens: Sequence[Sequence[str]],
+    query_tokens: Sequence[str],
+) -> List[float]:
+    """Reference implementation of the published BM25Okapi formula."""
+    n = len(corpus_tokens)
+    if n == 0:
+        return []
+    df: Dict[str, int] = {}
+    doc_freqs: List[Dict[str, int]] = []
+    total_len = 0
+    for doc in corpus_tokens:
+        freqs: Dict[str, int] = {}
+        for t in doc:
+            freqs[t] = freqs.get(t, 0) + 1
+        doc_freqs.append(freqs)
+        total_len += len(doc)
+        for t in freqs:
+            df[t] = df.get(t, 0) + 1
+    avgdl = total_len / n
+    idf: Dict[str, float] = {}
+    negatives = []
+    idf_sum = 0.0
+    for t, f in df.items():
+        v = math.log(n - f + 0.5) - math.log(f + 0.5)
+        idf[t] = v
+        idf_sum += v
+        if v < 0:
+            negatives.append(t)
+    avg_idf = idf_sum / len(idf) if idf else 0.0
+    for t in negatives:
+        idf[t] = EPSILON * avg_idf
+    out = []
+    for freqs, doc in zip(doc_freqs, corpus_tokens):
+        dl = len(doc)
+        s = 0.0
+        for q in query_tokens:
+            tf = freqs.get(q, 0)
+            if tf == 0 or q not in idf:
+                continue
+            s += idf[q] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+        out.append(s)
+    return out

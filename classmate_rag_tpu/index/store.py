@@ -1,0 +1,435 @@
+"""Unified device index: one row space for dense + lexical + metadata.
+
+The reference maintains two disconnected stores — a Chroma collection
+(rag/retrieval/vector_chroma.py:81-278) and a BM25 JSONL store
+(rag/retrieval/bm25.py:122-256) — joined only by chunk-id strings. Here a
+single ``IndexStore`` owns the row registry; every subsystem is a column
+over the same rows:
+
+- dense: float16 host-master embedding matrix → bf16 HBM-resident slab;
+- lexical: packed [N, L] unique-term/tf arrays (+ doc lengths);
+- metadata: interned int columns + packed tag bits (see filters.py);
+- tombstones: a validity column — deletion is real (the reference's
+  ``delete_by_ids`` silently failed against Chroma, SURVEY §2.4.1) and
+  ``compact()`` reclaims rows.
+
+Device buffers are rebuilt lazily on a dirty flag and padded to slab
+multiples so XLA sees few distinct shapes. Persistence: embeddings +
+row registry under ``dense_dir``; text/tokens/metadata live in the JSONL
+catalog (the durable source of truth, shared format with the reference).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from classmate_rag_tpu.index.catalog import Catalog
+from classmate_rag_tpu.index.filters import (
+    FILTER_FIELDS,
+    InternTable,
+    TAG_WORDS,
+    mask_bias_device,
+)
+from classmate_rag_tpu.index.lexical import device_fns, pack_tokens
+from classmate_rag_tpu.metadata.validation import slug_tag
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, (x + m - 1) // m * m)
+
+
+@dataclass
+class SearchResult:
+    row: int
+    id: str
+    score: float
+
+
+class IndexStore:
+    """Row-unified dense + lexical + metadata index with device caching."""
+
+    def __init__(
+        self,
+        dim: int,
+        directory: str | Path = "./indexes/dense",
+        slab_rows: int = 4096,
+        terms_per_chunk: int = 192,
+    ) -> None:
+        self.dim = dim
+        self.directory = Path(directory)
+        self.slab_rows = slab_rows
+        self.term_width = terms_per_chunk
+
+        self.ids: List[str] = []
+        self.id_to_row: Dict[str, int] = {}
+        cap = slab_rows
+        self.emb = np.zeros((cap, dim), dtype=np.float16)
+        self.term_ids = np.full((cap, self.term_width), -1, dtype=np.int32)
+        self.tfs = np.zeros((cap, self.term_width), dtype=np.uint8)
+        self.doc_len = np.zeros(cap, dtype=np.float32)
+        self.valid = np.zeros(cap, dtype=bool)
+        self.field_cols = np.zeros((len(FILTER_FIELDS), cap), dtype=np.int32)
+        self.tag_bits = np.zeros((cap, TAG_WORDS), dtype=np.uint32)
+        self.vocab: Dict[str, int] = {}
+        self.interns: Dict[str, InternTable] = {f: InternTable() for f in FILTER_FIELDS}
+        self.tag_slots: Dict[str, int] = {}
+
+        self._device: Dict[str, Any] = {}
+        self._df_cache = None
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Capacity / registry
+    # ------------------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.emb.shape[0]
+
+    def __len__(self) -> int:
+        return int(self.valid.sum())
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.ids)
+
+    def _grow_to(self, rows: int) -> None:
+        if rows <= self.capacity:
+            return
+        new_cap = _round_up(rows, self.slab_rows)
+
+        def grow(arr: np.ndarray, fill=0) -> np.ndarray:
+            shape = (new_cap,) + arr.shape[1:]
+            out = np.full(shape, fill, dtype=arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        self.emb = grow(self.emb)
+        self.term_ids = grow(self.term_ids, -1)
+        self.tfs = grow(self.tfs)
+        self.doc_len = grow(self.doc_len)
+        self.valid = grow(self.valid, False)
+        self.tag_bits = grow(self.tag_bits)
+        new_fields = np.zeros((len(FILTER_FIELDS), new_cap), dtype=np.int32)
+        new_fields[:, : self.field_cols.shape[1]] = self.field_cols
+        self.field_cols = new_fields
+
+    def _row_for(self, cid: str) -> int:
+        row = self.id_to_row.get(cid)
+        if row is None:
+            row = len(self.ids)
+            self.ids.append(cid)
+            self.id_to_row[cid] = row
+            self._grow_to(row + 1)
+        return row
+
+    # ------------------------------------------------------------------
+    # Mutation
+    # ------------------------------------------------------------------
+
+    def upsert(
+        self,
+        ids: Sequence[str],
+        embeddings: np.ndarray,
+        tokens_list: Sequence[Sequence[str]],
+        metadatas: Sequence[Mapping[str, Any]],
+    ) -> int:
+        """Idempotent upsert of aligned (id, embedding, tokens, metadata)."""
+        if not (len(ids) == len(embeddings) == len(tokens_list) == len(metadatas)):
+            raise ValueError("ids/embeddings/tokens/metadatas length mismatch")
+        for i, cid in enumerate(ids):
+            row = self._row_for(cid)
+            self.emb[row] = embeddings[i].astype(np.float16)
+            t_ids, t_tfs, dl = pack_tokens(tokens_list[i], self.vocab, self.term_width)
+            self.term_ids[row] = t_ids
+            self.tfs[row] = t_tfs
+            self.doc_len[row] = dl
+            meta = metadatas[i] or {}
+            for j, f in enumerate(FILTER_FIELDS):
+                v = meta.get(f)
+                self.field_cols[j, row] = self.interns[f].intern(
+                    str(v) if v is not None else None
+                )
+            bits = np.zeros(TAG_WORDS, dtype=np.uint32)
+            for tag in meta.get("tags") or []:
+                slug = slug_tag(str(tag))
+                if not slug:
+                    continue
+                slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
+                if slot < TAG_WORDS * 32:
+                    bits[slot // 32] |= np.uint32(1 << (slot % 32))
+            self.tag_bits[row] = bits
+            self.valid[row] = True
+        self._dirty = True
+        return len(ids)
+
+    def delete(self, ids: Sequence[str]) -> int:
+        """Tombstone rows; really removes them from every search path."""
+        n = 0
+        for cid in ids:
+            row = self.id_to_row.get(cid)
+            if row is not None and self.valid[row]:
+                self.valid[row] = False
+                n += 1
+        if n:
+            self._dirty = True
+        return n
+
+    def compact(self) -> int:
+        """Drop tombstoned rows and re-pack; returns rows reclaimed."""
+        keep = [r for r in range(self.n_rows) if self.valid[r]]
+        reclaimed = self.n_rows - len(keep)
+        if reclaimed == 0:
+            return 0
+        sel = np.asarray(keep, dtype=np.int64)
+        self.ids = [self.ids[r] for r in keep]
+        self.id_to_row = {cid: i for i, cid in enumerate(self.ids)}
+        cap = _round_up(max(len(keep), 1), self.slab_rows)
+
+        def take(arr: np.ndarray, fill=0) -> np.ndarray:
+            out = np.full((cap,) + arr.shape[1:], fill, dtype=arr.dtype)
+            if len(sel):
+                out[: len(sel)] = arr[sel]
+            return out
+
+        self.emb = take(self.emb)
+        self.term_ids = take(self.term_ids, -1)
+        self.tfs = take(self.tfs)
+        self.doc_len = take(self.doc_len)
+        self.tag_bits = take(self.tag_bits)
+        new_valid = np.zeros(cap, dtype=bool)
+        new_valid[: len(sel)] = True
+        self.valid = new_valid
+        new_fields = np.zeros((len(FILTER_FIELDS), cap), dtype=np.int32)
+        if len(sel):
+            new_fields[:, : len(sel)] = self.field_cols[:, sel]
+        self.field_cols = new_fields
+        self._dirty = True
+        return reclaimed
+
+    # ------------------------------------------------------------------
+    # Device state
+    # ------------------------------------------------------------------
+
+    def _sync_device(self) -> Dict[str, Any]:
+        if not self._dirty and self._device:
+            return self._device
+        import jax.numpy as jnp
+
+        self._device = {
+            "emb": jnp.asarray(self.emb, dtype=jnp.bfloat16),
+            "term_ids": jnp.asarray(self.term_ids),
+            "tfs": jnp.asarray(self.tfs),
+            "doc_len": jnp.asarray(self.doc_len),
+            "valid": jnp.asarray(self.valid),
+            "field_cols": jnp.asarray(self.field_cols),
+            "tag_bits": jnp.asarray(self.tag_bits),
+        }
+        self._df_cache = None
+        self._dirty = False
+        return self._device
+
+    @property
+    def vocab_pad(self) -> int:
+        return _round_up(max(len(self.vocab), 1), 4096)
+
+    def _mask_bias(self, where: Optional[Mapping[str, Any]]):
+        import jax.numpy as jnp
+
+        dev = self._sync_device()
+        wanted = np.full(len(FILTER_FIELDS), -1, dtype=np.int32)
+        tag_want = np.zeros(TAG_WORDS, dtype=np.uint32)
+        satisfiable = True
+        if where:
+            for j, f in enumerate(FILTER_FIELDS):
+                v = where.get(f)
+                if v is None:
+                    continue
+                s = str(v).strip()
+                if not s or (f == "doc_type" and s.lower() == "other"):
+                    continue
+                wanted[j] = self.interns[f].lookup(s)
+            tags = where.get("tags")
+            if isinstance(tags, Mapping) and "$contains" in tags:
+                tags = tags["$contains"]
+            if isinstance(tags, str):
+                tags = [t.strip() for t in tags.split(",") if t.strip()]
+            for tag in tags or []:
+                slug = slug_tag(str(tag))
+                if not slug:
+                    continue
+                slot = self.tag_slots.get(slug)
+                if slot is None or slot >= TAG_WORDS * 32:
+                    satisfiable = False
+                else:
+                    tag_want[slot // 32] |= np.uint32(1 << (slot % 32))
+        if not satisfiable:
+            wanted[0] = -2  # impossible marker understood by the device fn
+        return mask_bias_device(
+            dev["field_cols"], dev["tag_bits"], dev["valid"],
+            jnp.asarray(wanted), jnp.asarray(tag_want),
+        )
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def dense_topk(
+        self,
+        query_vecs: np.ndarray,          # [Q, d] f32 (L2-normalized)
+        where: Optional[Mapping[str, Any]] = None,
+        k: int = 8,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact masked scan → (scores [Q, k], rows [Q, k]; -1 past end)."""
+        from classmate_rag_tpu.ops.topk import masked_topk
+        import jax.numpy as jnp
+
+        dev = self._sync_device()
+        bias = self._mask_bias(where)
+        k_eff = min(k, self.capacity)
+        vals, rows = masked_topk(dev["emb"], jnp.asarray(query_vecs), bias, k_eff)
+        vals_np = np.asarray(vals)
+        rows_np = np.asarray(rows)
+        rows_np = np.where(vals_np <= NEG_INF / 2, -1, rows_np)
+        return vals_np, rows_np
+
+    def bm25_topk(
+        self,
+        query_terms: Sequence[str],
+        where: Optional[Mapping[str, Any]] = None,
+        k: int = 8,
+        max_query_terms: int = 32,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Subset-statistics BM25 → (scores [k], rows [k]; -1 past end)."""
+        import jax.numpy as jnp
+
+        dev = self._sync_device()
+        bias = self._mask_bias(where)
+        subset_df, scores_topk = device_fns()
+        vpad = self.vocab_pad
+
+        filtered = where is not None and len(where) > 0
+        if filtered:
+            df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, vpad)
+        else:
+            if self._df_cache is None or self._df_cache.shape[0] != vpad + 1:
+                self._df_cache = subset_df(
+                    dev["term_ids"], dev["tfs"], jnp.asarray(self.valid), vpad
+                )
+            df = self._df_cache
+
+        counts: Dict[int, float] = {}
+        for t in query_terms:
+            tid = self.vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0.0) + 1.0
+        m = max_query_terms
+        q_terms = np.full(m, -1, dtype=np.int32)
+        q_counts = np.zeros(m, dtype=np.float32)
+        for j, (tid, c) in enumerate(list(counts.items())[:m]):
+            q_terms[j] = tid
+            q_counts[j] = c
+
+        k_eff = min(k, self.capacity)
+        vals, rows = scores_topk(
+            dev["term_ids"], dev["tfs"], dev["doc_len"], bias, df,
+            jnp.asarray(q_terms), jnp.asarray(q_counts), k_eff, vpad,
+        )
+        vals_np = np.asarray(vals)
+        rows_np = np.asarray(rows)
+        rows_np = np.where(vals_np <= NEG_INF / 2, -1, rows_np)
+        return vals_np, rows_np
+
+    def rows_to_ids(self, rows: Sequence[int]) -> List[Optional[str]]:
+        return [
+            self.ids[r] if 0 <= r < self.n_rows else None for r in rows
+        ]
+
+    def embeddings_for_rows(self, rows: np.ndarray):
+        """Device gather of embedding rows (for MMR)."""
+        dev = self._sync_device()
+        import jax.numpy as jnp
+
+        safe = jnp.clip(jnp.asarray(rows), 0, self.capacity - 1)
+        return dev["emb"][safe]
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+
+    def save(self) -> None:
+        self.directory.mkdir(parents=True, exist_ok=True)
+        np.save(self.directory / "embeddings.npy", self.emb[: self.n_rows])
+        registry = {
+            "ids": self.ids,
+            "valid": [bool(v) for v in self.valid[: self.n_rows]],
+            "dim": self.dim,
+        }
+        tmp = self.directory / "rows.json.tmp"
+        tmp.write_text(json.dumps(registry), encoding="utf-8")
+        tmp.replace(self.directory / "rows.json")
+
+    @classmethod
+    def load_or_create(
+        cls,
+        dim: int,
+        directory: str | Path,
+        catalog: Catalog,
+        slab_rows: int = 4096,
+        terms_per_chunk: int = 192,
+    ) -> "IndexStore":
+        """Restore embeddings from disk; rebuild lexical/meta columns from
+        the catalog (tokens and metadata live there)."""
+        store = cls(dim, directory, slab_rows, terms_per_chunk)
+        reg_path = Path(directory) / "rows.json"
+        emb_path = Path(directory) / "embeddings.npy"
+        if not (reg_path.exists() and emb_path.exists()):
+            return store
+        try:
+            registry = json.loads(reg_path.read_text(encoding="utf-8"))
+            emb = np.load(emb_path)
+        except (OSError, ValueError, json.JSONDecodeError):
+            return store
+        if emb.ndim != 2 or emb.shape[1] != dim:
+            return store
+        ids = list(registry.get("ids") or [])
+        valid = list(registry.get("valid") or [])
+        n = min(len(ids), emb.shape[0], len(valid))
+        store._grow_to(max(n, 1))
+        for i in range(n):
+            cid = ids[i]
+            entry = catalog.get(cid)
+            alive = bool(valid[i]) and entry is not None
+            row = store._row_for(cid)
+            store.emb[row] = emb[i]
+            if entry is not None:
+                t_ids, t_tfs, dl = pack_tokens(
+                    entry.tokens, store.vocab, store.term_width
+                )
+                store.term_ids[row] = t_ids
+                store.tfs[row] = t_tfs
+                store.doc_len[row] = dl
+                meta = entry.metadata
+                for j, f in enumerate(FILTER_FIELDS):
+                    v = meta.get(f)
+                    store.field_cols[j, row] = store.interns[f].intern(
+                        str(v) if v is not None else None
+                    )
+                bits = np.zeros(TAG_WORDS, dtype=np.uint32)
+                for tag in meta.get("tags") or []:
+                    slug = slug_tag(str(tag))
+                    if slug:
+                        slot = store.tag_slots.setdefault(slug, len(store.tag_slots))
+                        if slot < TAG_WORDS * 32:
+                            bits[slot // 32] |= np.uint32(1 << (slot % 32))
+                store.tag_bits[row] = bits
+            store.valid[row] = alive
+        store._dirty = True
+        return store

@@ -1,0 +1,62 @@
+"""Greedy Maximal-Marginal-Relevance ordering, on device.
+
+Semantics match the reference's ``_mmr_order`` (rag/retrieval/fusion.py:39-61):
+pick argmax query-similarity first, then repeatedly pick
+``argmax λ·sim(q, i) − (1−λ)·max_{s∈selected} sim(i, s)``; ties resolve to
+the lowest pool index (numpy argmax semantics). The loop is a
+``lax.fori_loop`` over the ≤24-element pool with a running per-candidate
+max-similarity-to-selected vector, so the whole reorder costs two tiny
+matmuls plus k vector steps — it stays inside the jitted query step with no
+host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mmr_order(
+    q: jnp.ndarray,        # [d] query embedding (L2-normalized)
+    cands: jnp.ndarray,    # [P, d] candidate embeddings (L2-normalized)
+    valid: jnp.ndarray,    # [P] bool
+    k: int,
+    lambda_: float = 0.5,
+) -> jnp.ndarray:
+    """Return [k] pool positions in MMR order (-1 where pool exhausted)."""
+    p = cands.shape[0]
+    sims_q = cands.astype(jnp.float32) @ q.astype(jnp.float32)       # [P]
+    sims_cc = cands.astype(jnp.float32) @ cands.astype(jnp.float32).T  # [P, P]
+    sims_q = jnp.where(valid, sims_q, NEG_INF)
+
+    order0 = jnp.full((k,), -1, dtype=jnp.int32)
+    first = jnp.argmax(sims_q).astype(jnp.int32)
+    any_valid = jnp.any(valid)
+    order0 = order0.at[0].set(jnp.where(any_valid, first, -1))
+
+    remaining0 = valid.at[first].set(False)
+    # Max similarity of each candidate to the selected set so far.
+    run_max0 = sims_cc[:, first]
+
+    def body(j, carry):
+        order, remaining, run_max = carry
+        mmr = lambda_ * sims_q - (1.0 - lambda_) * run_max
+        mmr = jnp.where(remaining, mmr, NEG_INF)
+        pick = jnp.argmax(mmr).astype(jnp.int32)
+        ok = jnp.any(remaining)
+        order = order.at[j].set(jnp.where(ok, pick, -1))
+        remaining = jnp.where(ok, remaining.at[pick].set(False), remaining)
+        run_max = jnp.where(
+            ok, jnp.maximum(run_max, sims_cc[:, pick]), run_max
+        )
+        return order, remaining, run_max
+
+    order, _, _ = jax.lax.fori_loop(
+        1, min(k, p), body, (order0, remaining0, run_max0)
+    )
+    return order

@@ -1,0 +1,145 @@
+"""Hybrid retrieval: dense exact-scan + BM25, RRF-fused, MMR-diversified.
+
+Pipeline parity with the reference HybridRetriever
+(rag/retrieval/fusion.py:64-167):
+
+1. dense branch: encode query → masked exact top-``pool`` scan
+   (pool = max(k_vector, mmr_max_pool) when MMR is on) → greedy MMR
+   reorder (λ=0.5) → first ``k_vector``;
+2. lexical branch: tokenize query (query-language stopwords) → subset-
+   statistics BM25 top-``k_bm25``;
+3. weighted RRF (rrf_k=60) over the two ranked lists, merged per-row
+   scores, sorted by (fused, −distance), truncated to ``top_k``.
+
+All scoring/fusion runs on device over global row indices; strings only
+materialize at the end. ``hybrid=False`` gives the dense-only path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+
+from classmate_rag_tpu.index.catalog import Catalog
+from classmate_rag_tpu.index.lexical import tokenize
+from classmate_rag_tpu.index.store import IndexStore
+from classmate_rag_tpu.ops.fusion import rrf_merge
+from classmate_rag_tpu.ops.mmr import mmr_order
+from classmate_rag_tpu.utils.lang import detect_lang_tag
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+@dataclass
+class HybridRetriever:
+    store: IndexStore
+    catalog: Catalog
+    embedder: Any
+
+    k_vector: int = 8
+    k_bm25: int = 8
+    rrf_k: int = 60
+    weight_vector: float = 1.0
+    weight_bm25: float = 1.0
+    use_mmr: bool = True
+    mmr_lambda: float = 0.5
+    mmr_max_pool: int = 24
+
+    def _dense_branch(
+        self, query: str, where: Optional[Mapping[str, Any]], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (rows [k], cosine distances [k]) in final (MMR) order."""
+        import jax.numpy as jnp
+
+        q_vec = self.embedder.encode_queries([query])[0].astype(np.float32)
+        pool = max(k, self.mmr_max_pool) if self.use_mmr else k
+        scores, rows = self.store.dense_topk(q_vec[None, :], where, pool)
+        scores, rows = scores[0], rows[0]
+        if not self.use_mmr:
+            return rows[:k], 1.0 - scores[:k]
+        valid = rows >= 0
+        cand_embs = self.store.embeddings_for_rows(np.maximum(rows, 0))
+        order = np.asarray(mmr_order(
+            jnp.asarray(q_vec), cand_embs, jnp.asarray(valid), k,
+            self.mmr_lambda,
+        ))
+        picked = order[order >= 0]
+        out_rows = np.full(k, -1, dtype=np.int64)
+        out_dist = np.zeros(k, dtype=np.float32)
+        n = min(len(picked), k)
+        out_rows[:n] = rows[picked[:n]]
+        out_dist[:n] = 1.0 - scores[picked[:n]]
+        return out_rows, out_dist
+
+    def _bm25_branch(
+        self, query: str, where: Optional[Mapping[str, Any]], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q_lang = detect_lang_tag(query)
+        terms = tokenize(query, q_lang)
+        if not terms:
+            return np.full(k, -1, dtype=np.int64), np.zeros(k, dtype=np.float32)
+        scores, rows = self.store.bm25_topk(terms, where, k)
+        return rows.astype(np.int64), scores
+
+    def retrieve(
+        self,
+        *,
+        question: str,
+        filters: Optional[Mapping[str, Any]] = None,
+        top_k: int = 8,
+        hybrid: bool = True,
+    ) -> List[Dict[str, Any]]:
+        import jax.numpy as jnp
+
+        where = dict(filters) if filters else None
+        if not question.strip() or len(self.store) == 0:
+            return []
+
+        if hybrid:
+            vec_rows, vec_dist = self._dense_branch(question, where, self.k_vector)
+            bm_rows, bm_scores = self._bm25_branch(question, where, self.k_bm25)
+        else:
+            kv = max(top_k, self.k_vector)
+            vec_rows, vec_dist = self._dense_branch(question, where, kv)
+            bm_rows = np.full(1, -1, dtype=np.int64)
+            bm_scores = np.zeros(1, dtype=np.float32)
+
+        rows, fused, vdist, bscore = rrf_merge(
+            jnp.asarray(vec_rows, jnp.int32),
+            jnp.asarray(bm_rows, jnp.int32),
+            jnp.asarray(vec_dist, jnp.float32),
+            jnp.asarray(bm_scores, jnp.float32),
+            self.weight_vector if hybrid else 1.0,
+            self.weight_bm25,
+            self.rrf_k,
+            top_k,
+        )
+        rows = np.asarray(rows)
+        fused = np.asarray(fused)
+        vdist = np.asarray(vdist)
+        bscore = np.asarray(bscore)
+
+        out: List[Dict[str, Any]] = []
+        for j in range(len(rows)):
+            r = int(rows[j])
+            if r < 0:
+                continue
+            cid = self.store.ids[r] if r < self.store.n_rows else None
+            if cid is None:
+                continue
+            entry = self.catalog.get(cid)
+            vd = float(vdist[j])
+            bs = float(bscore[j])
+            out.append({
+                "id": cid,
+                "document": entry.text if entry else "",
+                "metadata": dict(entry.metadata) if entry else {},
+                "scores": {
+                    "vector_distance": None if np.isnan(vd) else vd,
+                    "bm25_score": None if np.isnan(bs) else bs,
+                    "fused": float(fused[j]),
+                },
+            })
+        return out

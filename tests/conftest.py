@@ -9,17 +9,22 @@ import os
 import sys
 from pathlib import Path
 
-# Force, not setdefault: this machine's axon sitecustomize pins
-# JAX_PLATFORMS=axon (real TPU) unless PALLAS_AXON_POOL_IPS is cleared.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# This machine's axon sitecustomize registers the TPU platform at
+# interpreter start and pins it; env vars set here are too late. The config
+# update below overrides it even post-registration — tests must run on the
+# virtual 8-device CPU platform, not through the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
