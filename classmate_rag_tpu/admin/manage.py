@@ -1,0 +1,200 @@
+"""Corpus curation: list / show / resolve / delete / reingest.
+
+Semantics parity with the reference (rag/admin/manage.py:123-267) with the
+catalog as the source of truth. One behavioral fix: deletion really removes
+vectors (the reference called a nonexistent Chroma ``delete`` and reported
+success regardless, SURVEY §2.4.1).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Mapping, Optional, Sequence
+
+from classmate_rag_tpu.pipeline.runtime import Runtime, get_runtime
+
+
+def _matches_simple(meta: Mapping[str, Any], where: Optional[Mapping[str, Any]]) -> bool:
+    """Equality on simple fields + all-tags-present; importable standalone
+    (the reference keeps this testable in a slim env)."""
+    if not where:
+        return True
+    if "$and" in where:
+        return all(_matches_simple(meta, w) for w in where["$and"])
+    tags = where.get("tags")
+    if tags is not None:
+        if isinstance(tags, Mapping) and "$contains" in tags:
+            tags = tags["$contains"]
+        want = {tags} if isinstance(tags, str) else set(tags or [])
+        if not want.issubset(set(meta.get("tags") or [])):
+            return False
+    for f in ("course", "unit", "language", "doc_type", "author", "semester"):
+        if f in where and where[f] is not None and meta.get(f) != where[f]:
+            return False
+    return True
+
+
+def _summary(entry) -> Dict[str, Any]:
+    meta = entry.metadata
+    return {
+        "id": entry.id,
+        "source_path": meta.get("source_path"),
+        "page": meta.get("page"),
+        "chunk_id": meta.get("chunk_id"),
+        "course": meta.get("course"),
+        "unit": meta.get("unit"),
+        "language": meta.get("language"),
+        "doc_type": meta.get("doc_type"),
+        "tags": meta.get("tags"),
+        "subject": meta.get("subject"),
+    }
+
+
+def list_entries(
+    where: Optional[Mapping[str, Any]] = None,
+    *,
+    limit: int = 50,
+    offset: int = 0,
+    runtime: Optional[Runtime] = None,
+) -> List[Dict[str, Any]]:
+    rt = runtime or get_runtime()
+    out = []
+    skipped = 0
+    for entry in rt.catalog.entries():
+        if not _matches_simple(entry.metadata, where):
+            continue
+        if skipped < offset:
+            skipped += 1
+            continue
+        out.append(_summary(entry))
+        if len(out) >= limit:
+            break
+    return out
+
+
+def show_entries_by_id(
+    ids: Sequence[str],
+    *,
+    snippet_chars: int = 400,
+    runtime: Optional[Runtime] = None,
+) -> List[Dict[str, Any]]:
+    rt = runtime or get_runtime()
+    out = []
+    for cid in ids:
+        entry = rt.catalog.get(cid)
+        if entry is None:
+            out.append({"id": cid, "found": False})
+            continue
+        rec = _summary(entry)
+        rec["found"] = True
+        rec["snippet"] = entry.text[:snippet_chars]
+        out.append(rec)
+    return out
+
+
+def resolve_ids(
+    *,
+    ids: Optional[Sequence[str]] = None,
+    path: Optional[str] = None,
+    where: Optional[Mapping[str, Any]] = None,
+    runtime: Optional[Runtime] = None,
+) -> List[str]:
+    """Resolve chunk ids by explicit ids, source path, and/or filters."""
+    rt = runtime or get_runtime()
+    if ids:
+        return [cid for cid in ids if cid in rt.catalog]
+    resolved_path = str(Path(path).resolve()) if path else None
+    out = []
+    for entry in rt.catalog.entries():
+        meta = entry.metadata
+        if resolved_path is not None and str(meta.get("source_path")) != resolved_path:
+            continue
+        if not _matches_simple(meta, where):
+            continue
+        out.append(entry.id)
+    return out
+
+
+def delete_by_ids(
+    ids: Sequence[str],
+    *,
+    runtime: Optional[Runtime] = None,
+) -> Dict[str, int]:
+    rt = runtime or get_runtime()
+    vec_deleted = rt.store.delete(ids)
+    cat_deleted = rt.catalog.delete(ids)
+    rt.persist()
+    return {"vector_deleted": vec_deleted, "catalog_deleted": cat_deleted}
+
+
+def list_source_paths(runtime: Optional[Runtime] = None) -> List[str]:
+    rt = runtime or get_runtime()
+    seen = []
+    seen_set = set()
+    for entry in rt.catalog.entries():
+        sp = entry.metadata.get("source_path")
+        if sp and sp not in seen_set:
+            seen_set.add(sp)
+            seen.append(str(sp))
+    return seen
+
+
+def _consolidate_metadata(entries) -> Dict[str, Any]:
+    """First non-empty value per field; tags are the union (insertion
+    order), matching rag/admin/manage.py:201-258."""
+    fields = ("course", "unit", "language", "doc_type", "author", "semester",
+              "subject")
+    merged: Dict[str, Any] = {}
+    tags: List[str] = []
+    tag_set = set()
+    for entry in entries:
+        meta = entry.metadata
+        for f in fields:
+            if f not in merged and meta.get(f):
+                merged[f] = meta[f]
+        for t in meta.get("tags") or []:
+            if t not in tag_set:
+                tag_set.add(t)
+                tags.append(t)
+    if tags:
+        merged["tags"] = tags
+    return merged
+
+
+def reingest_paths(
+    paths: Sequence[str],
+    *,
+    runtime: Optional[Runtime] = None,
+) -> List[Dict[str, Any]]:
+    """Re-process whole files, inheriting metadata from existing entries."""
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+
+    rt = runtime or get_runtime()
+    results = []
+    for raw in paths:
+        p = Path(raw).resolve()
+        existing = [
+            e for e in rt.catalog.entries()
+            if str(e.metadata.get("source_path")) == str(p)
+        ]
+        merged = _consolidate_metadata(existing)
+        meta = normalize_cli_metadata(
+            course=merged.get("course"),
+            unit=merged.get("unit"),
+            language=merged.get("language"),
+            doc_type=merged.get("doc_type"),
+            author=merged.get("author"),
+            semester=merged.get("semester"),
+            tags=merged.get("tags"),
+            subject=merged.get("subject"),
+        )
+        try:
+            res = ingest_file(path=p, doc_meta=meta, runtime=rt)
+            results.append({
+                "path": str(p), "ok": True,
+                "chunks": res.total_chunks, "doc_type": res.doc_type,
+            })
+        except (FileNotFoundError, ValueError, OSError) as exc:
+            results.append({"path": str(p), "ok": False, "error": str(exc)})
+    return results

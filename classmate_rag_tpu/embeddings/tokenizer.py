@@ -56,6 +56,10 @@ class HashTokenizer:
     ) -> List[List[int]]:
         return [self.encode(t, max_length) for t in texts]
 
+    def decode(self, ids: Sequence[int]) -> str:
+        """Hashing is one-way; decoding yields placeholder token markers."""
+        return " ".join(f"<tok{i}>" for i in ids if i not in (BOS_ID, PAD_ID, EOS_ID))
+
 
 class HFTokenizer:
     """tokenizer.json-backed tokenizer (requires the `tokenizers` package)."""
@@ -94,6 +98,9 @@ class HFTokenizer:
                 ids = ids[: limit - 1] + [EOS_ID]
             out.append(ids)
         return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids), skip_special_tokens=True)
 
 
 def load_tokenizer(

@@ -1,0 +1,265 @@
+"""Generation runners: llama.cpp shim, TPU decode, extractive fallback.
+
+Three interchangeable backends behind the reference runner surface
+(no-arg constructible, ``.chat(messages, **knobs) -> str``, legacy
+``.generate(prompt) -> str`` — rag/generation/llama_cpp_runner.py:25-106):
+
+- ``LlamaCppRunner``: thin shim over llama-cpp-python when installed and a
+  GGUF file exists (n_ctx=4096, seed=42, LLAMA_GPU_LAYERS honored).
+- ``TPUDecodeRunner``: the JAX decoder (models/decoder.py) with KV-cache
+  greedy/nucleus decode — the TPU-native generation path. Requires a local
+  HF Llama checkpoint + tokenizer for meaningful text; with random init it
+  exists for benchmarking the decode loop.
+- ``ExtractiveRunner``: deterministic, dependency-free grounded answering —
+  scores context-block sentences by lexical overlap with the question and
+  composes a cited answer. This keeps ``ask`` fully functional in offline
+  environments (the reference hard-fails without a GGUF download).
+
+``get_runner`` picks per config: explicit backend, else llama_cpp →
+tpu → extractive.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+from classmate_rag_tpu.config import Config, load_config
+from classmate_rag_tpu.index.lexical import tokenize
+from classmate_rag_tpu.utils.lang import detect_lang_tag
+
+Messages = Sequence[Dict[str, str]]
+
+
+def _last_user_content(messages: Messages) -> str:
+    for m in reversed(list(messages)):
+        if m.get("role") == "user":
+            return str(m.get("content") or "")
+    return ""
+
+
+_CONTEXT_RE = re.compile(
+    r"Context:\n(?P<ctx>.*?)\n\nQuestion:\n(?P<q>.*?)\n\nAnswer:",
+    re.DOTALL,
+)
+_BLOCK_RE = re.compile(r"^\[(\d+)\]\s*(.*)", re.DOTALL)
+
+
+class ExtractiveRunner:
+    """Deterministic cited answering by sentence selection."""
+
+    model_name = "extractive"
+
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        pass
+
+    # -- core ----------------------------------------------------------
+    @staticmethod
+    def _split_blocks(ctx: str) -> List[tuple[int, str]]:
+        blocks: List[tuple[int, str]] = []
+        for chunk in ctx.split("\n\n"):
+            m = _BLOCK_RE.match(chunk.strip())
+            if m:
+                blocks.append((int(m.group(1)), m.group(2).strip()))
+        return blocks
+
+    @staticmethod
+    def _sentences(text: str) -> List[str]:
+        parts = re.split(r"(?<=[.!?])\s+", text)
+        return [p.strip() for p in parts if p.strip()]
+
+    def answer_grounded(self, question: str, ctx: str, max_sentences: int = 3) -> str:
+        lang = detect_lang_tag(question)
+        q_terms = set(tokenize(question, lang))
+        scored: List[tuple[float, int, int, str]] = []
+        for block_no, text in self._split_blocks(ctx):
+            for s_idx, sent in enumerate(self._sentences(text)):
+                s_terms = set(tokenize(sent, lang))
+                if not s_terms:
+                    continue
+                overlap = len(q_terms & s_terms)
+                if overlap == 0:
+                    continue
+                score = overlap / (1.0 + 0.1 * len(s_terms))
+                scored.append((score, block_no, s_idx, sent))
+        if not scored:
+            return "I don't know." if lang != "it" else "Non lo so."
+        scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+        picked = scored[:max_sentences]
+        # Present in block order for readability; cite each sentence.
+        picked.sort(key=lambda t: (t[1], t[2]))
+        seen_sent = set()
+        parts = []
+        for _score, block_no, _s, sent in picked:
+            if sent in seen_sent:
+                continue
+            seen_sent.add(sent)
+            parts.append(f"{sent} [{block_no}]")
+        return " ".join(parts)
+
+    # -- public surface -------------------------------------------------
+    def chat(self, messages: Messages, **_: Any) -> str:
+        user = _last_user_content(messages)
+        m = _CONTEXT_RE.search(user)
+        if m:
+            return self.answer_grounded(m.group("q").strip(), m.group("ctx"))
+        # General (context-free) prompt: deterministic honest fallback.
+        lang = detect_lang_tag(user)
+        return (
+            "Non ho abbastanza informazioni per rispondere."
+            if lang == "it"
+            else "I don't have enough information to answer that."
+        )
+
+    def generate(self, prompt: str, **_: Any) -> str:
+        return self.chat([{"role": "user", "content": prompt}])
+
+
+class LlamaCppRunner:
+    """llama-cpp-python shim with the reference's defaults and knobs."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        n_ctx: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        from llama_cpp import Llama  # raises ImportError when absent
+
+        cfg = load_config()
+        path = Path(model_path or cfg.llm_model_path).expanduser()
+        if not path.exists():
+            from classmate_rag_tpu.model_fetch import ensure_llama_model_available
+
+            path = ensure_llama_model_available(
+                path,
+                repo_id=os.getenv("LLM_REPO_ID"),
+                filename=os.getenv("LLM_FILENAME"),
+            )
+        self.model_name = path.name
+        self._llama = Llama(
+            model_path=str(path),
+            n_ctx=int(n_ctx or cfg.llm_n_ctx),
+            seed=int(seed if seed is not None else cfg.llm_seed),
+            n_gpu_layers=int(os.getenv("LLAMA_GPU_LAYERS", "0")),
+            verbose=False,
+        )
+
+    def chat(
+        self,
+        messages: Messages,
+        max_tokens: int = 768,
+        temperature: float = 0.2,
+        top_p: float = 0.95,
+        **kwargs: Any,
+    ) -> str:
+        out = self._llama.create_chat_completion(
+            messages=list(messages),
+            max_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            **{k: v for k, v in kwargs.items() if k in ("repeat_penalty",)},
+        )
+        return out["choices"][0]["message"]["content"] or ""
+
+    def generate(self, prompt: str, max_tokens: int = 768, **kwargs: Any) -> str:
+        out = self._llama(prompt, max_tokens=max_tokens, **kwargs)
+        return out["choices"][0]["text"] or ""
+
+
+class TPUDecodeRunner:
+    """JAX decoder generation (greedy/nucleus) with a chat template."""
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        config=None,
+        max_new_tokens: int = 256,
+        max_seq: int = 1024,
+    ) -> None:
+        from classmate_rag_tpu.embeddings.tokenizer import load_tokenizer
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig,
+            init_params,
+            load_params_from_hf,
+            make_generate_fn,
+        )
+
+        self.config = config or DecoderConfig.small()
+        self.model_name = f"tpu-decoder-{self.config.hidden}"
+        params = None
+        if model_dir:
+            params = load_params_from_hf(model_dir, self.config)
+        self.has_pretrained_weights = params is not None
+        self.params = params if params is not None else init_params(
+            self.config, self.model_name
+        )
+        self.tokenizer = load_tokenizer(
+            model_dir, max_length=max_seq, vocab_size=self.config.vocab_size
+        )
+        self.max_new = max_new_tokens
+        self.max_seq = max_seq
+        self._generate = make_generate_fn(self.config, max_seq, max_new_tokens)
+
+    def _format_chat(self, messages: Messages) -> str:
+        parts = []
+        for m in messages:
+            parts.append(f"<|{m.get('role','user')}|>\n{m.get('content','')}")
+        parts.append("<|assistant|>\n")
+        return "\n".join(parts)
+
+    def generate_ids(self, prompt_ids: List[int], seed: int = 42,
+                     temperature: float = 0.0, top_p: float = 0.95):
+        import jax.numpy as jnp
+        import numpy as np
+
+        width = self.max_seq - self.max_new
+        ids = prompt_ids[-width:]
+        pad = width - len(ids)
+        arr = np.full((1, width), 0, dtype=np.int32)
+        arr[0, pad:] = ids
+        toks = self._generate(
+            self.params, jnp.asarray(arr),
+            jnp.asarray([len(ids)], jnp.int32), seed, temperature, top_p, 2,
+        )
+        out = np.asarray(toks)[0].tolist()
+        return [t for t in out if t != 2]
+
+    def chat(
+        self,
+        messages: Messages,
+        max_tokens: int = 768,
+        temperature: float = 0.2,
+        top_p: float = 0.95,
+        **_: Any,
+    ) -> str:
+        prompt = self._format_chat(messages)
+        ids = self.tokenizer.encode(prompt, max_length=self.max_seq - self.max_new)
+        out_ids = self.generate_ids(ids, temperature=temperature, top_p=top_p)
+        return self.tokenizer.decode(out_ids).strip()
+
+    def generate(self, prompt: str, **kwargs: Any) -> str:
+        return self.chat([{"role": "user", "content": prompt}], **kwargs)
+
+
+def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
+    """Backend selection: explicit config, else llama_cpp → tpu → extractive."""
+    cfg = cfg or load_config()
+    backend = cfg.llm_backend.lower()
+    if backend == "extractive":
+        return ExtractiveRunner()
+    if backend in ("llama_cpp", "auto"):
+        try:
+            return LlamaCppRunner(model_path=model_path)
+        except (ImportError, FileNotFoundError):
+            if backend == "llama_cpp":
+                raise
+    if backend in ("tpu", "auto"):
+        model_dir = os.getenv("TPU_DECODER_MODEL_DIR")
+        if model_dir and Path(model_dir).exists():
+            return TPUDecodeRunner(model_dir=model_dir)
+        if backend == "tpu":
+            return TPUDecodeRunner()
+    return ExtractiveRunner()

@@ -60,7 +60,9 @@ FILTER_SIMPLE_FIELDS: Tuple[str, ...] = (
 
 
 def _strip_sentinels(d: Dict) -> Dict:
-    """Remove None/auto/other placeholders so filters never narrow on them."""
+    """Remove None/auto/other placeholders so filters never narrow on them,
+    and flatten enums to their plain string values (str(Enum) != value on
+    py>=3.11, which would corrupt filter interning)."""
     if d.get("tags") is None:
         d.pop("tags", None)
     if d.get("subject") is None:
@@ -69,6 +71,10 @@ def _strip_sentinels(d: Dict) -> Dict:
         d.pop("language", None)
     if d.get("doc_type") in ("other", DocTypeEnum.other):
         d.pop("doc_type", None)
+    for key in ("language", "doc_type"):
+        v = d.get(key)
+        if isinstance(v, Enum):
+            d[key] = v.value
     return d
 
 

@@ -1,0 +1,346 @@
+"""Causal decoder LM in pure JAX: the TPU-native answer to llama.cpp.
+
+The reference generates with GGUF models through llama-cpp-python
+(rag/generation/llama_cpp_runner.py:25-106). This module is the TPU path:
+a LLaMA-family decoder (RMSNorm, RoPE, GQA attention, SwiGLU) with
+
+- stacked per-layer params + ``lax.scan`` body (one compiled layer),
+- a preallocated KV cache updated by ``dynamic_update_slice`` — static
+  shapes, no recompiles during decode,
+- a jitted single-token decode step and a ``lax.scan`` generate loop with
+  temperature/top-p sampling (seeded, deterministic),
+- bf16 matmuls with f32 accumulation; norms/logits in f32,
+- HF-checkpoint loading (safetensors/bin) with deterministic seeded init
+  as the offline fallback.
+
+Default config is a ~160M-param model (compute-shape realistic, loadable
+in this sandbox); ``DecoderConfig.llama3_8b()`` matches Llama-3.1-8B for
+when real weights are present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from hashlib import blake2b
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    kv_heads: int = 4
+    ffn: int = 2048
+    max_seq: int = 2048
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @classmethod
+    def small(cls) -> "DecoderConfig":
+        return cls()
+
+    @classmethod
+    def tiny_test(cls) -> "DecoderConfig":
+        return cls(vocab_size=512, hidden=64, layers=2, heads=4, kv_heads=2,
+                   ffn=128, max_seq=128)
+
+    @classmethod
+    def llama3_8b(cls) -> "DecoderConfig":
+        return cls(vocab_size=128256, hidden=4096, layers=32, heads=32,
+                   kv_heads=8, ffn=14336, max_seq=8192)
+
+
+Params = Dict[str, Any]
+
+
+def init_params(config: DecoderConfig, seed_key: str) -> Params:
+    seed = int.from_bytes(blake2b(seed_key.encode(), digest_size=4).digest(), "little")
+    rng = np.random.default_rng(seed)
+    h, L, ff = config.hidden, config.layers, config.ffn
+    kvh = config.kv_heads * config.head_dim
+
+    def norm(*shape):
+        return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+
+    params: Params = {
+        "tok_emb": norm(config.vocab_size, h),
+        "final_norm": np.ones(h, np.float32),
+        "lm_head": norm(h, config.vocab_size),
+        "layers": {
+            "attn_norm": np.ones((L, h), np.float32),
+            "q_w": norm(L, h, h),
+            "k_w": norm(L, h, kvh),
+            "v_w": norm(L, h, kvh),
+            "o_w": norm(L, h, h),
+            "ffn_norm": np.ones((L, h), np.float32),
+            "gate_w": norm(L, h, ff),
+            "up_w": norm(L, h, ff),
+            "down_w": norm(L, ff, h),
+        },
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_params_from_hf(model_dir: str, config: DecoderConfig) -> Optional[Params]:
+    """Convert an HF LlamaForCausalLM checkpoint into the stacked pytree."""
+    d = Path(model_dir)
+    files = sorted(d.glob("*.safetensors")) or sorted(d.glob("pytorch_model*.bin"))
+    if not files:
+        return None
+    sd: Dict[str, np.ndarray] = {}
+    for f in files:
+        if f.suffix == ".safetensors":
+            from safetensors.numpy import load_file
+
+            sd.update(load_file(str(f)))
+        else:
+            import torch
+
+            part = torch.load(str(f), map_location="cpu", weights_only=True)
+            sd.update({k: v.numpy() for k, v in part.items()})
+
+    def get(name: str) -> np.ndarray:
+        for prefix in ("", "model."):
+            if prefix + name in sd:
+                return np.asarray(sd[prefix + name], dtype=np.float32)
+        raise KeyError(name)
+
+    try:
+        L = config.layers
+        stacks: Dict[str, list] = {k: [] for k in (
+            "attn_norm", "q_w", "k_w", "v_w", "o_w",
+            "ffn_norm", "gate_w", "up_w", "down_w",
+        )}
+        for i in range(L):
+            base = f"layers.{i}."
+            stacks["attn_norm"].append(get(base + "input_layernorm.weight"))
+            stacks["q_w"].append(get(base + "self_attn.q_proj.weight").T)
+            stacks["k_w"].append(get(base + "self_attn.k_proj.weight").T)
+            stacks["v_w"].append(get(base + "self_attn.v_proj.weight").T)
+            stacks["o_w"].append(get(base + "self_attn.o_proj.weight").T)
+            stacks["ffn_norm"].append(get(base + "post_attention_layernorm.weight"))
+            stacks["gate_w"].append(get(base + "mlp.gate_proj.weight").T)
+            stacks["up_w"].append(get(base + "mlp.up_proj.weight").T)
+            stacks["down_w"].append(get(base + "mlp.down_proj.weight").T)
+        tok_emb = get("embed_tokens.weight")
+        try:
+            lm_head = get("lm_head.weight").T
+        except KeyError:
+            lm_head = tok_emb.T  # tied embeddings
+        params: Params = {
+            "tok_emb": tok_emb,
+            "final_norm": get("norm.weight"),
+            "lm_head": lm_head,
+            "layers": {k: np.stack(v) for k, v in stacks.items()},
+        }
+    except KeyError:
+        return None
+    return jax.tree.map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return x * scale * g
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x: [B, T, H, D]; positions: [B, T]."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, :, None].astype(jnp.float32) * freqs[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def forward(
+    params: Params,
+    input_ids: jnp.ndarray,          # [B, T]
+    positions: jnp.ndarray,          # [B, T] absolute positions
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # ([L,B,S,KH,D], ...)
+    cache_offset: jnp.ndarray,       # [] int32: write position in the cache
+    config: DecoderConfig,
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, T, S] additive f32
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns (logits [B, T, V] f32, updated kv cache)."""
+    cdtype = config.compute_dtype
+    B, T = input_ids.shape
+    H, KH, D = config.heads, config.kv_heads, config.head_dim
+    S = kv_cache[0].shape[2]
+
+    x = params["tok_emb"][input_ids]                      # [B, T, h] f32
+
+    def layer_step(carry, lp_and_cache):
+        hidden, = carry
+        lp, k_cache_l, v_cache_l = lp_and_cache
+
+        normed = _rms_norm(hidden, lp["attn_norm"], config.norm_eps).astype(cdtype)
+        q = jnp.einsum("bth,hd->btd", normed, lp["q_w"].astype(cdtype),
+                       preferred_element_type=jnp.float32).reshape(B, T, H, D)
+        k = jnp.einsum("bth,hd->btd", normed, lp["k_w"].astype(cdtype),
+                       preferred_element_type=jnp.float32).reshape(B, T, KH, D)
+        v = jnp.einsum("bth,hd->btd", normed, lp["v_w"].astype(cdtype),
+                       preferred_element_type=jnp.float32).reshape(B, T, KH, D)
+        q = _rope(q.astype(jnp.float32), positions, config.rope_theta)
+        k = _rope(k.astype(jnp.float32), positions, config.rope_theta)
+
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k.astype(k_cache_l.dtype), (0, cache_offset, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v.astype(v_cache_l.dtype), (0, cache_offset, 0, 0))
+
+        # GQA: repeat kv heads to full head count.
+        rep = H // KH
+        k_full = jnp.repeat(k_cache_l, rep, axis=2)       # [B, S, H, D]
+        v_full = jnp.repeat(v_cache_l, rep, axis=2)
+
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q.astype(cdtype), k_full.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(D)
+        scores = scores + attn_mask[:, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bhts,bshd->bthd", probs.astype(cdtype), v_full.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, T, H * D)
+        attn_out = jnp.einsum("btd,dh->bth", ctx.astype(cdtype),
+                              lp["o_w"].astype(cdtype),
+                              preferred_element_type=jnp.float32)
+        hidden = hidden + attn_out
+
+        normed2 = _rms_norm(hidden, lp["ffn_norm"], config.norm_eps).astype(cdtype)
+        gate = jnp.einsum("bth,hf->btf", normed2, lp["gate_w"].astype(cdtype),
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("bth,hf->btf", normed2, lp["up_w"].astype(cdtype),
+                        preferred_element_type=jnp.float32)
+        ff = jax.nn.silu(gate) * up
+        down = jnp.einsum("btf,fh->bth", ff.astype(cdtype),
+                          lp["down_w"].astype(cdtype),
+                          preferred_element_type=jnp.float32)
+        hidden = hidden + down
+        return (hidden,), (k_cache_l, v_cache_l)
+
+    (x,), (new_k, new_v) = jax.lax.scan(
+        layer_step, (x,), (params["layers"], kv_cache[0], kv_cache[1])
+    )
+    x = _rms_norm(x, params["final_norm"], config.norm_eps)
+    logits = jnp.einsum("bth,hv->btv", x.astype(cdtype),
+                        params["lm_head"].astype(cdtype),
+                        preferred_element_type=jnp.float32)
+    return logits, (new_k, new_v)
+
+
+def empty_cache(config: DecoderConfig, batch: int, max_seq: Optional[int] = None):
+    S = max_seq or config.max_seq
+    shape = (config.layers, batch, S, config.kv_heads, config.head_dim)
+    return (jnp.zeros(shape, jnp.bfloat16), jnp.zeros(shape, jnp.bfloat16))
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+def _sample(logits, rng_key, temperature, top_p):
+    """Temperature + nucleus sampling; temperature<=0 → greedy.
+
+    temperature/top_p may be traced scalars: both branches are computed and
+    selected with ``where`` (the greedy case is one argmax — negligible).
+    """
+    greedy = jnp.argmax(logits, axis=-1)
+    t = jnp.maximum(temperature, 1e-6)
+    scaled = logits / t
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(rng_key, filtered, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def make_generate_fn(config: DecoderConfig, max_seq: int, max_new: int):
+    """Build a jitted generate(params, prompt_ids, prompt_len, seed,
+    temperature, top_p, eos_id) → token ids [B, max_new] (eos-padded).
+
+    ``prompt_ids`` must be LEFT-padded to a common width P so every row's
+    last real token sits at slot P−1: prefill is one forward over [B, P],
+    and each decode step writes the shared cache slot P+i while RoPE
+    positions stay per-row (slot − pad_offset). Decode is a ``lax.scan``
+    over the static ``max_new`` horizon with per-row eos done-flags —
+    static shapes throughout, zero recompiles.
+    """
+    neg = jnp.finfo(jnp.float32).min
+
+    def generate(params, prompt_ids, prompt_len, seed, temperature, top_p, eos_id):
+        B, P = prompt_ids.shape
+        cache = empty_cache(config, B, max_seq)
+        pad_offset = (P - prompt_len).astype(jnp.int32)          # [B]
+        slot = jnp.arange(P, dtype=jnp.int32)[None, :]           # [1, P]
+        positions = slot - pad_offset[:, None]                   # [B, P]
+        real = positions >= 0
+        pos_safe = jnp.maximum(positions, 0)
+
+        # Prefill mask over cache slots: key slot must hold a real prompt
+        # token (slot >= pad_offset) and be causal (key slot <= query slot).
+        key_slot = jnp.arange(max_seq, dtype=jnp.int32)[None, None, :]
+        valid_key = key_slot >= pad_offset[:, None, None]
+        causal = key_slot <= slot[:, :, None]
+        mask = jnp.where(valid_key & causal & real[:, :, None], 0.0, neg)
+        logits, cache = forward(
+            params, prompt_ids, pos_safe, cache, jnp.int32(0), config,
+            attn_mask=mask,
+        )
+        last = logits[:, -1, :]  # all rows end at slot P-1
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), max_new)
+
+        def step(carry, inputs):
+            cache, cur_logits, done = carry
+            i, key = inputs
+            tok = _sample(cur_logits, key, temperature, top_p)
+            tok = jnp.where(done, eos_id, tok).astype(jnp.int32)
+            out_tok = tok
+            done = done | (tok == eos_id)
+            write_slot = P + i                                   # scalar
+            positions = (write_slot - pad_offset)[:, None]       # [B, 1]
+            valid = (key_slot >= pad_offset[:, None, None]) & (
+                key_slot <= write_slot
+            )
+            mask = jnp.where(valid, 0.0, neg)
+            logits, cache = forward(
+                params, tok[:, None], positions, cache,
+                write_slot.astype(jnp.int32), config, attn_mask=mask,
+            )
+            return (cache, logits[:, 0, :], done), out_tok
+
+        init = (cache, last, jnp.zeros((B,), bool))
+        _, toks = jax.lax.scan(
+            step, init, (jnp.arange(max_new, dtype=jnp.int32), keys)
+        )
+        return jnp.transpose(toks)  # [B, max_new]
+
+    return jax.jit(generate)

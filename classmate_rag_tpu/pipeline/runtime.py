@@ -1,0 +1,106 @@
+"""Shared pipeline runtime: one set of live components per process.
+
+The reference re-creates stores/embedders inside every pipeline call
+(rag/pipeline/rag.py:531-545 builds them per ask; the legacy path even
+reloads the GGUF per question). Here a single ``Runtime`` owns the loaded
+catalog, the device-resident IndexStore, the caching embedder, and the lazy
+routing singletons — repeated queries reuse compiled functions and HBM
+buffers, which is where the QPS comes from.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from classmate_rag_tpu.config import Config, load_config
+from classmate_rag_tpu.embeddings import get_caching_embedder
+from classmate_rag_tpu.index import Catalog, IndexStore
+from classmate_rag_tpu.retrieval import HybridRetriever
+
+
+@dataclass
+class Runtime:
+    cfg: Config
+    catalog: Catalog
+    store: IndexStore
+    embedder: Any
+    retriever: HybridRetriever
+    _classifier: Any = field(default=None, repr=False)
+    _router: Any = field(default=None, repr=False)
+    _loader: Any = field(default=None, repr=False)
+
+    @property
+    def classifier(self):
+        if self._classifier is None:
+            from classmate_rag_tpu.routing import SubjectClassifier
+
+            self._classifier = SubjectClassifier(self.embedder)
+        return self._classifier
+
+    @property
+    def router(self):
+        if self._router is None:
+            from classmate_rag_tpu.routing import HybridRouter
+
+            self._router = HybridRouter(
+                classifier=self.classifier,
+                query_margin=self.cfg.route_query_margin,
+                metadata_threshold=self.cfg.route_metadata_threshold,
+                translation_requires_intent=self.cfg.route_translation_requires_intent,
+            )
+        return self._router
+
+    @property
+    def loader(self):
+        if self._loader is None:
+            from classmate_rag_tpu.routing import StickyModelLoader
+
+            self._loader = StickyModelLoader(self.cfg)
+        return self._loader
+
+    def persist(self) -> None:
+        self.catalog.save()
+        self.store.save()
+
+
+_RUNTIME: Optional[Runtime] = None
+
+
+def get_runtime(reload: bool = False) -> Runtime:
+    global _RUNTIME
+    if _RUNTIME is not None and not reload:
+        return _RUNTIME
+    cfg = load_config(reload=reload)
+    embedder = get_caching_embedder(cfg)
+    catalog = Catalog.load_or_create(cfg.bm25_dir)
+    store = IndexStore.load_or_create(
+        dim=embedder.dim or 768,
+        directory=cfg.dense_dir,
+        catalog=catalog,
+        slab_rows=cfg.dense_slab_rows,
+        terms_per_chunk=min(cfg.bm25_terms_per_chunk, 512),
+    )
+    retriever = HybridRetriever(
+        store=store,
+        catalog=catalog,
+        embedder=embedder,
+        k_vector=cfg.k_vector,
+        k_bm25=cfg.k_bm25,
+        rrf_k=cfg.rrf_k,
+        weight_vector=cfg.weight_vector,
+        weight_bm25=cfg.weight_bm25,
+        use_mmr=cfg.use_mmr,
+        mmr_lambda=cfg.mmr_lambda,
+        mmr_max_pool=cfg.mmr_max_pool,
+    )
+    _RUNTIME = Runtime(
+        cfg=cfg, catalog=catalog, store=store,
+        embedder=embedder, retriever=retriever,
+    )
+    return _RUNTIME
+
+
+def reset_runtime() -> None:
+    global _RUNTIME
+    _RUNTIME = None

@@ -1,0 +1,69 @@
+"""Sticky single-resident model loader.
+
+Parity with the reference (rag/routing/loader.py:40-156): at most ONE
+generation model stays resident (the reference's 8 GB VRAM budget; here the
+same discipline bounds host/HBM footprint). A route change evicts the
+resident model (drop + gc) before loading the target. Offline, every route
+resolves to the shared extractive runner — eviction becomes a no-op but the
+bookkeeping stays identical, so swapping in real backends changes nothing.
+"""
+
+from __future__ import annotations
+
+import gc
+import logging
+from typing import Any, Dict, Optional, Sequence
+
+from classmate_rag_tpu.config import Config, load_config
+from classmate_rag_tpu.generation.runner import ExtractiveRunner, get_runner
+from classmate_rag_tpu.routing.registry import get_model_spec
+from classmate_rag_tpu.routing.types import Route
+
+log = logging.getLogger(__name__)
+
+
+class StickyModelLoader:
+    def __init__(self, cfg: Optional[Config] = None) -> None:
+        self.cfg = cfg or load_config()
+        self._resident_route: Optional[Route] = None
+        self._resident: Any = None
+
+    @property
+    def resident_route(self) -> Optional[Route]:
+        return self._resident_route
+
+    def _evict(self) -> None:
+        if self._resident is not None:
+            log.info("evicting resident model for route %s", self._resident_route)
+            self._resident = None
+            self._resident_route = None
+            gc.collect()
+
+    def ensure_loaded(self, route: Route) -> Any:
+        if self._resident_route == route and self._resident is not None:
+            return self._resident
+        self._evict()
+        try:
+            spec = get_model_spec(route, self.cfg)
+            runner = get_runner(self.cfg, model_path=str(spec.model_path))
+        except FileNotFoundError:
+            runner = ExtractiveRunner()
+        self._resident = runner
+        self._resident_route = route
+        log.info("loaded %s for route %s", type(runner).__name__, route)
+        return runner
+
+    def chat(
+        self,
+        *,
+        route: Route,
+        messages: Sequence[Dict[str, str]],
+        max_tokens: int = 768,
+        temperature: float = 0.2,
+        top_p: float = 0.95,
+    ) -> str:
+        runner = self.ensure_loaded(route)
+        return runner.chat(
+            messages, max_tokens=max_tokens,
+            temperature=temperature, top_p=top_p,
+        )

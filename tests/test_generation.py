@@ -1,0 +1,148 @@
+"""Prompting, citation enforcement, extractive runner, TPU decoder."""
+
+import numpy as np
+
+from classmate_rag_tpu.generation import (
+    ExtractiveRunner,
+    build_general_messages,
+    build_grounded_messages,
+    enforce_citations,
+    format_context_blocks,
+)
+
+
+def _items(texts, source="src.txt"):
+    return [
+        {"document": t, "metadata": {"source_path": source}} for t in texts
+    ]
+
+
+class TestPrompting:
+    def test_blocks_numbered_and_prov_aligned(self):
+        ctx, prov = format_context_blocks(_items(["alpha", "beta"]))
+        assert ctx == "[1] alpha\n\n[2] beta"
+        assert prov == ["src.txt", "src.txt"]
+
+    def test_budget_breaks_but_prov_already_appended(self):
+        # Second block exceeds budget: loop breaks AFTER recording its prov.
+        ctx, prov = format_context_blocks(
+            _items(["short", "x" * 100]), max_total_chars=20
+        )
+        assert ctx == "[1] short"
+        assert len(prov) == 2
+
+    def test_empty_documents_skipped_but_numbered(self):
+        ctx, prov = format_context_blocks(_items(["", "beta"]))
+        assert ctx == "[2] beta"
+        assert len(prov) == 2
+
+    def test_grounded_messages_roles(self):
+        msgs = build_grounded_messages("q?", "[1] ctx")
+        assert [m["role"] for m in msgs] == ["system", "user"]
+        assert "citations" in msgs[0]["content"].lower() or "[1]" in msgs[0]["content"]
+        assert "Context:" in msgs[1]["content"]
+
+    def test_general_messages(self):
+        msgs = build_general_messages("hello")
+        assert msgs[1]["content"] == "hello"
+
+
+class TestCitations:
+    def test_out_of_range_removed_and_adjacent_compacted(self):
+        out = enforce_citations("True [1] and [7]. Also [1] [2].", ["a", "b"])
+        assert "[7]" not in out
+        assert "[1][2]" in out
+
+    def test_sources_block_in_cite_order(self):
+        out = enforce_citations(
+            "claim [2] and [1]", ["first.txt", "second.txt"],
+            add_sources_block=True,
+        )
+        lines = out.splitlines()
+        assert lines[1] == "Sources"
+        assert lines[2] == "[2] second.txt"
+        assert lines[3] == "[1] first.txt"
+
+    def test_empty_answer(self):
+        assert enforce_citations("   ", ["a"]) == ""
+
+
+class TestExtractiveRunner:
+    CTX = (
+        "[1] The derivative measures the rate of change. "
+        "Unrelated filler sentence here.\n\n"
+        "[2] Pasta should boil for nine minutes."
+    )
+
+    def _chat(self, question):
+        msgs = [
+            {"role": "system", "content": "sys"},
+            {"role": "user",
+             "content": f"Context:\n{self.CTX}\n\nQuestion:\n{question}\n\nAnswer:"},
+        ]
+        return ExtractiveRunner().chat(msgs)
+
+    def test_answers_from_matching_block_with_citation(self):
+        ans = self._chat("what is the derivative rate of change")
+        assert "[1]" in ans
+        assert "derivative" in ans.lower()
+        assert "[2]" not in ans
+
+    def test_unknown_when_no_overlap(self):
+        ans = self._chat("quantum chromodynamics lagrangian")
+        assert ans == "I don't know."
+
+    def test_italian_unknown(self):
+        msgs = [{"role": "user",
+                 "content": "Context:\n[1] pasta\n\nQuestion:\nche cosa è la "
+                            "meccanica quantistica relativistica\n\nAnswer:"}]
+        ans = ExtractiveRunner().chat(msgs)
+        assert ans == "Non lo so."
+
+    def test_general_prompt_fallback(self):
+        ans = ExtractiveRunner().chat([{"role": "user", "content": "just a question"}])
+        assert "information" in ans or "informazioni" in ans
+
+    def test_deterministic(self):
+        a = self._chat("derivative rate of change")
+        b = self._chat("derivative rate of change")
+        assert a == b
+
+
+class TestTPUDecoder:
+    def test_generate_shapes_and_determinism(self):
+        import jax.numpy as jnp
+
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig, init_params, make_generate_fn,
+        )
+
+        cfg = DecoderConfig.tiny_test()
+        params = init_params(cfg, "t")
+        gen = make_generate_fn(cfg, max_seq=64, max_new=6)
+        prompts = jnp.asarray([[0, 0, 4, 5, 6, 7]], jnp.int32)
+        plen = jnp.asarray([4], jnp.int32)
+        a = np.asarray(gen(params, prompts, plen, 1, 0.0, 0.95, 2))
+        b = np.asarray(gen(params, prompts, plen, 1, 0.0, 0.95, 2))
+        assert a.shape == (1, 6)
+        assert np.array_equal(a, b)
+
+    def test_left_padding_invariance(self):
+        import jax.numpy as jnp
+
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig, init_params, make_generate_fn,
+        )
+
+        cfg = DecoderConfig.tiny_test()
+        params = init_params(cfg, "t")
+        gen6 = make_generate_fn(cfg, max_seq=64, max_new=5)
+        gen10 = make_generate_fn(cfg, max_seq=64, max_new=5)
+        short = gen6(params, jnp.asarray([[0, 0, 9, 8, 7, 6]], jnp.int32),
+                     jnp.asarray([4], jnp.int32), 0, 0.0, 0.95, 2)
+        longpad = gen10(
+            params,
+            jnp.asarray([[0, 0, 0, 0, 0, 0, 9, 8, 7, 6]], jnp.int32),
+            jnp.asarray([4], jnp.int32), 0, 0.0, 0.95, 2,
+        )
+        assert np.array_equal(np.asarray(short), np.asarray(longpad))
