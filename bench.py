@@ -1,0 +1,232 @@
+"""Headline benchmark: hybrid-query throughput, TPU engine vs CPU oracle.
+
+Prints ONE JSON line:
+  {"metric": "hybrid_query_qps", "value": <tpu qps>, "unit": "queries/s",
+   "vs_baseline": <tpu qps / cpu oracle qps>, ...}
+
+Setup: a synthetic 50k-chunk corpus (deterministic zipf word soup + unit
+random embeddings) indexed by the real IndexStore. Both engines answer the
+same hybrid queries (dense exact top-k + MMR + BM25 + RRF, reference
+defaults k=8/8, rrf_k=60, pool=24).
+
+Baseline: the CPU oracle prescribed by SURVEY §6 — numpy exact cosine scan
++ rank_bm25-style scoring (list-of-dicts doc freqs, per-term numpy math) +
+the exact RRF formula + numpy greedy MMR. The oracle is STRONGER than the
+actual reference stack: BM25 corpus statistics are precomputed once, where
+the reference rebuilds BM25Okapi on every query (rag/retrieval/bm25.py:189)
+— so vs_baseline is a conservative ratio.
+
+TPU timing is honest through the remote-dispatch link: every batch blocks
+on a host fetch (this environment's async dispatch otherwise reports
+fantasy numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_CHUNKS = 50_000
+DIM = 768
+N_QUERIES = 64
+TPU_BATCH = 16
+K = 8
+POOL = 24
+RRF_K = 60
+
+
+def build_corpus(rng):
+    """Zipf-ish synthetic docs: realistic df spectrum for BM25."""
+    vocab = [f"w{i}" for i in range(5000)]
+    # Zipf ranks: p(i) ∝ 1/(i+1)
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    docs = []
+    for _ in range(N_CHUNKS):
+        n_words = rng.integers(40, 120)
+        idx = rng.choice(len(vocab), size=n_words, p=weights)
+        docs.append([vocab[i] for i in idx])
+    emb = rng.standard_normal((N_CHUNKS, DIM)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return docs, emb
+
+
+def make_queries(rng, docs, emb):
+    qs = []
+    for i in range(N_QUERIES):
+        doc_i = int(rng.integers(0, N_CHUNKS))
+        qv = emb[doc_i] + 0.25 * rng.standard_normal(DIM).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        terms = list(rng.choice(docs[doc_i], size=min(5, len(docs[doc_i])),
+                                replace=False))
+        qs.append((qv.astype(np.float32), terms))
+    return qs
+
+
+# ---------------------------------------------------------------------------
+# CPU oracle (reference-style)
+# ---------------------------------------------------------------------------
+
+class OracleBM25:
+    """rank_bm25-style scoring with precomputed corpus statistics."""
+
+    K1, B, EPS = 1.5, 0.75, 0.25
+
+    def __init__(self, corpus_tokens):
+        self.doc_freqs = []
+        self.doc_len = np.array([len(d) for d in corpus_tokens], np.float32)
+        self.avgdl = float(self.doc_len.mean())
+        df = {}
+        for doc in corpus_tokens:
+            freqs = {}
+            for t in doc:
+                freqs[t] = freqs.get(t, 0) + 1
+            self.doc_freqs.append(freqs)
+            for t in freqs:
+                df[t] = df.get(t, 0) + 1
+        n = len(corpus_tokens)
+        self.idf = {}
+        neg, s = [], 0.0
+        for t, f in df.items():
+            v = math.log(n - f + 0.5) - math.log(f + 0.5)
+            self.idf[t] = v
+            s += v
+            if v < 0:
+                neg.append(t)
+        avg = s / len(self.idf)
+        for t in neg:
+            self.idf[t] = self.EPS * avg
+
+    def get_scores(self, query):
+        score = np.zeros(len(self.doc_freqs), np.float32)
+        denom_base = self.K1 * (1 - self.B + self.B * self.doc_len / self.avgdl)
+        for q in query:
+            q_freq = np.array(
+                [doc.get(q, 0) for doc in self.doc_freqs], np.float32
+            )
+            score += (self.idf.get(q) or 0.0) * (
+                q_freq * (self.K1 + 1) / (q_freq + denom_base)
+            )
+        return score
+
+
+def oracle_mmr(qv, cand_vecs, k, lam=0.5):
+    sims_q = cand_vecs @ qv
+    sims_cc = cand_vecs @ cand_vecs.T
+    selected = [int(np.argmax(sims_q))]
+    remaining = set(range(len(cand_vecs))) - set(selected)
+    while remaining and len(selected) < k:
+        best, best_s = None, -1e18
+        for i in remaining:
+            div = sims_cc[i, selected].max()
+            s = lam * sims_q[i] - (1 - lam) * div
+            if s > best_s:
+                best, best_s = i, s
+        selected.append(best)
+        remaining.discard(best)
+    return selected
+
+
+def oracle_query(qv, terms, emb, bm25, k=K):
+    sims = emb @ qv
+    pool_idx = np.argpartition(-sims, POOL)[:POOL]
+    pool_idx = pool_idx[np.argsort(-sims[pool_idx], kind="stable")]
+    order = oracle_mmr(qv, emb[pool_idx], k)
+    vec_ids = [int(pool_idx[i]) for i in order]
+    bscores = bm25.get_scores(terms)
+    bm_ids = np.argsort(-bscores, kind="stable")[:k].tolist()
+    fused = {}
+    for rank, i in enumerate(vec_ids):
+        fused[i] = fused.get(i, 0.0) + 1.0 / (RRF_K + rank + 1)
+    for rank, i in enumerate(bm_ids):
+        fused[i] = fused.get(i, 0.0) + 1.0 / (RRF_K + rank + 1)
+    ranked = sorted(
+        fused.items(),
+        key=lambda kv: (kv[1], sims[kv[0]]),
+        reverse=True,
+    )
+    return [i for i, _ in ranked[:k]]
+
+
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    rng = np.random.default_rng(42)
+    docs, emb = build_corpus(rng)
+    queries = make_queries(rng, docs, emb)
+
+    # ---- build the TPU index -----------------------------------------
+    from classmate_rag_tpu.index.store import IndexStore
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_idx_"))
+    store = IndexStore(DIM, tmp, slab_rows=4096, terms_per_chunk=128)
+    ids = [f"c{i}" for i in range(N_CHUNKS)]
+    batch = 8192
+    for s in range(0, N_CHUNKS, batch):
+        e = min(s + batch, N_CHUNKS)
+        store.upsert(
+            ids[s:e], emb[s:e], docs[s:e], [{} for _ in range(s, e)]
+        )
+
+    import jax
+
+    backend = jax.default_backend()
+
+    def run_tpu_batch(q_slice):
+        q_vecs = np.stack([q for (q, _t) in q_slice])
+        q_terms = [t for (_q, t) in q_slice]
+        out = store.hybrid_topk_batch(
+            q_vecs, q_terms, None, k_vector=K, k_bm25=K, top_k=K, pool=POOL,
+        )
+        return np.asarray(out.rows)  # host fetch = honest sync
+
+    # Warmup (compile).
+    run_tpu_batch(queries[:TPU_BATCH])
+    t0 = time.perf_counter()
+    tpu_results = []
+    for s in range(0, N_QUERIES, TPU_BATCH):
+        tpu_results.append(run_tpu_batch(queries[s : s + TPU_BATCH]))
+    tpu_time = time.perf_counter() - t0
+    qps_tpu = N_QUERIES / tpu_time
+
+    # ---- CPU oracle --------------------------------------------------
+    bm25 = OracleBM25(docs)
+    n_oracle = 8
+    t0 = time.perf_counter()
+    oracle_results = [
+        oracle_query(q, t, emb, bm25) for (q, t) in queries[:n_oracle]
+    ]
+    oracle_time = time.perf_counter() - t0
+    qps_cpu = n_oracle / oracle_time
+
+    # ---- recall sanity: TPU top-k vs oracle top-k overlap ------------
+    overlaps = []
+    tpu_flat = np.concatenate(tpu_results, axis=0)
+    for i in range(n_oracle):
+        got = {int(r) for r in tpu_flat[i] if r >= 0}
+        want = set(oracle_results[i])
+        overlaps.append(len(got & want) / max(len(want), 1))
+    recall = float(np.mean(overlaps))
+
+    print(json.dumps({
+        "metric": "hybrid_query_qps",
+        "value": round(qps_tpu, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(qps_tpu / qps_cpu, 2),
+        "baseline_qps": round(qps_cpu, 3),
+        "recall_vs_oracle@8": round(recall, 4),
+        "corpus_chunks": N_CHUNKS,
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

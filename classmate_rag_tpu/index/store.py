@@ -347,6 +347,75 @@ class IndexStore:
         rows_np = np.where(vals_np <= NEG_INF / 2, -1, rows_np)
         return vals_np, rows_np
 
+    def hybrid_topk_batch(
+        self,
+        query_vecs: np.ndarray,                  # [B, d] f32
+        query_terms_list: Sequence[Sequence[str]],
+        where: Optional[Mapping[str, Any]] = None,
+        *,
+        k_vector: int = 8,
+        k_bm25: int = 8,
+        top_k: int = 8,
+        pool: int = 24,
+        use_mmr: bool = True,
+        mmr_lambda: float = 0.5,
+        rrf_k: int = 60,
+        weight_vector: float = 1.0,
+        weight_bm25: float = 1.0,
+        max_query_terms: int = 32,
+    ):
+        """Fused batched hybrid query: ONE device dispatch for the batch.
+
+        Returns the HybridBatchResult of ops/hybrid_step.py (host numpy
+        conversion left to the caller so serving loops can stay on device).
+        """
+        import jax.numpy as jnp
+
+        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step
+
+        dev = self._sync_device()
+        bias = self._mask_bias(where)
+        subset_df, _ = device_fns()
+        vpad = self.vocab_pad
+        if where:
+            df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, vpad)
+        else:
+            if self._df_cache is None or self._df_cache.shape[0] != vpad + 1:
+                self._df_cache = subset_df(
+                    dev["term_ids"], dev["tfs"], jnp.asarray(self.valid), vpad
+                )
+            df = self._df_cache
+
+        bq = len(query_terms_list)
+        m = max_query_terms
+        q_terms = np.full((bq, m), -1, dtype=np.int32)
+        q_counts = np.zeros((bq, m), dtype=np.float32)
+        for b, terms in enumerate(query_terms_list):
+            counts: Dict[int, float] = {}
+            for t in terms:
+                tid = self.vocab.get(t)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0.0) + 1.0
+            for j, (tid, c) in enumerate(list(counts.items())[:m]):
+                q_terms[b, j] = tid
+                q_counts[b, j] = c
+
+        return hybrid_query_step(
+            dev["emb"], dev["term_ids"], dev["tfs"], dev["doc_len"], df,
+            bias, jnp.asarray(query_vecs, jnp.float32),
+            jnp.asarray(q_terms), jnp.asarray(q_counts),
+            k_vector=min(k_vector, self.capacity),
+            k_bm25=min(k_bm25, self.capacity),
+            top_k=top_k,
+            pool=min(pool, self.capacity),
+            vocab_pad=vpad,
+            use_mmr=use_mmr,
+            mmr_lambda=mmr_lambda,
+            rrf_k=rrf_k,
+            weight_vector=weight_vector,
+            weight_bm25=weight_bm25,
+        )
+
     def rows_to_ids(self, rows: Sequence[int]) -> List[Optional[str]]:
         return [
             self.ids[r] if 0 <= r < self.n_rows else None for r in rows

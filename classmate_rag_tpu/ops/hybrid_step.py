@@ -1,0 +1,147 @@
+"""The fused hybrid query step: ONE compiled dispatch per query batch.
+
+Serving-oriented composition of the whole retrieval math — masked dense
+exact-scan + MMR + subset-statistics BM25 + weighted RRF — as a single jit.
+The per-query path (retrieval/hybrid.py) makes 4-5 device dispatches per
+question; through a remote-TPU link each dispatch costs ~ms, so the fused
+batch step is where serving QPS comes from:
+
+- the dense matmul amortizes the corpus read across the whole batch;
+- BM25 vmaps the gather pass (per-query idf-weight vectors);
+- MMR and RRF are vmapped tiny ops;
+- everything shares one mask-bias prologue.
+
+Returns top_k rows per query with fused/vector/bm25 scores — the same
+numbers the per-query path produces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from classmate_rag_tpu.index.lexical import B as BM25_B
+from classmate_rag_tpu.index.lexical import EPSILON, K1
+from classmate_rag_tpu.ops.mmr import mmr_order
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+class HybridBatchResult(NamedTuple):
+    rows: jnp.ndarray        # [B, top_k] int32, -1 padded
+    fused: jnp.ndarray       # [B, top_k] f32
+    vec_dist: jnp.ndarray    # [B, top_k] f32 (NaN where dense didn't return)
+    bm25_score: jnp.ndarray  # [B, top_k] f32 (NaN where bm25 didn't return)
+
+
+def _bm25_scores_one(term_ids, tfs, doc_len, keep, idf, q_terms, q_counts,
+                     avgdl, vocab_pad):
+    """Scores [N] for one query (weight-vector scatter + gather pass)."""
+    q_safe = jnp.where(q_terms >= 0, q_terms, vocab_pad)
+    w = jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
+        jnp.where(q_terms >= 0, q_counts, 0.0) * idf[q_safe]
+    ).at[vocab_pad].set(0.0)
+    gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]      # [N, L]
+    tf = tfs.astype(jnp.float32)
+    sat = tf * (K1 + 1.0) / (
+        tf + K1 * (1.0 - BM25_B + BM25_B * doc_len[:, None] / avgdl)
+    )
+    return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "use_mmr",
+    ),
+)
+def hybrid_query_step(
+    emb,            # [N, d] bf16
+    term_ids,       # [N, L] i32
+    tfs,            # [N, L] u8
+    doc_len,        # [N] f32
+    df,             # [vocab_pad+1] f32 (subset df for the active mask)
+    mask_bias,      # [N] f32
+    q_vecs,         # [B, d] f32
+    q_terms,        # [B, M] i32 (-1 padded)
+    q_counts,       # [B, M] f32
+    *,
+    k_vector: int = 8,
+    k_bm25: int = 8,
+    top_k: int = 8,
+    pool: int = 24,
+    vocab_pad: int = 4096,
+    use_mmr: bool = True,
+    mmr_lambda: float = 0.5,
+    rrf_k: int = 60,
+    weight_vector: float = 1.0,
+    weight_bm25: float = 1.0,
+) -> HybridBatchResult:
+    Bq = q_vecs.shape[0]
+    keep = mask_bias == 0.0
+    n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+
+    # ---- dense branch: batched masked scan + top-pool ----------------
+    scores = jnp.einsum(
+        "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+        preferred_element_type=jnp.float32,
+    ) + mask_bias[None, :]
+    pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
+    d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
+    d_rows = d_rows.astype(jnp.int32)
+    d_alive = d_vals > NEG_INF / 2
+
+    if use_mmr:
+        cand_embs = emb[jnp.maximum(d_rows, 0)]          # [B, pool, d]
+        orders = jax.vmap(
+            lambda q, c, v: mmr_order(q, c, v, k_vector, mmr_lambda)
+        )(q_vecs, cand_embs.astype(jnp.float32), d_alive)
+        picked_ok = orders >= 0
+        safe = jnp.maximum(orders, 0)
+        vec_rows = jnp.where(
+            picked_ok, jnp.take_along_axis(d_rows, safe, axis=1), -1
+        )
+        vec_vals = jnp.where(
+            picked_ok, jnp.take_along_axis(d_vals, safe, axis=1), NEG_INF
+        )
+    else:
+        vec_rows = jnp.where(d_alive[:, :k_vector], d_rows[:, :k_vector], -1)
+        vec_vals = d_vals[:, :k_vector]
+    vec_dist = 1.0 - vec_vals
+
+    # ---- bm25 branch -------------------------------------------------
+    raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
+    in_vocab = df > 0
+    n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
+    avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
+    idf = jnp.where(in_vocab, jnp.where(raw_idf < 0, EPSILON * avg_idf, raw_idf), 0.0)
+    avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
+
+    bm_scores = jax.vmap(
+        lambda t, c: _bm25_scores_one(
+            term_ids, tfs, doc_len, keep, idf, t, c, avgdl, vocab_pad
+        )
+    )(q_terms, q_counts)                                  # [B, N]
+    k_bm_eff = min(k_bm25, emb.shape[0])
+    b_vals, b_rows = jax.lax.top_k(bm_scores + mask_bias[None, :], k_bm_eff)
+    b_rows = jnp.where(b_vals > NEG_INF / 2, b_rows.astype(jnp.int32), -1)
+    b_vals = jnp.where(b_rows >= 0, b_vals, 0.0)
+    # A query with zero usable terms returns no bm25 rows.
+    has_terms = jnp.any(q_terms >= 0, axis=1, keepdims=True)
+    b_rows = jnp.where(has_terms, b_rows, -1)
+
+    # ---- fusion ------------------------------------------------------
+    from classmate_rag_tpu.ops.fusion import rrf_merge
+
+    def fuse_one(vr, br, vd, bs):
+        return rrf_merge(
+            vr, br, vd, bs, weight_vector, weight_bm25, rrf_k, top_k
+        )
+
+    rows, fused, vdist, bscore = jax.vmap(fuse_one)(
+        vec_rows, b_rows, vec_dist, b_vals
+    )
+    return HybridBatchResult(rows, fused, vdist, bscore)

@@ -1,0 +1,119 @@
+"""Contrastive fine-tuning of the E5 encoder (InfoNCE, in-batch negatives).
+
+New capability over the reference (which treats the embedder as a frozen
+download): domain-adapt the encoder on (query, passage) pairs mined from
+the course corpus. The training step is fully SPMD over a ("data", "model")
+mesh — batch data-parallel, attention-heads/FFN tensor-parallel — with XLA
+inserting the collectives from sharding annotations (in-batch negatives
+imply an implicit allgather of passage embeddings for the [B, B] logit
+matrix; gradients reduce over "data").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from classmate_rag_tpu.embeddings.model import EncoderConfig, Params, encode
+
+
+def encoder_param_specs(config: EncoderConfig) -> Params:
+    """PartitionSpec pytree for the encoder params on a (data, model) mesh.
+
+    Megatron-style: QKV and FFN-in are column-parallel (output features on
+    "model"), attention-out and FFN-out are row-parallel (input features on
+    "model"); embeddings and norms replicate.
+    """
+    col = P(None, None, "model")   # [L, in, out] sharded on out
+    row = P(None, "model", None)   # [L, in, out] sharded on in
+    vec_col = P(None, "model")     # [L, features]
+    rep2 = P(None, None)
+    rep1 = P(None)
+    return {
+        "word_emb": rep2,
+        "pos_emb": rep2,
+        "type_emb": rep2,
+        "emb_ln_g": rep1,
+        "emb_ln_b": rep1,
+        "layers": {
+            "q_w": col, "q_b": vec_col,
+            "k_w": col, "k_b": vec_col,
+            "v_w": col, "v_b": vec_col,
+            "o_w": row, "o_b": P(None, None),
+            "attn_ln_g": P(None, None), "attn_ln_b": P(None, None),
+            "ff_in_w": col, "ff_in_b": vec_col,
+            "ff_out_w": row, "ff_out_b": P(None, None),
+            "ff_ln_g": P(None, None), "ff_ln_b": P(None, None),
+        },
+    }
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(
+    config: EncoderConfig,
+    mesh: Mesh,
+    learning_rate: float = 2e-5,
+    temperature: float = 0.05,
+):
+    """Returns (init_state_fn, jitted train_step) for the given mesh.
+
+    train_step(state, q_ids, q_mask, p_ids, p_mask) → (state, loss).
+    Batch arrays shard on "data"; params per ``encoder_param_specs``.
+    """
+    tx = optax.adamw(learning_rate)
+    p_specs = encoder_param_specs(config)
+
+    def shard_params(params: Params) -> Params:
+        return jax.tree.map(
+            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            params, p_specs,
+        )
+
+    def init_state(params: Params) -> TrainState:
+        params = shard_params(params)
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def loss_fn(params, q_ids, q_mask, p_ids, p_mask):
+        q = encode(params, q_ids, q_mask, config)          # [B, D], L2'd
+        p = encode(params, p_ids, p_mask, config)
+        logits = (q @ p.T) / temperature                   # [B, B]
+        labels = jnp.arange(q.shape[0])
+        loss_qp = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        loss_pq = optax.softmax_cross_entropy_with_integer_labels(
+            logits.T, labels
+        ).mean()
+        return 0.5 * (loss_qp + loss_pq)
+
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    param_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), p_specs)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            TrainState(param_shardings, None, None),
+            batch_sharding, batch_sharding, batch_sharding, batch_sharding,
+        ),
+        out_shardings=(TrainState(param_shardings, None, None), None),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, q_ids, q_mask, p_ids, p_mask):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, q_ids, q_mask, p_ids, p_mask
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return init_state, train_step

@@ -1,0 +1,177 @@
+"""Fused hybrid step, sharded SPMD retrieval, contrastive training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from classmate_rag_tpu.index.catalog import Catalog, CatalogEntry
+from classmate_rag_tpu.index.lexical import tokenize
+from classmate_rag_tpu.index.store import IndexStore
+
+DIM = 64
+
+DOCS = [
+    "the derivative measures the rate of change of a function",
+    "the integral accumulates the area under a curve",
+    "matrix multiplication composes linear transformations",
+    "eigenvalues and eigenvectors characterize linear maps",
+    "derivative rules include the product rule and chain rule",
+    "cooking pasta requires boiling water and adding salt",
+    "gradient descent updates parameters against the gradient",
+    "the chain rule differentiates composed functions",
+]
+
+
+@pytest.fixture(scope="module")
+def built():
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp())
+    rng = np.random.default_rng(11)
+    store = IndexStore(DIM, tmp / "dense", slab_rows=16, terms_per_chunk=32)
+    catalog = Catalog.load_or_create(tmp / "bm25")
+    ids = [f"id{i}" for i in range(len(DOCS))]
+    embs = rng.standard_normal((len(DOCS), DIM)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    tokens = [tokenize(t, "en") for t in DOCS]
+    metas = [{"course": "math" if i < 5 else "misc"} for i in range(len(DOCS))]
+    for i, cid in enumerate(ids):
+        catalog.upsert(CatalogEntry(cid, DOCS[i], tokens[i], metas[i]))
+    store.upsert(ids, embs, tokens, metas)
+    return store, catalog, ids, embs, tokens
+
+
+class TestFusedHybridStep:
+    def test_matches_per_query_path(self, built):
+        from classmate_rag_tpu.retrieval.hybrid import HybridRetriever
+        from classmate_rag_tpu.embeddings.hashing import HashingEmbedder
+
+        store, catalog, ids, embs, tokens = built
+
+        class FixedEmbedder:
+            model_name = "fixed"
+            dim = DIM
+
+            def encode_queries(self, texts):
+                rng = np.random.default_rng(abs(hash(texts[0])) % 2**31)
+                v = rng.standard_normal((len(texts), DIM)).astype(np.float32)
+                return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+            encode_passages = encode_queries
+
+        emb = FixedEmbedder()
+        retriever = HybridRetriever(
+            store=store, catalog=catalog, embedder=emb,
+            k_vector=4, k_bm25=4, mmr_max_pool=6,
+        )
+        questions = [
+            "derivative rate of change rule",
+            "eigenvalues of linear maps",
+        ]
+        per_query = [
+            retriever.retrieve(question=q, top_k=4) for q in questions
+        ]
+
+        q_vecs = np.stack([emb.encode_queries([q])[0] for q in questions])
+        q_terms = [tokenize(q, "en") for q in questions]
+        out = store.hybrid_topk_batch(
+            q_vecs, q_terms, None, k_vector=4, k_bm25=4, top_k=4, pool=6,
+        )
+        rows = np.asarray(out.rows)
+        for b, results in enumerate(per_query):
+            batch_ids = [store.ids[r] for r in rows[b] if r >= 0]
+            assert batch_ids == [r["id"] for r in results]
+            fused = np.asarray(out.fused[b])[: len(batch_ids)]
+            for j, r in enumerate(results):
+                assert abs(fused[j] - r["scores"]["fused"]) < 1e-5
+
+    def test_filtered_batch(self, built):
+        store, _, ids, embs, _ = built
+        q_vecs = embs[:1]
+        out = store.hybrid_topk_batch(
+            q_vecs, [tokenize("derivative", "en")], {"course": "math"},
+            top_k=8,
+        )
+        rows = np.asarray(out.rows)[0]
+        for r in rows:
+            if r >= 0:
+                assert r < 5  # only 'math' rows
+
+
+class TestShardedHybrid:
+    def test_matches_single_device(self, built):
+        from classmate_rag_tpu.parallel import corpus_mesh, make_sharded_hybrid_fn
+        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step
+        from classmate_rag_tpu.index.lexical import device_fns
+
+        store, _, ids, embs, tokens = built
+        assert len(jax.devices()) >= 8
+        dev = store._sync_device()
+        bias = store._mask_bias(None)
+        subset_df, _ = device_fns()
+        vpad = store.vocab_pad
+        df = subset_df(dev["term_ids"], dev["tfs"], jnp.asarray(store.valid), vpad)
+
+        rng = np.random.default_rng(5)
+        q_vecs = rng.standard_normal((2, DIM)).astype(np.float32)
+        q_vecs /= np.linalg.norm(q_vecs, axis=1, keepdims=True)
+        q_terms = np.full((2, 8), -1, np.int32)
+        q_counts = np.zeros((2, 8), np.float32)
+        for j, t in enumerate(tokenize("derivative rule", "en")[:8]):
+            tid = store.vocab.get(t)
+            if tid is not None:
+                q_terms[0, j] = tid
+                q_counts[0, j] = 1.0
+        q_terms[1, 0] = store.vocab.get("pasta", -1)
+        q_counts[1, 0] = 1.0
+
+        single = hybrid_query_step(
+            dev["emb"], dev["term_ids"], dev["tfs"], dev["doc_len"], df,
+            bias, jnp.asarray(q_vecs), jnp.asarray(q_terms),
+            jnp.asarray(q_counts),
+            k_vector=3, k_bm25=3, top_k=4, pool=2, vocab_pad=vpad,
+        )
+
+        mesh = corpus_mesh(8)
+        fn = make_sharded_hybrid_fn(
+            mesh, k_vector=3, k_bm25=3, top_k=4, pool=2, vocab_pad=vpad,
+        )
+        # Shard-friendly sizes: capacity 16 over 8 shards = 2 rows each.
+        sharded = fn(
+            dev["emb"], dev["term_ids"], dev["tfs"], dev["doc_len"],
+            bias, jnp.asarray(q_vecs), jnp.asarray(q_terms),
+            jnp.asarray(q_counts),
+        )
+        assert np.array_equal(np.asarray(single.rows), np.asarray(sharded.rows))
+        np.testing.assert_allclose(
+            np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
+        )
+
+
+class TestTraining:
+    def test_contrastive_step_runs_and_improves(self):
+        from classmate_rag_tpu.embeddings.model import EncoderConfig, init_params
+        from classmate_rag_tpu.parallel import training_mesh
+        from classmate_rag_tpu.training import make_train_step
+
+        cfg = EncoderConfig.small_test()
+        params = init_params(cfg, "train-test")
+        mesh = training_mesh(8)  # 4 data x 2 model (or 2x4)
+        init_state, step = make_train_step(cfg, mesh, learning_rate=1e-3)
+        state = init_state(params)
+
+        rng = np.random.default_rng(0)
+        B, T = 8, 16
+        q_ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+        p_ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+        mask = jnp.ones((B, T), jnp.int32)
+
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, q_ids, mask, p_ids, mask)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]  # optimizes the InfoNCE objective
+        assert int(state.step) == 5
