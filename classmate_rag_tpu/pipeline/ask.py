@@ -102,6 +102,24 @@ def ask_question(
     forced_subject: Optional[str] = None,
     runtime: Optional[Runtime] = None,
 ) -> AskResult:
+    from classmate_rag_tpu.utils.metrics import metrics
+
+    with metrics.timer("ask"):
+        return _ask_question(
+            question=question, filters=filters, top_k=top_k,
+            hybrid=hybrid, forced_subject=forced_subject, runtime=runtime,
+        )
+
+
+def _ask_question(
+    *,
+    question: str,
+    filters: DocumentMetadata,
+    top_k: int = 8,
+    hybrid: bool = True,
+    forced_subject: Optional[str] = None,
+    runtime: Optional[Runtime] = None,
+) -> AskResult:
     rt = runtime or get_runtime()
     cfg = rt.cfg
 

@@ -109,6 +109,20 @@ def ingest_file(
     doc_meta: DocumentMetadata,
     runtime: Optional[Runtime] = None,
 ) -> IngestResult:
+    from classmate_rag_tpu.utils.metrics import metrics
+
+    with metrics.timer("ingest"):
+        result = _ingest_file(path=path, doc_meta=doc_meta, runtime=runtime)
+    metrics.incr("chunks_ingested", result.total_chunks)
+    return result
+
+
+def _ingest_file(
+    *,
+    path: str | Path,
+    doc_meta: DocumentMetadata,
+    runtime: Optional[Runtime] = None,
+) -> IngestResult:
     rt = runtime or get_runtime()
     cfg = rt.cfg
     p = Path(path).resolve()

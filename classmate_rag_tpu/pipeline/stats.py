@@ -34,6 +34,8 @@ def index_stats(runtime: Optional[Runtime] = None) -> Dict[str, object]:
         bm25 = len(rt.catalog)
     except Exception:
         bm25 = -1
+    from classmate_rag_tpu.utils.metrics import metrics
+
     return {
         "vectors": vectors,
         "bm25": bm25,
@@ -42,4 +44,5 @@ def index_stats(runtime: Optional[Runtime] = None) -> Dict[str, object]:
         "dense_bytes": _disk_usage(Path(cfg.dense_dir)),
         "bm25_bytes": _disk_usage(Path(cfg.bm25_dir)),
         "emb_cache_bytes": _disk_usage(Path(cfg.emb_cache_dir)),
+        "metrics": metrics.snapshot(),
     }

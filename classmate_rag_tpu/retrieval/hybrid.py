@@ -91,6 +91,21 @@ class HybridRetriever:
         top_k: int = 8,
         hybrid: bool = True,
     ) -> List[Dict[str, Any]]:
+        from classmate_rag_tpu.utils.metrics import metrics
+
+        with metrics.timer("retrieve"):
+            return self._retrieve(
+                question=question, filters=filters, top_k=top_k, hybrid=hybrid
+            )
+
+    def _retrieve(
+        self,
+        *,
+        question: str,
+        filters: Optional[Mapping[str, Any]] = None,
+        top_k: int = 8,
+        hybrid: bool = True,
+    ) -> List[Dict[str, Any]]:
         import jax.numpy as jnp
 
         where = dict(filters) if filters else None
