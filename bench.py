@@ -148,9 +148,14 @@ def oracle_query(qv, terms, emb, bm25, k=K):
         fused[i] = fused.get(i, 0.0) + 1.0 / (RRF_K + rank + 1)
     for rank, i in enumerate(bm_ids):
         fused[i] = fused.get(i, 0.0) + 1.0 / (RRF_K + rank + 1)
+    # Reference tie-break: (fused, -vector_distance) desc, where items the
+    # dense branch did not return count distance 0 (fusion.py:159-164).
+    vec_set = set(vec_ids)
     ranked = sorted(
         fused.items(),
-        key=lambda kv: (kv[1], sims[kv[0]]),
+        key=lambda kv: (
+            kv[1], -(1.0 - sims[kv[0]]) if kv[0] in vec_set else 0.0
+        ),
         reverse=True,
     )
     return [i for i, _ in ranked[:k]]
