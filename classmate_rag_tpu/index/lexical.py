@@ -61,13 +61,37 @@ def stopwords_for(lang: Optional[str]) -> frozenset:
     return STOPWORDS_EN
 
 
-def tokenize(text: str, lang: Optional[str] = None) -> List[str]:
-    """Lowercased unicode-letter tokens minus stopwords and 1-char tokens."""
+def tokenize_py(text: str, lang: Optional[str] = None) -> List[str]:
+    """Pure-Python tokenizer (reference implementation / fallback)."""
     sw = stopwords_for(lang)
     return [
         t for t in (m.group(0).lower() for m in _TOKEN_RE.finditer(text or ""))
         if len(t) > 1 and t not in sw
     ]
+
+
+_NATIVE_CHECKED = False
+_NATIVE = None
+
+
+def tokenize(text: str, lang: Optional[str] = None) -> List[str]:
+    """Lowercased unicode-letter tokens minus stopwords and 1-char tokens.
+
+    Dispatches to the C++ kernel (classmate_rag_tpu/native) when the
+    library is available; identical semantics either way (fuzz-tested in
+    tests/test_native.py)."""
+    global _NATIVE_CHECKED, _NATIVE
+    if not _NATIVE_CHECKED:
+        _NATIVE_CHECKED = True
+        try:
+            from classmate_rag_tpu.native import get_native_tokenizer
+
+            _NATIVE = get_native_tokenizer()
+        except Exception:
+            _NATIVE = None
+    if _NATIVE is not None:
+        return _NATIVE.tokenize(text, lang)
+    return tokenize_py(text, lang)
 
 
 def pack_tokens(

@@ -1,0 +1,141 @@
+"""ctypes bindings for the native host kernels (with pure-Python fallback).
+
+Loads ``native/libclassmate_native.so``, building it on first use when a
+compiler is available. Every entry point has identical semantics to its
+Python twin (fuzz-tested); callers never need to know which ran — absence
+of a toolchain just means the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libclassmate_native.so"
+_lock = threading.RLock()  # reentrant: get_native_tokenizer → _load
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _ensure_built() -> bool:
+    if _LIB_PATH.exists():
+        return True
+    src = _NATIVE_DIR / "classmate_native.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             "-o", str(_LIB_PATH), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not _ensure_built():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _load_failed = True
+            return None
+        lib.tokenizer_create.restype = ctypes.c_void_p
+        lib.tokenizer_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ]
+        lib.tokenizer_destroy.argtypes = [ctypes.c_void_p]
+        lib.tokenize_join.restype = ctypes.c_int64
+        lib.tokenize_join.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+class NativeTokenizer:
+    """BM25 tokenizer backed by the C++ kernel."""
+
+    def __init__(self, stop_en: List[str], stop_it: List[str]) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+
+        def arr(words: List[str]):
+            encoded = [w.encode("utf-8") for w in words]
+            a = (ctypes.c_char_p * len(encoded))(*encoded)
+            return a, encoded  # keep the bytes alive
+
+        en_arr, self._keep_en = arr(stop_en)
+        it_arr, self._keep_it = arr(stop_it)
+        self._handle = lib.tokenizer_create(
+            en_arr, len(stop_en), it_arr, len(stop_it)
+        )
+        self._buf_cap = 1 << 16
+        self._buf = ctypes.create_string_buffer(self._buf_cap)
+
+    def __del__(self) -> None:  # pragma: no cover - interpreter teardown
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tokenizer_destroy(self._handle)
+        except Exception:
+            pass
+
+    def tokenize(self, text: str, lang: Optional[str] = None) -> List[str]:
+        data = (text or "").encode("utf-8")
+        lang_it = 1 if (lang or "").lower().startswith("it") else 0
+        n = self._lib.tokenize_join(
+            self._handle, data, len(data), lang_it, self._buf, self._buf_cap
+        )
+        if n < 0:  # grow and retry
+            self._buf_cap = max(self._buf_cap * 2, -n + 1)
+            self._buf = ctypes.create_string_buffer(self._buf_cap)
+            n = self._lib.tokenize_join(
+                self._handle, data, len(data), lang_it, self._buf, self._buf_cap
+            )
+            if n < 0:
+                raise RuntimeError("native tokenize buffer error")
+        if n == 0:
+            return []
+        return self._buf.raw[:n].decode("utf-8").split(" ")
+
+
+_tokenizer: Optional[NativeTokenizer] = None
+_tokenizer_failed = False
+
+
+def get_native_tokenizer() -> Optional[NativeTokenizer]:
+    """Shared tokenizer instance, or None when native isn't available."""
+    global _tokenizer, _tokenizer_failed
+    if _tokenizer is not None or _tokenizer_failed:
+        return _tokenizer
+    with _lock:
+        if _tokenizer is not None or _tokenizer_failed:
+            return _tokenizer
+        try:
+            from classmate_rag_tpu.index.lexical import (
+                STOPWORDS_EN, STOPWORDS_IT,
+            )
+
+            _tokenizer = NativeTokenizer(
+                sorted(STOPWORDS_EN), sorted(STOPWORDS_IT)
+            )
+        except (RuntimeError, OSError):
+            _tokenizer_failed = True
+    return _tokenizer
