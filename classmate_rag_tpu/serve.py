@@ -1,0 +1,183 @@
+"""HTTP serving daemon: the warm runtime behind a JSON API.
+
+The reference is CLI-only (every ask pays full component construction; its
+only service was the external Chroma container). This daemon holds the
+device-resident Runtime — compiled query step, HBM-resident index, warm
+embedder — behind a dependency-free stdlib HTTP server:
+
+  POST /ask      {"question": ..., "filters": {...}, "k": 8, "hybrid": true}
+  POST /preview  {"question": ..., "filters": {...}, "k": 8}
+  POST /add      {"path": ..., "course": ..., "tags": ...}
+  GET  /stats
+  GET  /healthz
+
+Threaded server; device work serializes through a lock (single-writer
+discipline — JAX dispatch is not free-threaded), host work (loaders,
+parsing) overlaps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from classmate_rag_tpu.metadata import normalize_cli_metadata
+
+
+def _meta_from_payload(payload: Dict[str, Any]):
+    filters = payload.get("filters") or {}
+    return normalize_cli_metadata(
+        course=filters.get("course") or payload.get("course"),
+        unit=filters.get("unit") or payload.get("unit"),
+        language=filters.get("language") or payload.get("language"),
+        doc_type=filters.get("doc_type") or payload.get("doc_type"),
+        author=filters.get("author") or payload.get("author"),
+        semester=filters.get("semester") or payload.get("semester"),
+        tags=filters.get("tags") or payload.get("tags"),
+        subject=filters.get("subject") or payload.get("subject"),
+    )
+
+
+class RagRequestHandler(BaseHTTPRequestHandler):
+    server_version = "classmate-rag-tpu/0.1"
+    runtime = None          # injected by serve()
+    device_lock: threading.Lock = threading.Lock()
+
+    # -- plumbing -------------------------------------------------------
+    def _send(self, code: int, obj: Any) -> None:
+        body = json.dumps(obj, ensure_ascii=False, default=str).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> Optional[Dict[str, Any]]:
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(length) if length else b"{}"
+            obj = json.loads(raw or b"{}")
+            if not isinstance(obj, dict):
+                raise ValueError("payload must be a JSON object")
+            return obj
+        except (ValueError, json.JSONDecodeError) as exc:
+            self._send(400, {"error": f"bad request: {exc}"})
+            return None
+
+    def log_message(self, fmt: str, *args: Any) -> None:  # quiet by default
+        pass
+
+    # -- routes ----------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        if self.path == "/healthz":
+            self._send(200, {"ok": True})
+        elif self.path == "/stats":
+            from classmate_rag_tpu.pipeline.stats import index_stats
+
+            with self.device_lock:
+                self._send(200, index_stats(self.runtime))
+        else:
+            self._send(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802 (stdlib API)
+        payload = self._read_json()
+        if payload is None:
+            return
+        try:
+            if self.path == "/ask":
+                self._handle_ask(payload)
+            elif self.path == "/preview":
+                self._handle_preview(payload)
+            elif self.path == "/add":
+                self._handle_add(payload)
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except (ValueError, FileNotFoundError) as exc:
+            self._send(400, {"error": str(exc)})
+        except Exception as exc:  # pragma: no cover - last-resort 500
+            self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _handle_ask(self, payload: Dict[str, Any]) -> None:
+        from classmate_rag_tpu.pipeline.ask import ask_question
+
+        question = str(payload.get("question") or "").strip()
+        if not question:
+            raise ValueError("missing 'question'")
+        with self.device_lock:
+            res = ask_question(
+                question=question,
+                filters=_meta_from_payload(payload),
+                top_k=int(payload.get("k", 8)),
+                hybrid=bool(payload.get("hybrid", True)),
+                forced_subject=payload.get("subject"),
+                runtime=self.runtime,
+            )
+        self._send(200, {
+            "question": res.question,
+            "answer": res.answer,
+            "language": res.language,
+            "sources": res.sources,
+            "route": res.route,
+            "route_reason": res.route_reason,
+            "retrieved": [
+                {"id": r.get("id"), "scores": r.get("scores"),
+                 "metadata": r.get("metadata")}
+                for r in res.retrieved
+            ],
+        })
+
+    def _handle_preview(self, payload: Dict[str, Any]) -> None:
+        from classmate_rag_tpu.admin.inspect import retrieve_preview
+
+        question = str(payload.get("question") or "").strip()
+        if not question:
+            raise ValueError("missing 'question'")
+        with self.device_lock:
+            out = retrieve_preview(
+                question=question,
+                filters=_meta_from_payload(payload),
+                top_k=int(payload.get("k", 8)),
+                hybrid=bool(payload.get("hybrid", True)),
+                runtime=self.runtime,
+            )
+        self._send(200, out)
+
+    def _handle_add(self, payload: Dict[str, Any]) -> None:
+        from classmate_rag_tpu.pipeline.ingest import ingest_file
+
+        path = payload.get("path")
+        if not path:
+            raise ValueError("missing 'path'")
+        with self.device_lock:
+            res = ingest_file(
+                path=path,
+                doc_meta=_meta_from_payload(payload),
+                runtime=self.runtime,
+            )
+        self._send(200, dataclasses.asdict(res))
+
+
+def make_server(host: str = "127.0.0.1", port: int = 8080,
+                runtime=None) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server with a warm runtime."""
+    from classmate_rag_tpu.pipeline.runtime import get_runtime
+
+    handler = type("Handler", (RagRequestHandler,), {
+        "runtime": runtime or get_runtime(),
+        "device_lock": threading.Lock(),
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(host: str = "127.0.0.1", port: int = 8080) -> None:
+    server = make_server(host, port)
+    print(json.dumps({"serving": f"http://{host}:{port}"}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()

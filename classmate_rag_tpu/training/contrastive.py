@@ -79,9 +79,20 @@ def make_train_step(
             params, p_specs,
         )
 
+    replicated = NamedSharding(mesh, P())
+
     def init_state(params: Params) -> TrainState:
         params = shard_params(params)
-        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        opt_state = tx.init(params)
+        # mu/nu inherit the param shardings via zeros_like; scalar leaves
+        # (adam count, step) must be explicitly replicated over the mesh or
+        # later jit calls see mixed committed placements.
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated) if x.ndim == 0 else x,
+            opt_state,
+        )
+        step0 = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+        return TrainState(params, opt_state, step0)
 
     def loss_fn(params, q_ids, q_mask, p_ids, p_mask):
         q = encode(params, q_ids, q_mask, config)          # [B, D], L2'd

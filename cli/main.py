@@ -263,6 +263,13 @@ def cmd_reingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from classmate_rag_tpu.serve import serve
+
+    serve(host=args.host, port=args.port)
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -351,6 +358,11 @@ def build_parser() -> argparse.ArgumentParser:
     _add_meta_flags(pdel)
     pdel.add_argument("--dry-run", action="store_true")
     pdel.set_defaults(func=cmd_delete)
+
+    pserve = sub.add_parser("serve", help="Run the HTTP serving daemon")
+    pserve.add_argument("--host", type=str, default="127.0.0.1")
+    pserve.add_argument("--port", type=int, default=8080)
+    pserve.set_defaults(func=cmd_serve)
 
     pre = sub.add_parser("reingest", help="Reingest whole files")
     pre.add_argument("--path", nargs="+", help="File paths to reingest")

@@ -1,0 +1,110 @@
+"""HTTP serving daemon: routes, warm runtime, error handling."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture()
+def server(tmp_index_env, tmp_path):
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.serve import make_server
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "doc.md"
+    doc.write_text(
+        "Backpropagation computes gradients of the loss with respect to "
+        "every weight by the chain rule."
+    )
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="ml"),
+                runtime=rt)
+
+    srv = make_server("127.0.0.1", 0, runtime=rt)  # port 0 = auto
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", tmp_path
+    srv.shutdown()
+    srv.server_close()
+    reset_runtime()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_stats(server):
+    base, _ = server
+    code, body = _get(base + "/healthz")
+    assert code == 200 and body["ok"]
+    code, body = _get(base + "/stats")
+    assert code == 200
+    assert body["vectors"] == 1
+
+
+def test_ask_roundtrip(server):
+    base, _ = server
+    code, body = _post(base + "/ask", {
+        "question": "how does backpropagation compute gradients",
+        "k": 3,
+    })
+    assert code == 200
+    assert "[1]" in body["answer"]
+    assert body["sources"]
+
+
+def test_preview_with_filters(server):
+    base, _ = server
+    code, body = _post(base + "/preview", {
+        "question": "backpropagation",
+        "filters": {"course": "ml"},
+    })
+    assert code == 200
+    assert body["items"]
+    code, body = _post(base + "/preview", {
+        "question": "backpropagation",
+        "filters": {"course": "nope"},
+    })
+    assert code == 200
+    assert body["items"] == []
+
+
+def test_add_via_http(server):
+    base, tmp_path = server
+    doc2 = tmp_path / "doc2.txt"
+    doc2.write_text("Convolutional networks share weights across positions.")
+    code, body = _post(base + "/add", {"path": str(doc2), "course": "ml"})
+    assert code == 200
+    assert body["upserted"] == 1
+    code, body = _get(base + "/stats")
+    assert body["vectors"] == 2
+
+
+def test_error_paths(server):
+    base, _ = server
+    code, body = _post(base + "/ask", {})
+    assert code == 400 and "question" in body["error"]
+    code, body = _post(base + "/add", {"path": "/nope/missing.pdf"})
+    assert code == 400
+    code, body = _get(base + "/stats")  # still alive after errors
+    assert code == 200
+    code, body = _post(base + "/nothing", {})
+    assert code == 404
