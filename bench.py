@@ -36,8 +36,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 N_CHUNKS = 50_000
 DIM = 768
-N_QUERIES = 64
-TPU_BATCH = 16
+N_QUERIES = 1024
+TPU_BATCH = 256
 K = 8
 POOL = 24
 RRF_K = 60
@@ -193,12 +193,28 @@ def main() -> None:
         )
         return np.asarray(out.rows)  # host fetch = honest sync
 
+    def dispatch_tpu_batch(q_slice):
+        q_vecs = np.stack([q for (q, _t) in q_slice])
+        q_terms = [t for (_q, t) in q_slice]
+        return store.hybrid_topk_batch(
+            q_vecs, q_terms, None, k_vector=K, k_bm25=K, top_k=K, pool=POOL,
+        )
+
     # Warmup (compile).
     run_tpu_batch(queries[:TPU_BATCH])
+    # Throughput with bounded pipelining (depth 4): dispatch ahead, fetch
+    # in order — every result is materialized on host, overlapping the
+    # device round-trip latency exactly as a serving loop would.
+    depth = 4
     t0 = time.perf_counter()
+    in_flight = []
     tpu_results = []
     for s in range(0, N_QUERIES, TPU_BATCH):
-        tpu_results.append(run_tpu_batch(queries[s : s + TPU_BATCH]))
+        in_flight.append(dispatch_tpu_batch(queries[s : s + TPU_BATCH]))
+        if len(in_flight) >= depth:
+            tpu_results.append(np.asarray(in_flight.pop(0).rows))
+    while in_flight:
+        tpu_results.append(np.asarray(in_flight.pop(0).rows))
     tpu_time = time.perf_counter() - t0
     qps_tpu = N_QUERIES / tpu_time
 

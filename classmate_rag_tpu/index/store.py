@@ -83,6 +83,7 @@ class IndexStore:
 
         self._device: Dict[str, Any] = {}
         self._df_cache = None
+        self._nofilter_bias = None
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -233,6 +234,7 @@ class IndexStore:
             "tag_bits": jnp.asarray(self.tag_bits),
         }
         self._df_cache = None
+        self._nofilter_bias = None
         self._dirty = False
         return self._device
 
@@ -244,6 +246,15 @@ class IndexStore:
         import jax.numpy as jnp
 
         dev = self._sync_device()
+        if not where:
+            # Hot path: no filter → validity-only bias, cached on device.
+            if self._nofilter_bias is None:
+                self._nofilter_bias = mask_bias_device(
+                    dev["field_cols"], dev["tag_bits"], dev["valid"],
+                    jnp.full(len(FILTER_FIELDS), -1, jnp.int32),
+                    jnp.zeros(TAG_WORDS, jnp.uint32),
+                )
+            return self._nofilter_bias
         wanted = np.full(len(FILTER_FIELDS), -1, dtype=np.int32)
         tag_want = np.zeros(TAG_WORDS, dtype=np.uint32)
         satisfiable = True

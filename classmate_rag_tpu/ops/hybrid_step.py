@@ -56,6 +56,9 @@ def _bm25_scores_one(term_ids, tfs, doc_len, keep, idf, q_terms, q_counts,
     jax.jit,
     static_argnames=(
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "use_mmr",
+        # Config constants; rrf_k in particular feeds rrf_merge's static
+        # arg — a traced value there poisons the jit cache key.
+        "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
     ),
 )
 def hybrid_query_step(
