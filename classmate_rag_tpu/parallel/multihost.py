@@ -1,0 +1,60 @@
+"""Multi-host (DCN) initialization and mesh construction.
+
+Single-pod-slice sharding rides ICI via the 1-D corpus mesh
+(parallel/mesh.py). Beyond one host, JAX's distributed runtime stitches
+hosts over DCN: every process calls :func:`initialize` (coordinator
+address + process count from the environment when launched by standard TPU
+tooling), then builds meshes over ``jax.devices()`` which now spans all
+hosts. The hybrid SPMD query step works unchanged — the shard axis simply
+covers more devices; XLA routes the per-shard top-k allgather over
+ICI within a slice and DCN across slices.
+
+Layout guidance: keep the corpus ("shard") axis *within* a slice wherever
+possible (the allgather payloads are tiny but latency-sensitive), and put
+the data-parallel axis across slices — ``dcn_training_mesh`` below encodes
+exactly that split.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bring up jax.distributed (no-op when already initialized or single
+    process). Arguments default to JAX's environment autodetection."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Single-process / no coordinator configured: stay local.
+        pass
+
+
+def dcn_training_mesh():
+    """('replica', 'data', 'model') mesh: replica axis across hosts (DCN),
+    data+model within a slice (ICI)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from classmate_rag_tpu.parallel.mesh import _factor_2d
+
+    devices = jax.devices()
+    n_hosts = max(jax.process_count(), 1)
+    per_host = len(devices) // n_hosts
+    data, model = _factor_2d(per_host)
+    arr = np.array(devices).reshape(n_hosts, data, model)
+    return Mesh(arr, ("replica", "data", "model"))
