@@ -18,8 +18,14 @@ from classmate_rag_tpu.embeddings.cache import CachingEmbedder
 from classmate_rag_tpu.embeddings.hashing import HashingEmbedder
 
 
+def _has_weights(d: Path) -> bool:
+    return (d / "model.safetensors").exists() or (d / "pytorch_model.bin").exists()
+
+
 def _find_local_snapshot(model_name: str, model_dir: Optional[str]) -> Optional[str]:
-    """Locate a local HF snapshot for model_name (no network access ever)."""
+    """Locate a local HF snapshot WITH weight files (no network access
+    ever). A tokenizer-only directory does not count: selecting the
+    transformer backend on it would silently run random-init weights."""
     candidates = []
     if model_dir:
         candidates.append(Path(model_dir))
@@ -30,10 +36,10 @@ def _find_local_snapshot(model_name: str, model_dir: Optional[str]) -> Optional[
     for cand in candidates:
         if not cand.exists():
             continue
-        if (cand / "tokenizer.json").exists() or (cand / "model.safetensors").exists():
+        if _has_weights(cand):
             return str(cand)
         for sub in sorted(cand.glob("*")):
-            if (sub / "model.safetensors").exists() or (sub / "pytorch_model.bin").exists():
+            if _has_weights(sub):
                 return str(sub)
     return None
 

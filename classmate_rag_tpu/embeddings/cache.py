@@ -33,6 +33,12 @@ class CachingEmbedder:
         root = cache_dir or os.getenv("EMB_CACHE_DIR") or "./indexes/emb_cache"
         self.root = Path(root).expanduser().resolve()
         model_name = getattr(base, "model_name", "unknown-model")
+        # The cache key must reflect the WEIGHTS identity, not just the
+        # model name: a random-init fallback encoder writing under the real
+        # model's name would poison the cache for later real-weight runs
+        # (and for caches shared with the reference stack).
+        if getattr(base, "has_pretrained_weights", True) is False:
+            model_name = f"{model_name}-randominit"
         self.model_dir = self.root / _safe_model_name(model_name)
         self.model_name = model_name
         self.dim = getattr(base, "dim", None)

@@ -92,13 +92,17 @@ class E5Encoder:
             by_bucket.setdefault(bucket_length(len(ids)), []).append(i)
 
         for bucket, indices in sorted(by_bucket.items()):
-            batch_size = max(8, _TOKENS_PER_STEP // bucket)
-            # Round the batch to a power of two to bound compile count.
-            batch_size = 2 ** int(math.ceil(math.log2(batch_size)))
-            for start in range(0, len(indices), batch_size):
-                group = indices[start : start + batch_size]
+            max_batch = max(8, _TOKENS_PER_STEP // bucket)
+            max_batch = 2 ** int(math.ceil(math.log2(max_batch)))
+            for start in range(0, len(indices), max_batch):
+                group = indices[start : start + max_batch]
                 rows = [encoded[i] for i in group]
-                # Pad the *batch* dimension too (static shapes for XLA).
+                # Static shapes for XLA, but pad the batch only to the next
+                # power of two ≥ the group (≤ max_batch): a single query
+                # must not pay a full max_batch (512x) forward.
+                batch_size = max(
+                    8, 2 ** int(math.ceil(math.log2(max(len(rows), 1))))
+                )
                 n_pad = batch_size - len(rows)
                 rows_padded = rows + [[0]] * n_pad
                 ids_arr, mask_arr = pad_to_bucket(rows_padded, bucket)

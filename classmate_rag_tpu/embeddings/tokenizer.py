@@ -62,7 +62,13 @@ class HashTokenizer:
 
 
 class HFTokenizer:
-    """tokenizer.json-backed tokenizer (requires the `tokenizers` package)."""
+    """tokenizer.json-backed tokenizer (requires the `tokenizers` package).
+
+    ``force_xlmr_specials`` wraps ids in the XLM-R <s>…</s> frame expected
+    by the E5 encoder; decoder checkpoints (LLaMA-family) must NOT get
+    that frame — their tokenizer.json already applies its own template
+    (use ``encode_raw``).
+    """
 
     def __init__(self, tokenizer_file: Path, max_length: int = 512) -> None:
         from tokenizers import Tokenizer  # local import: optional dep
@@ -70,6 +76,13 @@ class HFTokenizer:
         self._tok = Tokenizer.from_file(str(tokenizer_file))
         self.max_length = max_length
         self.vocab_size = self._tok.get_vocab_size()
+
+    def encode_raw(self, text: str, max_length: Optional[int] = None) -> List[int]:
+        """Tokenizer-template encoding, no XLM-R framing; keeps the TAIL
+        on truncation (decoder prompts lose their oldest context first)."""
+        limit = max_length or self.max_length
+        ids = self._tok.encode(text or "").ids
+        return ids[-limit:]
 
     def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
         limit = max_length or self.max_length

@@ -179,6 +179,8 @@ class TPUDecodeRunner:
         max_new_tokens: int = 256,
         max_seq: int = 1024,
     ) -> None:
+        import json
+
         from classmate_rag_tpu.embeddings.tokenizer import load_tokenizer
         from classmate_rag_tpu.models.decoder import (
             DecoderConfig,
@@ -187,6 +189,22 @@ class TPUDecodeRunner:
             make_generate_fn,
         )
 
+        # Config comes from the checkpoint when one is given: a hardcoded
+        # default against real 4096-wide tensors would fail shape checks.
+        self.eos_id = 2
+        if config is None and model_dir:
+            config = DecoderConfig.from_hf_config(model_dir)
+            try:
+                raw = json.loads(
+                    (Path(model_dir) / "config.json").read_text()
+                )
+                eos = raw.get("eos_token_id")
+                if isinstance(eos, list):
+                    eos = eos[0]
+                if isinstance(eos, int):
+                    self.eos_id = eos
+            except (OSError, ValueError):
+                pass
         self.config = config or DecoderConfig.small()
         self.model_name = f"tpu-decoder-{self.config.hidden}"
         params = None
@@ -222,10 +240,11 @@ class TPUDecodeRunner:
         arr[0, pad:] = ids
         toks = self._generate(
             self.params, jnp.asarray(arr),
-            jnp.asarray([len(ids)], jnp.int32), seed, temperature, top_p, 2,
+            jnp.asarray([len(ids)], jnp.int32), seed, temperature, top_p,
+            self.eos_id,
         )
         out = np.asarray(toks)[0].tolist()
-        return [t for t in out if t != 2]
+        return [t for t in out if t != self.eos_id]
 
     def chat(
         self,
@@ -236,7 +255,13 @@ class TPUDecodeRunner:
         **_: Any,
     ) -> str:
         prompt = self._format_chat(messages)
-        ids = self.tokenizer.encode(prompt, max_length=self.max_seq - self.max_new)
+        width = self.max_seq - self.max_new
+        # Decoder checkpoints bring their own tokenizer template; never
+        # apply the XLM-R <s>…</s> framing to them.
+        if hasattr(self.tokenizer, "encode_raw"):
+            ids = self.tokenizer.encode_raw(prompt, max_length=width)
+        else:
+            ids = self.tokenizer.encode(prompt, max_length=width)
         out_ids = self.generate_ids(ids, temperature=temperature, top_p=top_p)
         return self.tokenizer.decode(out_ids).strip()
 

@@ -101,26 +101,3 @@ class Catalog:
 
     def items(self) -> Iterator[tuple[str, CatalogEntry]]:
         return iter(self._entries.items())
-
-    # ------------------------------------------------------------------
-    def matches_simple(
-        self, meta: Mapping[str, Any], where: Optional[Mapping[str, Any]]
-    ) -> bool:
-        """Simple-filter semantics shared with the reference admin plane
-        (rag/admin/manage.py:75-95): equality on the six filter fields,
-        ``tags`` requires all requested tags present, ``$and`` recurses."""
-        if not where:
-            return True
-        if "$and" in where:
-            return all(self.matches_simple(meta, w) for w in where["$and"])
-        if "tags" in where:
-            t = where["tags"]
-            if isinstance(t, Mapping) and "$contains" in t:
-                t = t["$contains"]
-            want = {t} if isinstance(t, str) else set(t or [])
-            if not want.issubset(set(meta.get("tags") or [])):
-                return False
-        for f in ("course", "unit", "language", "doc_type", "author", "semester"):
-            if f in where and meta.get(f) != where[f]:
-                return False
-        return True

@@ -17,7 +17,7 @@ fields never match an equality filter, unknown values match nothing.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -49,90 +49,6 @@ class InternTable:
     def lookup(self, value: str) -> int:
         """-2 = unknown value: matches no row (distinct from 'no filter')."""
         return self.to_id.get(value, -2)
-
-
-@dataclass
-class MetaColumns:
-    """Columnar metadata for N chunks, ready to ship to device."""
-
-    fields: Dict[str, np.ndarray]      # field -> int32 [N]
-    tag_bits: np.ndarray               # uint32 [N, TAG_WORDS]
-    interns: Dict[str, InternTable]
-    tag_slots: Dict[str, int]
-
-    @classmethod
-    def build(cls, metadatas: Sequence[Mapping[str, Any]]) -> "MetaColumns":
-        n = len(metadatas)
-        interns = {f: InternTable() for f in FILTER_FIELDS}
-        tag_slots: Dict[str, int] = {}
-        cols = {f: np.zeros(n, dtype=np.int32) for f in FILTER_FIELDS}
-        bits = np.zeros((n, TAG_WORDS), dtype=np.uint32)
-        for i, meta in enumerate(metadatas):
-            for f in FILTER_FIELDS:
-                v = meta.get(f)
-                cols[f][i] = interns[f].intern(str(v) if v is not None else None)
-            for tag in meta.get("tags") or []:
-                slug = slug_tag(str(tag))
-                if not slug:
-                    continue
-                slot = tag_slots.setdefault(slug, len(tag_slots))
-                if slot < TAG_WORDS * 32:
-                    bits[i, slot // 32] |= np.uint32(1 << (slot % 32))
-        return cls(fields=cols, tag_bits=bits, interns=interns, tag_slots=tag_slots)
-
-    def compile_filter(
-        self, where: Optional[Mapping[str, Any]]
-    ) -> Tuple[np.ndarray, np.ndarray, bool]:
-        """Compile a simple-filter dict into (wanted [6] i32, tag_want [W] u32,
-        satisfiable). wanted −1 = no constraint; −2 = impossible."""
-        wanted = np.full(len(FILTER_FIELDS), -1, dtype=np.int32)
-        tag_want = np.zeros(TAG_WORDS, dtype=np.uint32)
-        satisfiable = True
-        if not where:
-            return wanted, tag_want, satisfiable
-        for j, f in enumerate(FILTER_FIELDS):
-            v = where.get(f)
-            if v is None:
-                continue
-            s = str(v).strip()
-            if not s:
-                continue
-            if f == "doc_type" and s.lower() == "other":
-                continue  # sentinel: never narrows
-            got = self.interns[f].lookup(s)
-            wanted[j] = got
-            if got == -2:
-                satisfiable = False
-        tags = where.get("tags")
-        if isinstance(tags, Mapping) and "$contains" in tags:
-            tags = tags["$contains"]
-        if isinstance(tags, str):
-            tags = [tags]
-        for tag in tags or []:
-            slug = slug_tag(str(tag))
-            if not slug:
-                continue
-            slot = self.tag_slots.get(slug)
-            if slot is None or slot >= TAG_WORDS * 32:
-                satisfiable = False
-            else:
-                tag_want[slot // 32] |= np.uint32(1 << (slot % 32))
-        return wanted, tag_want, satisfiable
-
-    def mask(
-        self, where: Optional[Mapping[str, Any]], valid: np.ndarray
-    ) -> np.ndarray:
-        """Host-side reference evaluation → bool [N] (used by tests/oracle)."""
-        wanted, tag_want, ok = self.compile_filter(where)
-        if not ok:
-            return np.zeros_like(valid, dtype=bool)
-        m = valid.copy()
-        for j, f in enumerate(FILTER_FIELDS):
-            if wanted[j] >= 0:
-                m &= self.fields[f] == wanted[j]
-        want_bits = tag_want[None, :]
-        m &= ((self.tag_bits & want_bits) == want_bits).all(axis=1)
-        return m
 
 
 _MASK_BIAS_JIT = None

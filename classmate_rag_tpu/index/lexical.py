@@ -128,6 +128,47 @@ def pack_tokens(
 # ---------------------------------------------------------------------------
 # Device scoring
 # ---------------------------------------------------------------------------
+# The three device entry points (single-query path below, the fused batch
+# step in ops/hybrid_step.py, and the sharded SPMD step in
+# parallel/sharded.py) all build on these helpers — the Okapi idf/epsilon
+# rule and saturation are load-bearing parity invariants and must have
+# exactly one implementation.
+
+def okapi_idf(df, n_sub):
+    """idf per BM25Okapi incl. the negative-idf ε replacement (subset
+    semantics: ``df``/``n_sub`` are over the active row mask)."""
+    import jax.numpy as jnp
+
+    raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
+    in_vocab = df > 0
+    n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
+    avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
+    eps = EPSILON * avg_idf
+    return jnp.where(in_vocab, jnp.where(raw_idf < 0, eps, raw_idf), 0.0)
+
+
+def okapi_query_weights(idf, q_terms, q_counts, vocab_pad: int):
+    """[vocab_pad+1] vector holding idf × multiplicity at the query's
+    terms, zero elsewhere (slot vocab_pad is the padding sink)."""
+    import jax.numpy as jnp
+
+    q_safe = jnp.where(q_terms >= 0, q_terms, vocab_pad)
+    return jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
+        jnp.where(q_terms >= 0, q_counts, 0.0) * idf[q_safe]
+    ).at[vocab_pad].set(0.0)
+
+
+def okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad: int):
+    """scores [N] = Σ_l w[term_ids] · sat(tf, dl) — the one gather pass."""
+    import jax.numpy as jnp
+
+    gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]
+    tf = tfs.astype(jnp.float32)
+    sat = tf * (K1 + 1.0) / (
+        tf + K1 * (1.0 - B + B * doc_len[:, None] / avgdl)
+    )
+    return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
+
 
 def _bm25_device_fns():
     """Deferred jax import so host-only paths never pull in jax."""
@@ -158,29 +199,10 @@ def _bm25_device_fns():
     ):
         keep = mask_bias == 0.0
         n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
-
-        # idf with the BM25Okapi ε rule over the subset vocabulary.
-        raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
-        in_vocab = df > 0
-        n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
-        avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
-        eps = EPSILON * avg_idf
-        idf = jnp.where(in_vocab, jnp.where(raw_idf < 0, eps, raw_idf), 0.0)
-
-        # Per-query weight vector: idf × multiplicity at the query's terms.
-        q_safe = jnp.where(q_terms >= 0, q_terms, vocab_pad)
-        w = jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
-            jnp.where(q_terms >= 0, q_counts, 0.0) * idf[q_safe]
-        ).at[vocab_pad].set(0.0)
-
+        idf = okapi_idf(df, n_sub)
+        w = okapi_query_weights(idf, q_terms, q_counts, vocab_pad)
         avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
-
-        # One gather pass over the packed arrays.
-        gathered_w = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]  # [N, L]
-        tf = tfs.astype(jnp.float32)
-        sat = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc_len[:, None] / avgdl))
-        scores = jnp.sum(gathered_w * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
-
+        scores = okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad)
         vals, idx = jax.lax.top_k(scores + mask_bias, top_k)
         return vals, idx.astype(jnp.int32)
 

@@ -371,17 +371,26 @@ class PdfDocument:
                 length = None
                 if isinstance(obj, dict):
                     length = self._resolve_early(obj.get("Length"))
+                trust_length = False
                 if isinstance(length, int) and 0 <= length <= len(data) - p:
                     end = p + length
                     # Validate: 'endstream' should follow soon after.
                     tail = data[end : end + 20]
-                    if b"endstream" not in tail:
+                    trust_length = b"endstream" in tail
+                    if not trust_length:
                         end = data.find(b"endstream", p)
                 else:
                     end = data.find(b"endstream", p)
                 if end < 0:
                     end = len(data)
-                self.streams[num] = data[p:end].rstrip(b"\r\n")
+                payload = data[p:end]
+                if not trust_length:
+                    # Without a trusted /Length the EOL before 'endstream'
+                    # is included in the slice; strip it. With a trusted
+                    # Length the payload is exact — trailing 0x0A/0x0D are
+                    # real data bytes (e.g. a deflate tail) and must stay.
+                    payload = payload.rstrip(b"\r\n")
+                self.streams[num] = payload
             else:
                 lex.pos = save
 

@@ -62,11 +62,12 @@ FILTER_SIMPLE_FIELDS: Tuple[str, ...] = (
 def _strip_sentinels(d: Dict) -> Dict:
     """Remove None/auto/other placeholders so filters never narrow on them,
     and flatten enums to their plain string values (str(Enum) != value on
-    py>=3.11, which would corrupt filter interning)."""
-    if d.get("tags") is None:
-        d.pop("tags", None)
-    if d.get("subject") is None:
-        d.pop("subject", None)
+    py>=3.11, which would corrupt filter interning).
+
+    ALL None-valued fields drop (not just tags/subject): an unfiltered
+    query must yield an EMPTY dict, or every ask would take the filtered
+    slow path (bypassing the cached no-filter mask and BM25 df) and report
+    noisy null filters."""
     if d.get("language") in ("auto", LanguageEnum.auto):
         d.pop("language", None)
     if d.get("doc_type") in ("other", DocTypeEnum.other):
@@ -75,7 +76,7 @@ def _strip_sentinels(d: Dict) -> Dict:
         v = d.get(key)
         if isinstance(v, Enum):
             d[key] = v.value
-    return d
+    return {k: v for k, v in d.items() if v is not None}
 
 
 @dataclass(frozen=True)

@@ -62,6 +62,35 @@ class DecoderConfig:
         return cls(vocab_size=128256, hidden=4096, layers=32, heads=32,
                    kv_heads=8, ffn=14336, max_seq=8192)
 
+    @classmethod
+    def from_hf_config(cls, model_dir: str | Path) -> Optional["DecoderConfig"]:
+        """Build the config from an HF checkpoint's config.json (LLaMA
+        family). None when no readable config is present."""
+        import json
+
+        path = Path(model_dir) / "config.json"
+        if not path.exists():
+            return None
+        try:
+            raw = json.loads(path.read_text(encoding="utf-8"))
+        except (OSError, ValueError):
+            return None
+        try:
+            return cls(
+                vocab_size=int(raw["vocab_size"]),
+                hidden=int(raw["hidden_size"]),
+                layers=int(raw["num_hidden_layers"]),
+                heads=int(raw["num_attention_heads"]),
+                kv_heads=int(raw.get("num_key_value_heads",
+                                     raw["num_attention_heads"])),
+                ffn=int(raw["intermediate_size"]),
+                max_seq=int(raw.get("max_position_embeddings", 8192)),
+                rope_theta=float(raw.get("rope_theta", 500000.0)),
+                norm_eps=float(raw.get("rms_norm_eps", 1e-5)),
+            )
+        except (KeyError, TypeError, ValueError):
+            return None
+
 
 Params = Dict[str, Any]
 
@@ -147,6 +176,13 @@ def load_params_from_hf(model_dir: str, config: DecoderConfig) -> Optional[Param
             "layers": {k: np.stack(v) for k, v in stacks.items()},
         }
     except KeyError:
+        return None
+    # Shape validation: a checkpoint of the wrong size must be rejected,
+    # not crash later inside the forward's head reshapes.
+    if params["tok_emb"].shape != (config.vocab_size, config.hidden):
+        return None
+    if params["layers"]["q_w"].shape != (config.layers, config.hidden,
+                                         config.hidden):
         return None
     return jax.tree.map(jnp.asarray, params)
 

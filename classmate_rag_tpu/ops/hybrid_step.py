@@ -23,8 +23,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from classmate_rag_tpu.index.lexical import B as BM25_B
-from classmate_rag_tpu.index.lexical import EPSILON, K1
+from classmate_rag_tpu.index.lexical import (
+    okapi_idf,
+    okapi_query_weights,
+    okapi_score_rows,
+)
 from classmate_rag_tpu.ops.mmr import mmr_order
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -35,21 +38,6 @@ class HybridBatchResult(NamedTuple):
     fused: jnp.ndarray       # [B, top_k] f32
     vec_dist: jnp.ndarray    # [B, top_k] f32 (NaN where dense didn't return)
     bm25_score: jnp.ndarray  # [B, top_k] f32 (NaN where bm25 didn't return)
-
-
-def _bm25_scores_one(term_ids, tfs, doc_len, keep, idf, q_terms, q_counts,
-                     avgdl, vocab_pad):
-    """Scores [N] for one query (weight-vector scatter + gather pass)."""
-    q_safe = jnp.where(q_terms >= 0, q_terms, vocab_pad)
-    w = jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
-        jnp.where(q_terms >= 0, q_counts, 0.0) * idf[q_safe]
-    ).at[vocab_pad].set(0.0)
-    gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]      # [N, L]
-    tf = tfs.astype(jnp.float32)
-    sat = tf * (K1 + 1.0) / (
-        tf + K1 * (1.0 - BM25_B + BM25_B * doc_len[:, None] / avgdl)
-    )
-    return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
 
 
 @functools.partial(
@@ -116,16 +104,13 @@ def hybrid_query_step(
     vec_dist = 1.0 - vec_vals
 
     # ---- bm25 branch -------------------------------------------------
-    raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
-    in_vocab = df > 0
-    n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
-    avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
-    idf = jnp.where(in_vocab, jnp.where(raw_idf < 0, EPSILON * avg_idf, raw_idf), 0.0)
+    idf = okapi_idf(df, n_sub)
     avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
 
     bm_scores = jax.vmap(
-        lambda t, c: _bm25_scores_one(
-            term_ids, tfs, doc_len, keep, idf, t, c, avgdl, vocab_pad
+        lambda t, c: okapi_score_rows(
+            term_ids, tfs, doc_len, avgdl,
+            okapi_query_weights(idf, t, c, vocab_pad), vocab_pad,
         )
     )(q_terms, q_counts)                                  # [B, N]
     k_bm_eff = min(k_bm25, emb.shape[0])

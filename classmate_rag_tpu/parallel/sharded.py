@@ -27,8 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from classmate_rag_tpu.index.lexical import B as BM25_B
-from classmate_rag_tpu.index.lexical import EPSILON, K1
+from classmate_rag_tpu.index.lexical import (
+    okapi_idf,
+    okapi_query_weights,
+    okapi_score_rows,
+)
 from classmate_rag_tpu.ops.mmr import mmr_order
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -145,27 +148,14 @@ def make_sharded_hybrid_fn(
         dl_sum = jax.lax.psum(jnp.sum(jnp.where(keep, doc_len, 0.0)), "shard")
         avgdl = dl_sum / n_sub
 
-        raw_idf = jnp.log(n_sub - df + 0.5) - jnp.log(df + 0.5)
-        in_vocab = df > 0
-        n_terms = jnp.maximum(jnp.sum(in_vocab.astype(jnp.float32)), 1.0)
-        avg_idf = jnp.sum(jnp.where(in_vocab, raw_idf, 0.0)) / n_terms
-        idf = jnp.where(
-            in_vocab, jnp.where(raw_idf < 0, EPSILON * avg_idf, raw_idf), 0.0
-        )
+        idf = okapi_idf(df, n_sub)
 
-        def score_one(qt, qc):
-            q_safe = jnp.where(qt >= 0, qt, vocab_pad)
-            w = jnp.zeros(vocab_pad + 1, jnp.float32).at[q_safe].add(
-                jnp.where(qt >= 0, qc, 0.0) * idf[q_safe]
-            ).at[vocab_pad].set(0.0)
-            gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]
-            tf = tfs.astype(jnp.float32)
-            sat = tf * (K1 + 1.0) / (
-                tf + K1 * (1.0 - BM25_B + BM25_B * doc_len[:, None] / avgdl)
+        bm = jax.vmap(
+            lambda qt, qc: okapi_score_rows(
+                term_ids, tfs, doc_len, avgdl,
+                okapi_query_weights(idf, qt, qc, vocab_pad), vocab_pad,
             )
-            return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
-
-        bm = jax.vmap(score_one)(q_terms, q_counts)       # [B, N_local]
+        )(q_terms, q_counts)                              # [B, N_local]
         k_bm_eff = min(k_bm25, n_local)
         bv, bi = jax.lax.top_k(bm + mask_bias[None, :], k_bm_eff)
         bgi = jnp.where(bv > NEG_INF / 2, bi.astype(jnp.int32) + row_base,

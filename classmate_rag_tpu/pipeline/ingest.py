@@ -144,7 +144,6 @@ def _ingest_file(
     )
 
     if cfg.dedup_chunks and chunks:
-        kept = set()
         kept_list = dedup_text_blocks(
             [t for (_pg, _cid, t) in chunks],
             jaccard_threshold=cfg.dedup_threshold,
@@ -161,7 +160,6 @@ def _ingest_file(
                 rebuilt.append((page, cid, text))
                 cid += 1
         chunks = rebuilt
-        del kept
 
     created_at = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
