@@ -170,6 +170,146 @@ def okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad: int):
     return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
 
 
+def okapi_sat(tf, doc_len, avgdl):
+    """BM25 term-frequency saturation; ``tf`` broadcastable against
+    ``doc_len`` (caller shapes them)."""
+    import jax.numpy as jnp
+
+    tf = tf.astype(jnp.float32)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc_len / avgdl))
+
+
+def _bm25_split_fns():
+    """Split-frequency BM25 scoring: the TPU-native formulation.
+
+    The per-query gather pass (okapi_score_rows) re-reads the whole [N, L]
+    packed matrix per query — the dominant cost of the fused hybrid step at
+    large batch. Measured on this hardware, data-dependent random
+    gather/scatter runs ~50x below bandwidth, so the reformulation routes
+    everything through dense matmuls over batch-shared matrices:
+
+    - HEAD terms (df > threshold; a few hundred cover most query-term
+      mass): tf prebuilt as a dense [N, C] u8 matrix at index build; a
+      batch scores as ``W_head [B, C] @ sat(tf_head, dl) [C, N]``.
+    - TAIL terms: term-major postings. Per batch, the *distinct* tail
+      terms (U of them) materialize as a [N, U] tf matrix — contiguous
+      posting-slice reads plus one small scatter (≤ U·r_cap elements,
+      with r_cap bounded by the head threshold) — then score as a second
+      matmul ``W_tail [B, U] @ sat(tf_tail, dl) [U, N]``.
+
+    Exactly the same Okapi math (idf/ε/avgdl shared with okapi_idf), just
+    reorganized around the MXU. Both stages honor the row mask.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("vocab_pad", "r_cap"))
+    def bm25_split_scores(
+        tf_head,      # u8 [N, C] — dense tf of head terms
+        post_rows,    # i32 [P] — tail postings: row ids (term-major)
+        post_tfs,     # u8 [P]
+        doc_len,      # f32 [N]
+        mask_bias,    # f32 [N]
+        df,           # f32 [vocab_pad+1] — subset df
+        qh_slots,     # i32 [B, M] head-slot per query term (-1 = not head)
+        qh_tids,      # i32 [B, M] vocab ids for the head terms (-1 pad)
+        q_counts_h,   # f32 [B, M]
+        u_starts,     # i32 [U] — posting range start per distinct tail term
+        u_lens,       # i32 [U] (0 = padding slot)
+        u_tids,       # i32 [U] vocab ids (-1 pad)
+        qr_u,         # i32 [B, M] — index into U per query term (-1 = none)
+        q_counts_r,   # f32 [B, M]
+        vocab_pad: int,
+        r_cap: int,
+    ):
+        keep = mask_bias == 0.0
+        n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+        idf = okapi_idf(df, n_sub)
+        avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
+        bq, m = qh_slots.shape
+        c = tf_head.shape[1]
+        u = u_starts.shape[0]
+        n = tf_head.shape[0]
+        b_idx = jnp.broadcast_to(jnp.arange(bq)[:, None], (bq, m))
+
+        # ---- head: dense matmul --------------------------------------
+        sat_head = okapi_sat(tf_head, doc_len[:, None], avgdl)
+        sat_head = sat_head * (tf_head > 0) * keep[:, None]      # [N, C] f32
+        w_head = jnp.zeros((bq, c + 1), jnp.float32)
+        slot_safe = jnp.where(qh_slots >= 0, qh_slots, c)
+        tid_safe = jnp.where(qh_tids >= 0, qh_tids, vocab_pad)
+        w_vals = jnp.where(qh_slots >= 0, q_counts_h * idf[tid_safe], 0.0)
+        w_head = w_head.at[b_idx, slot_safe].add(w_vals)[:, :c]
+        # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
+        # a 0.2% relative error that visibly perturbs BM25 rankings.
+        scores = jnp.einsum(
+            "bc,nc->bn", w_head, sat_head,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # ---- tail: batch-union tf matrix + second matmul ---------------
+        # Contiguous posting slices per distinct tail term.
+        def slice_one(start):
+            return (
+                jax.lax.dynamic_slice(post_rows, (start,), (r_cap,)),
+                jax.lax.dynamic_slice(post_tfs, (start,), (r_cap,)),
+            )
+
+        rows_u, tfs_u = jax.vmap(slice_one)(
+            jnp.maximum(u_starts, 0)
+        )                                                         # [U, R]
+        r_iota = jnp.arange(r_cap, dtype=jnp.int32)
+        valid_u = (u_lens[:, None] > 0) & (r_iota[None, :] < u_lens[:, None])
+        u_iota = jnp.broadcast_to(
+            jnp.arange(u, dtype=jnp.int32)[:, None], (u, r_cap)
+        )
+        tf_tail = jnp.zeros((n, u + 1), jnp.float32).at[
+            jnp.where(valid_u, rows_u, 0),
+            jnp.where(valid_u, u_iota, u),
+        ].add(jnp.where(valid_u, tfs_u.astype(jnp.float32), 0.0))[:, :u]
+        sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
+        sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, U]
+
+        u_tid_safe = jnp.where(u_tids >= 0, u_tids, vocab_pad)
+        u_idf = idf[u_tid_safe]                                   # [U]
+        w_tail = jnp.zeros((bq, u + 1), jnp.float32)
+        qu_safe = jnp.where(qr_u >= 0, qr_u, u)
+        w_tail = w_tail.at[b_idx, qu_safe].add(
+            jnp.where(qr_u >= 0, q_counts_r, 0.0)
+        )[:, :u]
+        w_tail = w_tail * u_idf[None, :]
+        scores = scores + jnp.einsum(
+            "bu,nu->bn", w_tail, sat_tail,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return scores
+
+    @functools.partial(
+        jax.jit, static_argnames=("vocab_pad", "r_cap", "top_k")
+    )
+    def bm25_split_topk(*args, vocab_pad: int, r_cap: int, top_k: int):
+        mask_bias = args[4]
+        scores = bm25_split_scores(
+            *args, vocab_pad=vocab_pad, r_cap=r_cap
+        )
+        vals, idx = jax.lax.top_k(scores + mask_bias[None, :], top_k)
+        return vals, idx.astype(jnp.int32)
+
+    return bm25_split_scores, bm25_split_topk
+
+
+_SPLIT_FNS = None
+
+
+def split_fns():
+    global _SPLIT_FNS
+    if _SPLIT_FNS is None:
+        _SPLIT_FNS = _bm25_split_fns()
+    return _SPLIT_FNS
+
+
 def _bm25_device_fns():
     """Deferred jax import so host-only paths never pull in jax."""
     import jax

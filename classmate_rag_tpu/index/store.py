@@ -84,6 +84,7 @@ class IndexStore:
         self._device: Dict[str, Any] = {}
         self._df_cache = None
         self._nofilter_bias = None
+        self._split: Optional[Dict[str, Any]] = None
         self._dirty = True
 
     # ------------------------------------------------------------------
@@ -235,8 +236,117 @@ class IndexStore:
         }
         self._df_cache = None
         self._nofilter_bias = None
+        self._split = None
         self._dirty = False
         return self._device
+
+    # -- split-frequency BM25 structures ---------------------------------
+
+    HEAD_DF_THRESHOLD = 256    # tail posting lists stay ≲ this long
+    MAX_HEAD_TERMS = 2048
+
+    def _sync_split(self) -> Dict[str, Any]:
+        """Head/tail BM25 layout (see lexical._bm25_split_fns), rebuilt
+        lazily alongside the device arrays."""
+        self._sync_device()
+        if self._split is not None:
+            return self._split
+        import jax.numpy as jnp
+
+        cap = self.capacity
+        n_vocab = max(len(self.vocab), 1)
+        flat_ids = self.term_ids.ravel()
+        flat_tfs = self.tfs.ravel()
+        present = (flat_ids >= 0) & (flat_tfs > 0)
+        ids_p = flat_ids[present]
+        tfs_p = flat_tfs[present]
+        rows_p = np.repeat(
+            np.arange(cap, dtype=np.int64), self.term_width
+        )[present]
+
+        df = np.bincount(ids_p, minlength=n_vocab)
+        head_candidates = np.argsort(-df, kind="stable")
+        head_terms = head_candidates[: self.MAX_HEAD_TERMS]
+        head_terms = head_terms[df[head_terms] > self.HEAD_DF_THRESHOLD]
+        c_pad = max(128, _round_up(len(head_terms), 128))
+        lut = np.full(n_vocab, -1, dtype=np.int32)
+        lut[head_terms] = np.arange(len(head_terms), dtype=np.int32)
+
+        slots = np.where(ids_p >= 0, lut[ids_p], -1)
+        is_head = slots >= 0
+        tf_head = np.zeros((cap, c_pad), dtype=np.uint8)
+        tf_head[rows_p[is_head], slots[is_head]] = tfs_p[is_head]
+
+        rare_ids = ids_p[~is_head]
+        rare_rows = rows_p[~is_head].astype(np.int32)
+        rare_tfs = tfs_p[~is_head]
+        order = np.argsort(rare_ids, kind="stable")
+        post_rows = rare_rows[order]
+        post_tfs = rare_tfs[order]
+        counts = np.bincount(rare_ids, minlength=n_vocab)
+        offsets = np.zeros(n_vocab + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        max_rare = int(counts.max()) if counts.size else 0
+        r_cap = max(8, 1 << int(np.ceil(np.log2(max(max_rare, 1)))))
+        # Pad the postings arrays by r_cap: dynamic_slice CLAMPS starts near
+        # the array end, which would silently shift a tail term's window.
+        p_pad = max(8, _round_up(len(post_rows) + r_cap, 4096))
+        post_rows_pad = np.zeros(p_pad, dtype=np.int32)
+        post_rows_pad[: len(post_rows)] = post_rows
+        post_tfs_pad = np.zeros(p_pad, dtype=np.uint8)
+        post_tfs_pad[: len(post_tfs)] = post_tfs
+
+        self._split = {
+            "lut": lut,
+            "offsets": offsets,
+            "r_cap": r_cap,
+            "tf_head": jnp.asarray(tf_head),
+            "post_rows": jnp.asarray(post_rows_pad),
+            "post_tfs": jnp.asarray(post_tfs_pad),
+        }
+        return self._split
+
+    def _split_query_arrays(self, q_tids: np.ndarray, q_counts: np.ndarray):
+        """Map [B, M] query term ids onto head slots and the batch's
+        distinct-tail-term union (see lexical._bm25_split_fns)."""
+        split = self._sync_split()
+        lut = split["lut"]
+        offsets = split["offsets"]
+        safe = np.maximum(q_tids, 0)
+        slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
+        is_head = slots >= 0
+        starts = offsets[safe]
+        lens = offsets[safe + 1] - starts
+        is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
+
+        rare_tids = np.unique(q_tids[is_rare]) if is_rare.any() else (
+            np.zeros(0, dtype=q_tids.dtype)
+        )
+        u_real = len(rare_tids)
+        u_pad = max(8, 1 << int(np.ceil(np.log2(max(u_real, 1)))))
+        u_tids = np.full(u_pad, -1, dtype=np.int32)
+        u_starts = np.zeros(u_pad, dtype=np.int32)
+        u_lens = np.zeros(u_pad, dtype=np.int32)
+        if u_real:
+            u_tids[:u_real] = rare_tids
+            u_starts[:u_real] = offsets[rare_tids]
+            u_lens[:u_real] = (
+                offsets[rare_tids + 1] - offsets[rare_tids]
+            )
+        qr_u = np.full(q_tids.shape, -1, dtype=np.int32)
+        if u_real:
+            pos = np.searchsorted(rare_tids, q_tids[is_rare])
+            qr_u[is_rare] = pos.astype(np.int32)
+        return {
+            "qh_slots": np.where(is_head, slots, -1).astype(np.int32),
+            "qh_tids": np.where(is_head, q_tids, -1).astype(np.int32),
+            "q_counts_h": q_counts,
+            "u_starts": u_starts,
+            "u_lens": u_lens,
+            "u_tids": u_tids,
+            "qr_u": qr_u,
+            "q_counts_r": q_counts,
+        }
 
     @property
     def vocab_pad(self) -> int:
@@ -342,19 +452,29 @@ class IndexStore:
             if tid is not None:
                 counts[tid] = counts.get(tid, 0.0) + 1.0
         m = max_query_terms
-        q_terms = np.full(m, -1, dtype=np.int32)
-        q_counts = np.zeros(m, dtype=np.float32)
+        q_terms = np.full((1, m), -1, dtype=np.int32)
+        q_counts = np.zeros((1, m), dtype=np.float32)
         for j, (tid, c) in enumerate(list(counts.items())[:m]):
-            q_terms[j] = tid
-            q_counts[j] = c
+            q_terms[0, j] = tid
+            q_counts[0, j] = c
 
+        from classmate_rag_tpu.index.lexical import split_fns
+
+        split = self._sync_split()
+        qa = self._split_query_arrays(q_terms, q_counts)
+        _scores, split_topk = split_fns()
         k_eff = min(k, self.capacity)
-        vals, rows = scores_topk(
-            dev["term_ids"], dev["tfs"], dev["doc_len"], bias, df,
-            jnp.asarray(q_terms), jnp.asarray(q_counts), k_eff, vpad,
+        vals, rows = split_topk(
+            split["tf_head"], split["post_rows"], split["post_tfs"],
+            dev["doc_len"], bias, df,
+            jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
+            jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
+            jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
+            jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
+            vocab_pad=vpad, r_cap=split["r_cap"], top_k=k_eff,
         )
-        vals_np = np.asarray(vals)
-        rows_np = np.asarray(rows)
+        vals_np = np.asarray(vals)[0]
+        rows_np = np.asarray(rows)[0]
         rows_np = np.where(vals_np <= NEG_INF / 2, -1, rows_np)
         return vals_np, rows_np
 
@@ -382,7 +502,7 @@ class IndexStore:
         """
         import jax.numpy as jnp
 
-        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step
+        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step_split
 
         dev = self._sync_device()
         bias = self._mask_bias(where)
@@ -411,15 +531,24 @@ class IndexStore:
                 q_terms[b, j] = tid
                 q_counts[b, j] = c
 
-        return hybrid_query_step(
-            dev["emb"], dev["term_ids"], dev["tfs"], dev["doc_len"], df,
-            bias, jnp.asarray(query_vecs, jnp.float32),
-            jnp.asarray(q_terms), jnp.asarray(q_counts),
+        split = self._sync_split()
+        qa = self._split_query_arrays(q_terms, q_counts)
+        has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
+        return hybrid_query_step_split(
+            dev["emb"], split["tf_head"], split["post_rows"],
+            split["post_tfs"], dev["doc_len"], df, bias,
+            jnp.asarray(query_vecs, jnp.float32),
+            jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
+            jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
+            jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
+            jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
+            jnp.asarray(has_terms),
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
             top_k=top_k,
             pool=min(pool, self.capacity),
             vocab_pad=vpad,
+            r_cap=split["r_cap"],
             use_mmr=use_mmr,
             mmr_lambda=mmr_lambda,
             rrf_k=rrf_k,

@@ -40,6 +40,59 @@ class HybridBatchResult(NamedTuple):
     bm25_score: jnp.ndarray  # [B, top_k] f32 (NaN where bm25 didn't return)
 
 
+def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
+                  mmr_lambda):
+    """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv]."""
+    scores = jnp.einsum(
+        "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+        preferred_element_type=jnp.float32,
+    ) + mask_bias[None, :]
+    pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
+    d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
+    d_rows = d_rows.astype(jnp.int32)
+    d_alive = d_vals > NEG_INF / 2
+
+    if use_mmr:
+        cand_embs = emb[jnp.maximum(d_rows, 0)]          # [B, pool, d]
+        orders = jax.vmap(
+            lambda q, c, v: mmr_order(q, c, v, k_vector, mmr_lambda)
+        )(q_vecs, cand_embs.astype(jnp.float32), d_alive)
+        picked_ok = orders >= 0
+        safe = jnp.maximum(orders, 0)
+        vec_rows = jnp.where(
+            picked_ok, jnp.take_along_axis(d_rows, safe, axis=1), -1
+        )
+        vec_vals = jnp.where(
+            picked_ok, jnp.take_along_axis(d_vals, safe, axis=1), NEG_INF
+        )
+    else:
+        vec_rows = jnp.where(d_alive[:, :k_vector], d_rows[:, :k_vector], -1)
+        vec_vals = d_vals[:, :k_vector]
+    return vec_rows, 1.0 - vec_vals
+
+
+def _bm25_postprocess(bm_scores, mask_bias, has_terms, *, k_bm25):
+    """Top-k over BM25 scores with padding/empty-query handling."""
+    k_bm_eff = min(k_bm25, bm_scores.shape[1])
+    b_vals, b_rows = jax.lax.top_k(bm_scores + mask_bias[None, :], k_bm_eff)
+    b_rows = jnp.where(b_vals > NEG_INF / 2, b_rows.astype(jnp.int32), -1)
+    b_vals = jnp.where(b_rows >= 0, b_vals, 0.0)
+    b_rows = jnp.where(has_terms, b_rows, -1)
+    return b_rows, b_vals
+
+
+def _fuse(vec_rows, vec_dist, bm_rows, bm_vals, *, weight_vector,
+          weight_bm25, rrf_k, top_k):
+    from classmate_rag_tpu.ops.fusion import rrf_merge
+
+    rows, fused, vdist, bscore = jax.vmap(
+        lambda vr, br, vd, bs: rrf_merge(
+            vr, br, vd, bs, weight_vector, weight_bm25, rrf_k, top_k
+        )
+    )(vec_rows, bm_rows, vec_dist, bm_vals)
+    return HybridBatchResult(rows, fused, vdist, bscore)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -71,65 +124,88 @@ def hybrid_query_step(
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
 ) -> HybridBatchResult:
-    Bq = q_vecs.shape[0]
     keep = mask_bias == 0.0
     n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
 
-    # ---- dense branch: batched masked scan + top-pool ----------------
-    scores = jnp.einsum(
-        "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
-        preferred_element_type=jnp.float32,
-    ) + mask_bias[None, :]
-    pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
-    d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
-    d_rows = d_rows.astype(jnp.int32)
-    d_alive = d_vals > NEG_INF / 2
+    vec_rows, vec_dist = _dense_branch(
+        emb, mask_bias, q_vecs,
+        k_vector=k_vector, pool=pool, use_mmr=use_mmr, mmr_lambda=mmr_lambda,
+    )
 
-    if use_mmr:
-        cand_embs = emb[jnp.maximum(d_rows, 0)]          # [B, pool, d]
-        orders = jax.vmap(
-            lambda q, c, v: mmr_order(q, c, v, k_vector, mmr_lambda)
-        )(q_vecs, cand_embs.astype(jnp.float32), d_alive)
-        picked_ok = orders >= 0
-        safe = jnp.maximum(orders, 0)
-        vec_rows = jnp.where(
-            picked_ok, jnp.take_along_axis(d_rows, safe, axis=1), -1
-        )
-        vec_vals = jnp.where(
-            picked_ok, jnp.take_along_axis(d_vals, safe, axis=1), NEG_INF
-        )
-    else:
-        vec_rows = jnp.where(d_alive[:, :k_vector], d_rows[:, :k_vector], -1)
-        vec_vals = d_vals[:, :k_vector]
-    vec_dist = 1.0 - vec_vals
-
-    # ---- bm25 branch -------------------------------------------------
     idf = okapi_idf(df, n_sub)
     avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
-
     bm_scores = jax.vmap(
         lambda t, c: okapi_score_rows(
             term_ids, tfs, doc_len, avgdl,
             okapi_query_weights(idf, t, c, vocab_pad), vocab_pad,
         )
     )(q_terms, q_counts)                                  # [B, N]
-    k_bm_eff = min(k_bm25, emb.shape[0])
-    b_vals, b_rows = jax.lax.top_k(bm_scores + mask_bias[None, :], k_bm_eff)
-    b_rows = jnp.where(b_vals > NEG_INF / 2, b_rows.astype(jnp.int32), -1)
-    b_vals = jnp.where(b_rows >= 0, b_vals, 0.0)
-    # A query with zero usable terms returns no bm25 rows.
     has_terms = jnp.any(q_terms >= 0, axis=1, keepdims=True)
-    b_rows = jnp.where(has_terms, b_rows, -1)
-
-    # ---- fusion ------------------------------------------------------
-    from classmate_rag_tpu.ops.fusion import rrf_merge
-
-    def fuse_one(vr, br, vd, bs):
-        return rrf_merge(
-            vr, br, vd, bs, weight_vector, weight_bm25, rrf_k, top_k
-        )
-
-    rows, fused, vdist, bscore = jax.vmap(fuse_one)(
-        vec_rows, b_rows, vec_dist, b_vals
+    bm_rows, bm_vals = _bm25_postprocess(
+        bm_scores, mask_bias, has_terms, k_bm25=k_bm25
     )
-    return HybridBatchResult(rows, fused, vdist, bscore)
+    return _fuse(
+        vec_rows, vec_dist, bm_rows, bm_vals,
+        weight_vector=weight_vector, weight_bm25=weight_bm25,
+        rrf_k=rrf_k, top_k=top_k,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
+        "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
+    ),
+)
+def hybrid_query_step_split(
+    emb,            # [N, d] bf16
+    tf_head,        # u8 [N, C] — split-frequency BM25 head matrix
+    post_rows,      # i32 [P] — tail postings
+    post_tfs,       # u8 [P]
+    doc_len,        # [N] f32
+    df,             # [vocab_pad+1] f32
+    mask_bias,      # [N] f32
+    q_vecs,         # [B, d] f32
+    qh_slots, qh_tids, q_counts_h,      # head query arrays [B, M]
+    u_starts, u_lens, u_tids,           # batch tail-term union [U]
+    qr_u, q_counts_r,                   # per-query tail mapping [B, M]
+    has_terms,      # bool [B, 1]: query had ≥1 vocab-known term (host-computed
+                    # so zero-posting terms rank zero-score rows, as the
+                    # gather path and the reference do)
+    *,
+    k_vector: int = 8,
+    k_bm25: int = 8,
+    top_k: int = 8,
+    pool: int = 24,
+    vocab_pad: int = 4096,
+    r_cap: int = 1024,
+    use_mmr: bool = True,
+    mmr_lambda: float = 0.5,
+    rrf_k: int = 60,
+    weight_vector: float = 1.0,
+    weight_bm25: float = 1.0,
+) -> HybridBatchResult:
+    """The fused step with split-frequency BM25 (head matmul + tail
+    postings) — same results as ``hybrid_query_step``, much less gather
+    traffic at large batch."""
+    from classmate_rag_tpu.index.lexical import split_fns
+
+    vec_rows, vec_dist = _dense_branch(
+        emb, mask_bias, q_vecs,
+        k_vector=k_vector, pool=pool, use_mmr=use_mmr, mmr_lambda=mmr_lambda,
+    )
+    bm25_split_scores, _ = split_fns()
+    bm_scores = bm25_split_scores(
+        tf_head, post_rows, post_tfs, doc_len, mask_bias, df,
+        qh_slots, qh_tids, q_counts_h, u_starts, u_lens, u_tids,
+        qr_u, q_counts_r, vocab_pad=vocab_pad, r_cap=r_cap,
+    )
+    bm_rows, bm_vals = _bm25_postprocess(
+        bm_scores, mask_bias, has_terms, k_bm25=k_bm25
+    )
+    return _fuse(
+        vec_rows, vec_dist, bm_rows, bm_vals,
+        weight_vector=weight_vector, weight_bm25=weight_bm25,
+        rrf_k=rrf_k, top_k=top_k,
+    )
