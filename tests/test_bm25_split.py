@@ -1,0 +1,126 @@
+"""Split-frequency BM25 must match the gather formulation exactly-ish.
+
+The split path (head matmul + batch-union tail matmul) and the gather path
+(okapi_score_rows) are two formulations of the same Okapi math; scores must
+agree to float tolerance on random corpora, filtered and unfiltered,
+including head/tail boundary terms.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from classmate_rag_tpu.index.lexical import (
+    device_fns,
+    okapi_idf,
+    okapi_query_weights,
+    okapi_score_rows,
+    split_fns,
+)
+from classmate_rag_tpu.index.store import IndexStore
+
+
+@pytest.fixture(scope="module")
+def store():
+    rng = np.random.default_rng(3)
+    n, dim = 600, 16
+    st = IndexStore(dim, "/tmp/unused-split-test", slab_rows=128,
+                    terms_per_chunk=24)
+    # Force a meaningful head/tail split on a small corpus.
+    st.HEAD_DF_THRESHOLD = 8
+    vocab_words = [f"t{i}" for i in range(120)]
+    weights = 1.0 / np.arange(1, len(vocab_words) + 1)
+    weights /= weights.sum()
+    docs = []
+    for _ in range(n):
+        k = rng.integers(5, 20)
+        docs.append([vocab_words[i] for i in rng.choice(len(vocab_words),
+                                                        size=k, p=weights)])
+    embs = rng.standard_normal((n, dim)).astype(np.float32)
+    metas = [{"course": "a" if i % 3 else "b"} for i in range(n)]
+    st.upsert([f"d{i}" for i in range(n)], embs, docs, metas)
+    return st, docs
+
+
+def _scores_both(st, q_tids, q_counts, where):
+    dev = st._sync_device()
+    bias = st._mask_bias(where)
+    subset_df, _ = device_fns()
+    df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, st.vocab_pad)
+    keep = np.asarray(bias) == 0
+    n_sub = float(max(keep.sum(), 1))
+    idf = okapi_idf(df, jnp.float32(n_sub))
+    avgdl = float((np.asarray(dev["doc_len"]) * keep).sum() / n_sub)
+
+    gather = np.stack([
+        np.asarray(okapi_score_rows(
+            dev["term_ids"], dev["tfs"], dev["doc_len"], jnp.float32(avgdl),
+            okapi_query_weights(idf, jnp.asarray(q_tids[b]),
+                                jnp.asarray(q_counts[b]), st.vocab_pad),
+            st.vocab_pad,
+        )) for b in range(q_tids.shape[0])
+    ]) * keep[None, :]
+
+    split = st._sync_split()
+    qa = st._split_query_arrays(q_tids, q_counts)
+    scores_fn, _ = split_fns()
+    split_scores = np.asarray(scores_fn(
+        split["tf_head"], split["post_rows"], split["post_tfs"],
+        dev["doc_len"], bias, df,
+        jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
+        jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
+        jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
+        jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
+        vocab_pad=st.vocab_pad, r_cap=split["r_cap"],
+    ))
+    return gather, split_scores
+
+
+def _query_arrays(st, term_lists, m=16):
+    b = len(term_lists)
+    q_tids = np.full((b, m), -1, np.int32)
+    q_counts = np.zeros((b, m), np.float32)
+    for i, terms in enumerate(term_lists):
+        counts = {}
+        for t in terms:
+            tid = st.vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0.0) + 1.0
+        for j, (tid, c) in enumerate(list(counts.items())[:m]):
+            q_tids[i, j] = tid
+            q_counts[i, j] = c
+    return q_tids, q_counts
+
+
+def test_split_structure_nontrivial(store):
+    st, _ = store
+    split = st._sync_split()
+    assert split["tf_head"].shape[1] >= 128
+    assert int((np.asarray(split["lut"]) >= 0).sum()) > 0  # some head terms
+    assert int(split["offsets"][-1]) > 0                   # some tail postings
+
+
+@pytest.mark.parametrize("where", [None, {"course": "a"}])
+def test_split_matches_gather(store, where):
+    st, docs = store
+    rng = np.random.default_rng(9)
+    queries = []
+    for _ in range(6):
+        doc = docs[int(rng.integers(0, len(docs)))]
+        queries.append(list(rng.choice(doc, size=min(4, len(doc)),
+                                       replace=False)))
+    queries.append(["t0", "t0", "t1"])        # duplicate head terms
+    queries.append(["t119"])                  # rare tail term
+    q_tids, q_counts = _query_arrays(st, queries)
+    gather, split = _scores_both(st, q_tids, q_counts, where)
+    np.testing.assert_allclose(split, gather, atol=2e-4, rtol=2e-4)
+
+
+def test_split_after_delete(store):
+    st, docs = store
+    st.delete(["d0", "d1", "d2"])
+    q_tids, q_counts = _query_arrays(st, [["t0", "t5"]])
+    gather, split = _scores_both(st, q_tids, q_counts, None)
+    np.testing.assert_allclose(split, gather, atol=2e-4, rtol=2e-4)
+    assert split[0, 0] == 0.0  # tombstoned rows score zero
