@@ -41,6 +41,13 @@ class EncoderConfig:
     pad_id: int = 1
     ln_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # Use the Pallas flash-attention kernel for sequences >= this length.
+    # Measured on v5e at (B=16, T=512, head_dim=64): flash matches
+    # numerically (cos 1.0) but runs SLOWER than XLA's fused attention
+    # (35.6 vs 24.2 ms/batch) — the [T, T] scores at these sizes fit
+    # on-chip and XLA already avoids the HBM round-trip. Kept for longer
+    # contexts where the quadratic buffer stops fitting.
+    flash_min_seq: int = 1024
 
     @classmethod
     def base(cls) -> "EncoderConfig":
@@ -217,6 +224,42 @@ def encode(
     head_dim = H // n_heads
     # Additive attention bias: 0 for real tokens, -inf for padding.
     attn_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
+    # Flash attention only helps (and only tiles) at longer sequences; the
+    # decision is static per compiled shape. Pad tokens get segment id 0
+    # vs 1 for real tokens, which reproduces the padding mask (pad keys
+    # never attend to real queries and vice versa).
+    use_flash = (
+        T >= config.flash_min_seq
+        and T % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+    seg = mask.astype(jnp.int32)
+
+    def _attend(q, k, v):
+        """q/k/v: [B, T, heads, head_dim] → context [B, T, H]."""
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention,
+            )
+
+            ctx = flash_attention(
+                q.astype(cdtype).transpose(0, 2, 1, 3),
+                k.astype(cdtype).transpose(0, 2, 1, 3),
+                v.astype(cdtype).transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=False,
+                sm_scale=1.0 / math.sqrt(head_dim),
+            )
+            return ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q.astype(cdtype), k.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(head_dim)
+        probs = jax.nn.softmax(scores + attn_bias, axis=-1)
+        return jnp.einsum(
+            "bnqk,bknd->bqnd", probs.astype(cdtype), v.astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, T, H)
 
     def layer_step(hidden, lp):
         hcd = hidden.astype(cdtype)
@@ -229,16 +272,7 @@ def encode(
         q = proj(lp["q_w"], lp["q_b"])
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
-
-        scores = jnp.einsum(
-            "bqnd,bknd->bnqk", q.astype(cdtype), k.astype(cdtype),
-            preferred_element_type=jnp.float32,
-        ) / math.sqrt(head_dim)
-        probs = jax.nn.softmax(scores + attn_bias, axis=-1)
-        ctx = jnp.einsum(
-            "bnqk,bknd->bqnd", probs.astype(cdtype), v.astype(cdtype),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, T, H)
+        ctx = _attend(q, k, v)
         attn_out = jnp.einsum(
             "bth,hd->btd", ctx.astype(cdtype), lp["o_w"].astype(cdtype),
             preferred_element_type=jnp.float32,
