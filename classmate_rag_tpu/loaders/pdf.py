@@ -518,6 +518,9 @@ class PdfDocument:
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+)
 _HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
@@ -544,6 +547,13 @@ class FontDecoder:
     def _parse_cmap(self, data: bytes) -> None:
         if not data:
             return
+        # The codespacerange is authoritative for the code byte width —
+        # a Type0 font can still declare a 1-byte codespace.
+        for m in _CODESPACE_RE.finditer(data):
+            bounds = _HEX_TOKEN_RE.findall(m.group(1))
+            if bounds:
+                self.code_len = max(1, len(bounds[0]) // 2)
+                break
         for m in _BFCHAR_RE.finditer(data):
             toks = _HEX_TOKEN_RE.findall(m.group(1))
             for i in range(0, len(toks) - 1, 2):
@@ -593,6 +603,10 @@ class FontDecoder:
                 if mapped is None and step == 2:
                     # Some CMaps mix widths; retry single byte.
                     mapped = self.cmap.get(raw[i])
+                if mapped is None and 0x20 <= code <= 0xFF:
+                    # Unmapped printable single-byte code (typically the
+                    # space): fall back to Latin-1 rather than dropping it.
+                    mapped = chr(code)
                 out.append(mapped if mapped is not None else "")
             return "".join(out)
         if self.code_len == 2:
