@@ -164,6 +164,9 @@ def oracle_query(qv, terms, emb, bm25, k=K):
 # ---------------------------------------------------------------------------
 
 def main() -> None:
+    from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     rng = np.random.default_rng(42)
     docs, emb = build_corpus(rng)
     queries = make_queries(rng, docs, emb)

@@ -97,12 +97,16 @@ class E5Encoder:
             for start in range(0, len(indices), max_batch):
                 group = indices[start : start + max_batch]
                 rows = [encoded[i] for i in group]
-                # Static shapes for XLA, but pad the batch only to the next
-                # power of two ≥ the group (≤ max_batch): a single query
-                # must not pay a full max_batch (512x) forward.
-                batch_size = max(
-                    8, 2 ** int(math.ceil(math.log2(max(len(rows), 1))))
-                )
+                # Static shapes for XLA with a BOUNDED shape set: batch pads
+                # to the smallest of {8, 64, max_batch} that fits. Arbitrary
+                # power-of-two padding minimizes waste but each new shape
+                # costs a full XLA compile (~30s via remote compile) —
+                # three steps per bucket caps compiles while keeping a
+                # single query from paying a 512-row forward.
+                for candidate in (8, 64, max_batch):
+                    if len(rows) <= candidate:
+                        batch_size = min(candidate, max_batch)
+                        break
                 n_pad = batch_size - len(rows)
                 rows_padded = rows + [[0]] * n_pad
                 ids_arr, mask_arr = pad_to_bucket(rows_padded, bucket)

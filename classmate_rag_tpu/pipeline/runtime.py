@@ -71,6 +71,9 @@ def get_runtime(reload: bool = False) -> Runtime:
     global _RUNTIME
     if _RUNTIME is not None and not reload:
         return _RUNTIME
+    from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(reload=reload)
     embedder = get_caching_embedder(cfg)
     catalog = Catalog.load_or_create(cfg.bm25_dir)

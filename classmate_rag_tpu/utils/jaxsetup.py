@@ -1,0 +1,33 @@
+"""Process-level JAX configuration helpers."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def enable_compilation_cache() -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    On this class of deployment XLA compiles run through a remote service
+    (~30-180s for the encoder); caching executables on disk cuts every
+    subsequent process start by ~3x. Honors an explicit
+    JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache.
+    """
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    try:
+        import jax
+
+        cache_dir = os.getenv("JAX_COMPILATION_CACHE_DIR") or str(
+            Path.home() / ".cache" / "classmate_rag_tpu" / "jax"
+        )
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # never fail the pipeline over cache plumbing
