@@ -59,7 +59,13 @@ def get_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None)
 
     from classmate_rag_tpu.embeddings.encoder import E5Encoder  # defer jax import
 
-    return E5Encoder(model_name=name, model_dir=snapshot)
+    model_dir = snapshot
+    if model_dir is None and backend == "e5":
+        # Forced-e5 runs random-init when weights are absent, but a
+        # tokenizer-only model_dir must still supply the real tokenizer.
+        if cfg.embedding_model_dir and Path(cfg.embedding_model_dir).exists():
+            model_dir = cfg.embedding_model_dir
+    return E5Encoder(model_name=name, model_dir=model_dir)
 
 
 def get_caching_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):

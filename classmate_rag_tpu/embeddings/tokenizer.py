@@ -64,10 +64,10 @@ class HashTokenizer:
 class HFTokenizer:
     """tokenizer.json-backed tokenizer (requires the `tokenizers` package).
 
-    ``force_xlmr_specials`` wraps ids in the XLM-R <s>…</s> frame expected
-    by the E5 encoder; decoder checkpoints (LLaMA-family) must NOT get
-    that frame — their tokenizer.json already applies its own template
-    (use ``encode_raw``).
+    ``encode``/``encode_batch`` wrap ids in the XLM-R <s>…</s> frame the
+    E5 encoder expects; decoder checkpoints (LLaMA-family) must NOT get
+    that frame — their tokenizer.json already applies its own template —
+    so they use ``encode_raw``.
     """
 
     def __init__(self, tokenizer_file: Path, max_length: int = 512) -> None:

@@ -191,20 +191,26 @@ class TPUDecodeRunner:
 
         # Config comes from the checkpoint when one is given: a hardcoded
         # default against real 4096-wide tensors would fail shape checks.
-        self.eos_id = 2
-        if config is None and model_dir:
-            config = DecoderConfig.from_hf_config(model_dir)
+        # eos detection is independent of an explicit config: checkpoints
+        # may declare several eos ids (e.g. Llama-3-Instruct's
+        # [end_of_text, eot_id]) — the LAST one ends chat turns, and all of
+        # them are stripped from output.
+        self.eos_ids = [2]
+        if model_dir:
+            if config is None:
+                config = DecoderConfig.from_hf_config(model_dir)
             try:
                 raw = json.loads(
                     (Path(model_dir) / "config.json").read_text()
                 )
                 eos = raw.get("eos_token_id")
-                if isinstance(eos, list):
-                    eos = eos[0]
                 if isinstance(eos, int):
-                    self.eos_id = eos
+                    self.eos_ids = [eos]
+                elif isinstance(eos, list) and eos:
+                    self.eos_ids = [e for e in eos if isinstance(e, int)]
             except (OSError, ValueError):
                 pass
+        self.eos_id = self.eos_ids[-1]
         self.config = config or DecoderConfig.small()
         self.model_name = f"tpu-decoder-{self.config.hidden}"
         params = None
@@ -244,7 +250,7 @@ class TPUDecodeRunner:
             self.eos_id,
         )
         out = np.asarray(toks)[0].tolist()
-        return [t for t in out if t != self.eos_id]
+        return [t for t in out if t not in self.eos_ids]
 
     def chat(
         self,

@@ -158,18 +158,6 @@ def okapi_query_weights(idf, q_terms, q_counts, vocab_pad: int):
     ).at[vocab_pad].set(0.0)
 
 
-def okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad: int):
-    """scores [N] = Σ_l w[term_ids] · sat(tf, dl) — the one gather pass."""
-    import jax.numpy as jnp
-
-    gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]
-    tf = tfs.astype(jnp.float32)
-    sat = tf * (K1 + 1.0) / (
-        tf + K1 * (1.0 - B + B * doc_len[:, None] / avgdl)
-    )
-    return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
-
-
 def okapi_sat(tf, doc_len, avgdl):
     """BM25 term-frequency saturation; ``tf`` broadcastable against
     ``doc_len`` (caller shapes them)."""
@@ -177,6 +165,15 @@ def okapi_sat(tf, doc_len, avgdl):
 
     tf = tf.astype(jnp.float32)
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * doc_len / avgdl))
+
+
+def okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad: int):
+    """scores [N] = Σ_l w[term_ids] · sat(tf, dl) — the one gather pass."""
+    import jax.numpy as jnp
+
+    gathered = w[jnp.where(term_ids >= 0, term_ids, vocab_pad)]
+    sat = okapi_sat(tfs, doc_len[:, None], avgdl)
+    return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
 
 
 def _bm25_split_fns():

@@ -268,6 +268,20 @@ class IndexStore:
         head_candidates = np.argsort(-df, kind="stable")
         head_terms = head_candidates[: self.MAX_HEAD_TERMS]
         head_terms = head_terms[df[head_terms] > self.HEAD_DF_THRESHOLD]
+        n_over = int((df > self.HEAD_DF_THRESHOLD).sum()) - len(head_terms)
+        if n_over > 0:
+            # Known scale limit: overflow high-df terms fall to the tail
+            # and inflate r_cap (device time/memory per batch). Trade off
+            # by raising MAX_HEAD_TERMS (head matrix memory, N×C bytes)
+            # for such corpora.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "BM25 head capacity exceeded: %d terms above df>%d fall to "
+                "the tail; r_cap will grow. Consider raising "
+                "MAX_HEAD_TERMS (head matrix is %d x %d bytes).",
+                n_over, self.HEAD_DF_THRESHOLD, cap, self.MAX_HEAD_TERMS,
+            )
         c_pad = max(128, _round_up(len(head_terms), 128))
         lut = np.full(n_vocab, -1, dtype=np.int32)
         lut[head_terms] = np.arange(len(head_terms), dtype=np.int32)

@@ -603,9 +603,11 @@ class FontDecoder:
                 if mapped is None and step == 2:
                     # Some CMaps mix widths; retry single byte.
                     mapped = self.cmap.get(raw[i])
-                if mapped is None and 0x20 <= code <= 0xFF:
-                    # Unmapped printable single-byte code (typically the
+                if mapped is None and step == 1 and 0x20 <= code <= 0xFF:
+                    # Unmapped printable SINGLE-byte code (typically the
                     # space): fall back to Latin-1 rather than dropping it.
+                    # 2-byte CIDs are glyph indices — Latin-1 would be
+                    # mojibake for subset fonts with partial ToUnicode.
                     mapped = chr(code)
                 out.append(mapped if mapped is not None else "")
             return "".join(out)

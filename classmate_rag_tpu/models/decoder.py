@@ -85,7 +85,8 @@ class DecoderConfig:
                                      raw["num_attention_heads"])),
                 ffn=int(raw["intermediate_size"]),
                 max_seq=int(raw.get("max_position_embeddings", 8192)),
-                rope_theta=float(raw.get("rope_theta", 500000.0)),
+                # HF treats an absent rope_theta as 10000 (LLaMA-2 era).
+                rope_theta=float(raw.get("rope_theta", 10000.0)),
                 norm_eps=float(raw.get("rms_norm_eps", 1e-5)),
             )
         except (KeyError, TypeError, ValueError):
