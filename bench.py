@@ -49,11 +49,15 @@ def build_corpus(rng):
     # Zipf ranks: p(i) ∝ 1/(i+1)
     weights = 1.0 / np.arange(1, len(vocab) + 1)
     weights /= weights.sum()
+    # One vectorized draw for all docs (a per-doc rng.choice loop costs
+    # ~1 minute at 50k docs), sliced to per-doc lengths.
+    lengths = rng.integers(40, 120, size=N_CHUNKS)
+    all_idx = rng.choice(len(vocab), size=int(lengths.sum()), p=weights)
     docs = []
-    for _ in range(N_CHUNKS):
-        n_words = rng.integers(40, 120)
-        idx = rng.choice(len(vocab), size=n_words, p=weights)
-        docs.append([vocab[i] for i in idx])
+    pos = 0
+    for n_words in lengths:
+        docs.append([vocab[i] for i in all_idx[pos : pos + n_words]])
+        pos += n_words
     emb = rng.standard_normal((N_CHUNKS, DIM)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     return docs, emb

@@ -105,7 +105,9 @@ class IndexStore:
     def _grow_to(self, rows: int) -> None:
         if rows <= self.capacity:
             return
-        new_cap = _round_up(rows, self.slab_rows)
+        # Geometric growth (≥2x) so a large ingest costs O(N) copying, not
+        # O(N²/slab); still slab-aligned for stable device shapes.
+        new_cap = _round_up(max(rows, 2 * self.capacity), self.slab_rows)
 
         def grow(arr: np.ndarray, fill=0) -> np.ndarray:
             shape = (new_cap,) + arr.shape[1:]

@@ -98,6 +98,30 @@ def test_add_via_http(server):
     assert body["vectors"] == 2
 
 
+def test_concurrent_asks(server):
+    base, _ = server
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            for _ in range(3):
+                code, body = _post(base + "/ask", {
+                    "question": f"backpropagation gradients {i}", "k": 2,
+                })
+                assert code == 200
+                results.append(body["answer"])
+        except Exception as exc:  # noqa: BLE001 - recorded for the assert
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 18
+
+
 def test_error_paths(server):
     base, _ = server
     code, body = _post(base + "/ask", {})
