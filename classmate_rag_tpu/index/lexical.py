@@ -202,14 +202,15 @@ def _bm25_split_fns():
 
     @functools.partial(jax.jit, static_argnames=("vocab_pad", "r_cap"))
     def bm25_split_scores(
-        tf_head,      # u8 [N, C] — dense tf of head terms
+        tf_head,      # u8 [C, N] — dense tf of head terms, TERM-major
         post_rows,    # i32 [P] — tail postings: row ids (term-major)
         post_tfs,     # u8 [P]
         doc_len,      # f32 [N]
         mask_bias,    # f32 [N]
         df,           # f32 [vocab_pad+1] — subset df
-        qh_slots,     # i32 [B, M] head-slot per query term (-1 = not head)
-        qh_tids,      # i32 [B, M] vocab ids for the head terms (-1 pad)
+        h_slots,      # i32 [H] — distinct head slots in this batch (-1 pad)
+        h_tids,       # i32 [H] — their vocab ids (-1 pad)
+        qh_h,         # i32 [B, M] — index into H per query term (-1 = none)
         q_counts_h,   # f32 [B, M]
         u_starts,     # i32 [U] — posting range start per distinct tail term
         u_lens,       # i32 [U] (0 = padding slot)
@@ -223,24 +224,33 @@ def _bm25_split_fns():
         n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
         idf = okapi_idf(df, n_sub)
         avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
-        bq, m = qh_slots.shape
-        c = tf_head.shape[1]
+        bq, m = qh_h.shape
+        h = h_slots.shape[0]
         u = u_starts.shape[0]
-        n = tf_head.shape[0]
+        n = tf_head.shape[1]
         b_idx = jnp.broadcast_to(jnp.arange(bq)[:, None], (bq, m))
 
-        # ---- head: dense matmul --------------------------------------
-        sat_head = okapi_sat(tf_head, doc_len[:, None], avgdl)
-        sat_head = sat_head * (tf_head > 0) * keep[:, None]      # [N, C] f32
-        w_head = jnp.zeros((bq, c + 1), jnp.float32)
-        slot_safe = jnp.where(qh_slots >= 0, qh_slots, c)
-        tid_safe = jnp.where(qh_tids >= 0, qh_tids, vocab_pad)
-        w_vals = jnp.where(qh_slots >= 0, q_counts_h * idf[tid_safe], 0.0)
-        w_head = w_head.at[b_idx, slot_safe].add(w_vals)[:, :c]
+        # ---- head: gather only the batch's head-term rows, then matmul.
+        # tf_head is term-major so each needed term is one contiguous
+        # [N]-row DMA; per-batch cost scales with the batch's distinct
+        # head terms, not the full head capacity.
+        tf_sub = tf_head[jnp.maximum(h_slots, 0)]                # [H, N] u8
+        sat_sub = okapi_sat(tf_sub, doc_len[None, :], avgdl)
+        sat_sub = sat_sub * (tf_sub > 0) * keep[None, :]
+        sat_sub = sat_sub * (h_slots >= 0)[:, None]              # [H, N] f32
+
+        h_tid_safe = jnp.where(h_tids >= 0, h_tids, vocab_pad)
+        h_idf = idf[h_tid_safe]                                  # [H]
+        w_head = jnp.zeros((bq, h + 1), jnp.float32)
+        qh_safe = jnp.where(qh_h >= 0, qh_h, h)
+        w_head = w_head.at[b_idx, qh_safe].add(
+            jnp.where(qh_h >= 0, q_counts_h, 0.0)
+        )[:, :h]
+        w_head = w_head * h_idf[None, :]
         # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
         # a 0.2% relative error that visibly perturbs BM25 rankings.
         scores = jnp.einsum(
-            "bc,nc->bn", w_head, sat_head,
+            "bh,hn->bn", w_head, sat_sub,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -281,7 +291,7 @@ def _bm25_split_fns():
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return scores
+        return scores * keep[None, :]
 
     @functools.partial(
         jax.jit, static_argnames=("vocab_pad", "r_cap", "top_k")

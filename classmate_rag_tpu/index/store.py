@@ -245,7 +245,11 @@ class IndexStore:
     # -- split-frequency BM25 structures ---------------------------------
 
     HEAD_DF_THRESHOLD = 256    # tail posting lists stay ≲ this long
-    MAX_HEAD_TERMS = 2048
+    # Head capacity adapts to cover every term above the threshold, within
+    # this device-memory budget for the [C, N] u8 head matrix (per-batch
+    # compute only touches the batch's own head terms, so a large C costs
+    # memory, not time).
+    HEAD_BYTES_BUDGET = 2 << 30
 
     def _sync_split(self) -> Dict[str, Any]:
         """Head/tail BM25 layout (see lexical._bm25_split_fns), rebuilt
@@ -267,22 +271,21 @@ class IndexStore:
         )[present]
 
         df = np.bincount(ids_p, minlength=n_vocab)
+        max_head = max(128, int(self.HEAD_BYTES_BUDGET // max(cap, 1)))
         head_candidates = np.argsort(-df, kind="stable")
-        head_terms = head_candidates[: self.MAX_HEAD_TERMS]
+        head_terms = head_candidates[:max_head]
         head_terms = head_terms[df[head_terms] > self.HEAD_DF_THRESHOLD]
         n_over = int((df > self.HEAD_DF_THRESHOLD).sum()) - len(head_terms)
         if n_over > 0:
-            # Known scale limit: overflow high-df terms fall to the tail
-            # and inflate r_cap (device time/memory per batch). Trade off
-            # by raising MAX_HEAD_TERMS (head matrix memory, N×C bytes)
-            # for such corpora.
+            # Corpus too large for the head budget: overflow high-df terms
+            # fall to the tail and inflate r_cap (device time per batch).
             import logging
 
             logging.getLogger(__name__).warning(
-                "BM25 head capacity exceeded: %d terms above df>%d fall to "
-                "the tail; r_cap will grow. Consider raising "
-                "MAX_HEAD_TERMS (head matrix is %d x %d bytes).",
-                n_over, self.HEAD_DF_THRESHOLD, cap, self.MAX_HEAD_TERMS,
+                "BM25 head budget exceeded: %d terms above df>%d fall to "
+                "the tail; r_cap will grow. Raise HEAD_BYTES_BUDGET "
+                "(head matrix is C x %d bytes).",
+                n_over, self.HEAD_DF_THRESHOLD, cap,
             )
         c_pad = max(128, _round_up(len(head_terms), 128))
         lut = np.full(n_vocab, -1, dtype=np.int32)
@@ -290,8 +293,10 @@ class IndexStore:
 
         slots = np.where(ids_p >= 0, lut[ids_p], -1)
         is_head = slots >= 0
-        tf_head = np.zeros((cap, c_pad), dtype=np.uint8)
-        tf_head[rows_p[is_head], slots[is_head]] = tfs_p[is_head]
+        # TERM-major: one contiguous [N] row per head term (per-batch row
+        # gathers instead of an [N, C] materialization).
+        tf_head = np.zeros((c_pad, cap), dtype=np.uint8)
+        tf_head[slots[is_head], rows_p[is_head]] = tfs_p[is_head]
 
         rare_ids = ids_p[~is_head]
         rare_rows = rows_p[~is_head].astype(np.int32)
@@ -323,8 +328,8 @@ class IndexStore:
         return self._split
 
     def _split_query_arrays(self, q_tids: np.ndarray, q_counts: np.ndarray):
-        """Map [B, M] query term ids onto head slots and the batch's
-        distinct-tail-term union (see lexical._bm25_split_fns)."""
+        """Map [B, M] query term ids onto the batch's distinct head-term
+        and tail-term unions (see lexical._bm25_split_fns)."""
         split = self._sync_split()
         lut = split["lut"]
         offsets = split["offsets"]
@@ -335,27 +340,39 @@ class IndexStore:
         lens = offsets[safe + 1] - starts
         is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
 
-        rare_tids = np.unique(q_tids[is_rare]) if is_rare.any() else (
-            np.zeros(0, dtype=q_tids.dtype)
-        )
-        u_real = len(rare_tids)
-        u_pad = max(8, 1 << int(np.ceil(np.log2(max(u_real, 1)))))
-        u_tids = np.full(u_pad, -1, dtype=np.int32)
-        u_starts = np.zeros(u_pad, dtype=np.int32)
-        u_lens = np.zeros(u_pad, dtype=np.int32)
-        if u_real:
-            u_tids[:u_real] = rare_tids
-            u_starts[:u_real] = offsets[rare_tids]
-            u_lens[:u_real] = (
+        def union(mask, values):
+            """Distinct values under mask → (padded array, per-pos index)."""
+            distinct = np.unique(values[mask]) if mask.any() else (
+                np.zeros(0, dtype=values.dtype)
+            )
+            real = len(distinct)
+            padded_n = max(8, 1 << int(np.ceil(np.log2(max(real, 1)))))
+            padded = np.full(padded_n, -1, dtype=np.int32)
+            padded[:real] = distinct
+            idx = np.full(values.shape, -1, dtype=np.int32)
+            if real:
+                idx[mask] = np.searchsorted(
+                    distinct, values[mask]
+                ).astype(np.int32)
+            return distinct, padded, idx
+
+        head_tids, h_tids, qh_h = union(is_head, q_tids)
+        h_slots = np.full(len(h_tids), -1, dtype=np.int32)
+        if len(head_tids):
+            h_slots[: len(head_tids)] = lut[head_tids]
+
+        rare_tids, u_tids, qr_u = union(is_rare, q_tids)
+        u_starts = np.zeros(len(u_tids), dtype=np.int32)
+        u_lens = np.zeros(len(u_tids), dtype=np.int32)
+        if len(rare_tids):
+            u_starts[: len(rare_tids)] = offsets[rare_tids]
+            u_lens[: len(rare_tids)] = (
                 offsets[rare_tids + 1] - offsets[rare_tids]
             )
-        qr_u = np.full(q_tids.shape, -1, dtype=np.int32)
-        if u_real:
-            pos = np.searchsorted(rare_tids, q_tids[is_rare])
-            qr_u[is_rare] = pos.astype(np.int32)
         return {
-            "qh_slots": np.where(is_head, slots, -1).astype(np.int32),
-            "qh_tids": np.where(is_head, q_tids, -1).astype(np.int32),
+            "h_slots": h_slots,
+            "h_tids": h_tids,
+            "qh_h": qh_h,
             "q_counts_h": q_counts,
             "u_starts": u_starts,
             "u_lens": u_lens,
@@ -483,10 +500,11 @@ class IndexStore:
         vals, rows = split_topk(
             split["tf_head"], split["post_rows"], split["post_tfs"],
             dev["doc_len"], bias, df,
-            jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
-            jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
-            jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
-            jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
+            jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
+            jnp.asarray(qa["q_counts_r"]),
             vocab_pad=vpad, r_cap=split["r_cap"], top_k=k_eff,
         )
         vals_np = np.asarray(vals)[0]
@@ -554,11 +572,11 @@ class IndexStore:
             dev["emb"], split["tf_head"], split["post_rows"],
             split["post_tfs"], dev["doc_len"], df, bias,
             jnp.asarray(query_vecs, jnp.float32),
-            jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
-            jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
-            jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
-            jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
-            jnp.asarray(has_terms),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
+            jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
+            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
             top_k=top_k,

@@ -167,7 +167,7 @@ def hybrid_query_step_split(
     df,             # [vocab_pad+1] f32
     mask_bias,      # [N] f32
     q_vecs,         # [B, d] f32
-    qh_slots, qh_tids, q_counts_h,      # head query arrays [B, M]
+    h_slots, h_tids, qh_h, q_counts_h,  # batch head-term union + mapping
     u_starts, u_lens, u_tids,           # batch tail-term union [U]
     qr_u, q_counts_r,                   # per-query tail mapping [B, M]
     has_terms,      # bool [B, 1]: query had ≥1 vocab-known term (host-computed
@@ -198,7 +198,7 @@ def hybrid_query_step_split(
     bm25_split_scores, _ = split_fns()
     bm_scores = bm25_split_scores(
         tf_head, post_rows, post_tfs, doc_len, mask_bias, df,
-        qh_slots, qh_tids, q_counts_h, u_starts, u_lens, u_tids,
+        h_slots, h_tids, qh_h, q_counts_h, u_starts, u_lens, u_tids,
         qr_u, q_counts_r, vocab_pad=vocab_pad, r_cap=r_cap,
     )
     bm_rows, bm_vals = _bm25_postprocess(

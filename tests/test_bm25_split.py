@@ -68,10 +68,11 @@ def _scores_both(st, q_tids, q_counts, where):
     split_scores = np.asarray(scores_fn(
         split["tf_head"], split["post_rows"], split["post_tfs"],
         dev["doc_len"], bias, df,
-        jnp.asarray(qa["qh_slots"]), jnp.asarray(qa["qh_tids"]),
-        jnp.asarray(qa["q_counts_h"]), jnp.asarray(qa["u_starts"]),
-        jnp.asarray(qa["u_lens"]), jnp.asarray(qa["u_tids"]),
-        jnp.asarray(qa["qr_u"]), jnp.asarray(qa["q_counts_r"]),
+        jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+        jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
+        jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+        jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
+        jnp.asarray(qa["q_counts_r"]),
         vocab_pad=st.vocab_pad, r_cap=split["r_cap"],
     ))
     return gather, split_scores
@@ -96,7 +97,7 @@ def _query_arrays(st, term_lists, m=16):
 def test_split_structure_nontrivial(store):
     st, _ = store
     split = st._sync_split()
-    assert split["tf_head"].shape[1] >= 128
+    assert split["tf_head"].shape[0] >= 128
     assert int((np.asarray(split["lut"]) >= 0).sum()) > 0  # some head terms
     assert int(split["offsets"][-1]) > 0                   # some tail postings
 
