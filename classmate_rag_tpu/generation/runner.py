@@ -206,8 +206,10 @@ class TPUDecodeRunner:
                 eos = raw.get("eos_token_id")
                 if isinstance(eos, int):
                     self.eos_ids = [eos]
-                elif isinstance(eos, list) and eos:
-                    self.eos_ids = [e for e in eos if isinstance(e, int)]
+                elif isinstance(eos, list):
+                    ints = [e for e in eos if isinstance(e, int)]
+                    if ints:  # keep the [2] default for non-int lists
+                        self.eos_ids = ints
             except (OSError, ValueError):
                 pass
         self.eos_id = self.eos_ids[-1]

@@ -160,7 +160,7 @@ def hybrid_query_step(
 )
 def hybrid_query_step_split(
     emb,            # [N, d] bf16
-    tf_head,        # u8 [N, C] — split-frequency BM25 head matrix
+    tf_head,        # u8 [C, N] — split-frequency BM25 head matrix (term-major)
     post_rows,      # i32 [P] — tail postings
     post_tfs,       # u8 [P]
     doc_len,        # [N] f32

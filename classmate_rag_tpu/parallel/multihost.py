@@ -31,7 +31,10 @@ def initialize(
     process). Arguments default to JAX's environment autodetection."""
     import jax
 
-    if jax.process_count() > 1:
+    # NB: the guard must not touch the XLA backend — jax.process_count()
+    # (and jax.devices()) initialize it, after which
+    # jax.distributed.initialize() unconditionally raises.
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -39,9 +42,18 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
+    except ValueError:
         # Single-process / no coordinator configured: stay local.
         pass
+    except RuntimeError as exc:
+        # Called too late (some JAX call already initialized the XLA
+        # backend) or double-initialized: surface it, then stay local.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (%s); continuing "
+            "single-process.", exc,
+        )
 
 
 def dcn_training_mesh():
