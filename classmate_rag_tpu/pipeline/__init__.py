@@ -10,6 +10,7 @@ _EXPORTS = {
     "ingest_file": "classmate_rag_tpu.pipeline.ingest",
     "IngestResult": "classmate_rag_tpu.pipeline.ingest",
     "ask_question": "classmate_rag_tpu.pipeline.ask",
+    "ask_question_batch": "classmate_rag_tpu.pipeline.ask",
     "AskResult": "classmate_rag_tpu.pipeline.ask",
     "index_stats": "classmate_rag_tpu.pipeline.stats",
     "retrieve_preview": "classmate_rag_tpu.admin.inspect",

@@ -111,6 +111,38 @@ def ask_question(
         )
 
 
+def ask_question_batch(
+    *,
+    questions: List[str],
+    filters: DocumentMetadata,
+    top_k: int = 8,
+    hybrid: bool = True,
+    forced_subject: Optional[str] = None,
+    runtime: Optional[Runtime] = None,
+) -> List[AskResult]:
+    """Batched ask: ONE fused retrieval dispatch for all questions (they
+    share the filter set), then the host-side tail (expansion, prompting,
+    generation, citations) per question. Used by the serving daemon's
+    micro-batcher."""
+    from classmate_rag_tpu.utils.metrics import metrics
+
+    rt = runtime or get_runtime()
+    with metrics.timer("ask_batch"):
+        where = filters.to_dict()
+        batched = rt.retriever.retrieve_batch(
+            questions=list(questions), filters=where, top_k=int(top_k),
+            hybrid=bool(hybrid),
+        )
+        return [
+            _finish_ask(
+                question=q, results=_apply_expansion_and_diversity(list(r), rt),
+                filters=filters, where=where, top_k=top_k, hybrid=hybrid,
+                forced_subject=forced_subject, rt=rt,
+            )
+            for q, r in zip(questions, batched)
+        ]
+
+
 def _ask_question(
     *,
     question: str,
@@ -121,14 +153,30 @@ def _ask_question(
     runtime: Optional[Runtime] = None,
 ) -> AskResult:
     rt = runtime or get_runtime()
-    cfg = rt.cfg
-
     where = filters.to_dict()
     results = rt.retriever.retrieve(
         question=question, filters=where, top_k=int(top_k),
         hybrid=bool(hybrid),
     )
     results = _apply_expansion_and_diversity(list(results), rt)
+    return _finish_ask(
+        question=question, results=results, filters=filters, where=where,
+        top_k=top_k, hybrid=hybrid, forced_subject=forced_subject, rt=rt,
+    )
+
+
+def _finish_ask(
+    *,
+    question: str,
+    results: List[Dict[str, object]],
+    filters: DocumentMetadata,
+    where: Dict[str, object],
+    top_k: int,
+    hybrid: bool,
+    forced_subject: Optional[str],
+    rt: Runtime,
+) -> AskResult:
+    cfg = rt.cfg
 
     forced_lang = None
     if filters.language and filters.language.value in ("en", "it"):

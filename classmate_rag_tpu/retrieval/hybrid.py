@@ -98,6 +98,107 @@ class HybridRetriever:
                 question=question, filters=filters, top_k=top_k, hybrid=hybrid
             )
 
+    def retrieve_batch(
+        self,
+        *,
+        questions: List[str],
+        filters: Optional[Mapping[str, Any]] = None,
+        top_k: int = 8,
+        hybrid: bool = True,
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched hybrid retrieval: ONE fused device dispatch for all
+        questions (they must share one filter dict — group upstream).
+        Returns per-question result lists identical to ``retrieve``'s.
+        """
+        from classmate_rag_tpu.utils.metrics import metrics
+
+        with metrics.timer("retrieve_batch"):
+            return self._retrieve_batch(
+                questions=questions, filters=filters, top_k=top_k,
+                hybrid=hybrid,
+            )
+
+    def _retrieve_batch(
+        self,
+        *,
+        questions: List[str],
+        filters: Optional[Mapping[str, Any]] = None,
+        top_k: int = 8,
+        hybrid: bool = True,
+    ) -> List[List[Dict[str, Any]]]:
+        from classmate_rag_tpu.index.lexical import tokenize
+        from classmate_rag_tpu.utils.lang import detect_lang_tag
+
+        where = dict(filters) if filters else None
+        live = [
+            (i, q) for i, q in enumerate(questions)
+            if q.strip() and len(self.store) > 0
+        ]
+        out: List[List[Dict[str, Any]]] = [[] for _ in questions]
+        if not live:
+            return out
+
+        q_vecs = self.embedder.encode_queries([q for _i, q in live]).astype(
+            np.float32
+        )
+        q_terms = [
+            tokenize(q, detect_lang_tag(q)) if hybrid else []
+            for _i, q in live
+        ]
+        # Pad the device batch to a power of two: micro-batched serving
+        # produces arbitrary batch sizes, and every distinct B is a fresh
+        # XLA compile.
+        n_live = len(live)
+        b_pad = 1 << (n_live - 1).bit_length() if n_live > 1 else 1
+        if b_pad > n_live:
+            q_vecs = np.concatenate(
+                [q_vecs, np.zeros((b_pad - n_live, q_vecs.shape[1]),
+                                  np.float32)]
+            )
+            q_terms = q_terms + [[] for _ in range(b_pad - n_live)]
+        # Same knobs as the per-query path: dense-only widens k_vector to
+        # top_k; empty term lists disable the bm25 branch via has_terms.
+        kv = self.k_vector if hybrid else max(top_k, self.k_vector)
+        result = self.store.hybrid_topk_batch(
+            q_vecs, q_terms, where,
+            k_vector=kv,
+            k_bm25=self.k_bm25,
+            top_k=top_k,
+            pool=max(kv, self.mmr_max_pool) if self.use_mmr else kv,
+            use_mmr=self.use_mmr,
+            mmr_lambda=self.mmr_lambda,
+            rrf_k=self.rrf_k,
+            weight_vector=self.weight_vector if hybrid else 1.0,
+            weight_bm25=self.weight_bm25,
+        )
+        rows = np.asarray(result.rows)
+        fused = np.asarray(result.fused)
+        vdist = np.asarray(result.vec_dist)
+        bscore = np.asarray(result.bm25_score)
+
+        for pos, (i, _q) in enumerate(live):
+            items: List[Dict[str, Any]] = []
+            for j in range(rows.shape[1]):
+                r = int(rows[pos, j])
+                if r < 0 or r >= self.store.n_rows:
+                    continue
+                cid = self.store.ids[r]
+                entry = self.catalog.get(cid)
+                vd = float(vdist[pos, j])
+                bs = float(bscore[pos, j])
+                items.append({
+                    "id": cid,
+                    "document": entry.text if entry else "",
+                    "metadata": dict(entry.metadata) if entry else {},
+                    "scores": {
+                        "vector_distance": None if np.isnan(vd) else vd,
+                        "bm25_score": None if np.isnan(bs) else bs,
+                        "fused": float(fused[pos, j]),
+                    },
+                })
+            out[i] = items
+        return out
+
     def _retrieve(
         self,
         *,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -39,6 +40,75 @@ def _meta_from_payload(payload: Dict[str, Any]):
         tags=filters.get("tags") or payload.get("tags"),
         subject=filters.get("subject") or payload.get("subject"),
     )
+
+
+class MicroBatcher:
+    """Aggregate concurrent /ask requests into one fused device dispatch.
+
+    Requests with identical (filters, k, hybrid, subject) keys batch
+    together: the first arrival becomes the batch leader, waits up to
+    ``max_wait_ms`` for followers (bounded at ``max_batch``), runs
+    ``ask_question_batch`` once, and hands each caller its result. Under
+    load this turns N serialized device round-trips into one — the shape
+    the fused hybrid step is built for. A lone request pays at most the
+    wait window.
+    """
+
+    def __init__(self, runtime, device_lock: threading.Lock,
+                 max_batch: int = 32, max_wait_ms: float = 6.0) -> None:
+        self.runtime = runtime
+        self.device_lock = device_lock
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._lock = threading.Lock()
+        self._batches: Dict[Any, dict] = {}
+
+    def ask(self, question: str, meta, top_k: int, hybrid: bool,
+            subject: Optional[str]):
+        from classmate_rag_tpu.pipeline.ask import ask_question_batch
+
+        key = (json.dumps(meta.to_dict(), sort_keys=True, default=str),
+               top_k, hybrid, subject)
+        with self._lock:
+            batch = self._batches.get(key)
+            if batch is None or batch["closed"]:
+                batch = {
+                    "questions": [], "meta": meta, "done": threading.Event(),
+                    "results": None, "error": None, "closed": False,
+                }
+                self._batches[key] = batch
+                leader = True
+            else:
+                leader = False
+            idx = len(batch["questions"])
+            batch["questions"].append(question)
+            if len(batch["questions"]) >= self.max_batch:
+                batch["closed"] = True
+
+        if leader:
+            if not batch["closed"]:
+                time.sleep(self.max_wait)
+            with self._lock:
+                batch["closed"] = True
+                if self._batches.get(key) is batch:
+                    del self._batches[key]
+            try:
+                with self.device_lock:
+                    batch["results"] = ask_question_batch(
+                        questions=batch["questions"], filters=batch["meta"],
+                        top_k=top_k, hybrid=hybrid, forced_subject=subject,
+                        runtime=self.runtime,
+                    )
+            except Exception as exc:  # propagate to every waiter
+                batch["error"] = exc
+            batch["done"].set()
+        else:
+            batch["done"].wait(timeout=120)
+        if batch["error"] is not None:
+            raise batch["error"]
+        if batch["results"] is None:
+            raise TimeoutError("ask batch timed out")
+        return batch["results"][idx]
 
 
 class RagRequestHandler(BaseHTTPRequestHandler):
@@ -101,20 +171,16 @@ class RagRequestHandler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
     def _handle_ask(self, payload: Dict[str, Any]) -> None:
-        from classmate_rag_tpu.pipeline.ask import ask_question
-
         question = str(payload.get("question") or "").strip()
         if not question:
             raise ValueError("missing 'question'")
-        with self.device_lock:
-            res = ask_question(
-                question=question,
-                filters=_meta_from_payload(payload),
-                top_k=int(payload.get("k", 8)),
-                hybrid=bool(payload.get("hybrid", True)),
-                forced_subject=payload.get("subject"),
-                runtime=self.runtime,
-            )
+        res = self.batcher.ask(
+            question,
+            _meta_from_payload(payload),
+            int(payload.get("k", 8)),
+            bool(payload.get("hybrid", True)),
+            payload.get("subject"),
+        )
         self._send(200, {
             "question": res.question,
             "answer": res.answer,
@@ -165,9 +231,12 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
     """Build (but don't start) the HTTP server with a warm runtime."""
     from classmate_rag_tpu.pipeline.runtime import get_runtime
 
+    rt = runtime or get_runtime()
+    lock = threading.Lock()
     handler = type("Handler", (RagRequestHandler,), {
-        "runtime": runtime or get_runtime(),
-        "device_lock": threading.Lock(),
+        "runtime": rt,
+        "device_lock": lock,
+        "batcher": MicroBatcher(rt, lock),
     })
     return ThreadingHTTPServer((host, port), handler)
 
