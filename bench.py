@@ -34,10 +34,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-N_CHUNKS = 50_000
+import os
+
+N_CHUNKS = int(os.getenv("BENCH_CHUNKS", "50000"))
 DIM = 768
-N_QUERIES = 1024
-TPU_BATCH = 256
+N_QUERIES = int(os.getenv("BENCH_QUERIES", "1024"))
+TPU_BATCH = int(os.getenv("BENCH_BATCH", "256"))
 K = 8
 POOL = 24
 RRF_K = 60
