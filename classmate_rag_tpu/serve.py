@@ -21,7 +21,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import threading
-import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -74,6 +73,7 @@ class MicroBatcher:
             if batch is None or batch["closed"]:
                 batch = {
                     "questions": [], "meta": meta, "done": threading.Event(),
+                    "full": threading.Event(),
                     "results": None, "error": None, "closed": False,
                 }
                 self._batches[key] = batch
@@ -84,10 +84,12 @@ class MicroBatcher:
             batch["questions"].append(question)
             if len(batch["questions"]) >= self.max_batch:
                 batch["closed"] = True
+                batch["full"].set()
 
         if leader:
             if not batch["closed"]:
-                time.sleep(self.max_wait)
+                # Wake early when the batch fills before the window ends.
+                batch["full"].wait(self.max_wait)
             with self._lock:
                 batch["closed"] = True
                 if self._batches.get(key) is batch:
