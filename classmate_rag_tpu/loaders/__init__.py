@@ -42,26 +42,37 @@ def load_document_by_type(
     *,
     enable_ocr: bool = False,
 ) -> Pages:
-    """Dispatch to the loader for ``doc_type``; unknown types load as text."""
+    """Dispatch to the loader for ``doc_type``; unknown types load as text.
+
+    Malformed documents raise ``ValueError`` with the path and format —
+    the error surface callers (CLI/serve) already handle — instead of
+    leaking format-library internals like ``zipfile.BadZipFile``.
+    """
+    import zipfile
+    from xml.etree.ElementTree import ParseError
+
     p = Path(path).expanduser().resolve()
     t = (doc_type or infer_doc_type_from_path(p)).lower()
-    if t == "txt":
+    try:
+        if t == "txt":
+            return load_txt(p)
+        if t == "md":
+            return load_md(p)
+        if t == "html":
+            return load_html(p)
+        if t == "csv":
+            return load_csv(p)
+        if t == "epub":
+            return load_epub(p)
+        if t == "pdf":
+            return load_pdf(p, enable_ocr=enable_ocr)
+        if t == "docx":
+            return load_docx(p)
+        if t == "pptx":
+            return load_pptx(p)
         return load_txt(p)
-    if t == "md":
-        return load_md(p)
-    if t == "html":
-        return load_html(p)
-    if t == "csv":
-        return load_csv(p)
-    if t == "epub":
-        return load_epub(p)
-    if t == "pdf":
-        return load_pdf(p, enable_ocr=enable_ocr)
-    if t == "docx":
-        return load_docx(p)
-    if t == "pptx":
-        return load_pptx(p)
-    return load_txt(p)
+    except (zipfile.BadZipFile, ParseError, KeyError, ValueError) as exc:
+        raise ValueError(f"cannot parse {p} as {t}: {exc}") from exc
 
 
 __all__ = [

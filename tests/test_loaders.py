@@ -235,3 +235,18 @@ def test_unknown_type_falls_back_to_text(tmp_path):
     f = tmp_path / "a.xyz"
     f.write_text("raw content")
     assert load_document_by_type(f, "other") == [(1, "raw content")]
+
+
+@pytest.mark.parametrize("ext", ["docx", "pptx", "epub"])
+def test_corrupt_archive_raises_clean_valueerror(tmp_path, ext):
+    f = tmp_path / f"fake.{ext}"
+    f.write_bytes(b"not a zip archive")
+    with pytest.raises(ValueError, match="cannot parse"):
+        load_document_by_type(f, ext)
+
+
+def test_zip_without_expected_parts_raises_clean(tmp_path):
+    f = tmp_path / "empty.docx"
+    zipfile.ZipFile(f, "w").writestr("nothing", "x")
+    with pytest.raises(ValueError, match="cannot parse"):
+        load_document_by_type(f, "docx")
