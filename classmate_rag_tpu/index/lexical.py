@@ -25,7 +25,7 @@ from __future__ import annotations
 import functools
 import math
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -125,6 +125,206 @@ def pack_tokens(
     return ids, tfs, float(len(tokens))
 
 
+def _round_up(x: int, m: int) -> int:
+    return max(m, (x + m - 1) // m * m)
+
+
+# ---------------------------------------------------------------------------
+# Split-frequency layout (host-side build; see _bm25_split_fns for the math)
+# ---------------------------------------------------------------------------
+
+def build_split_layout(
+    term_ids: np.ndarray,       # i32 [cap, L]
+    tfs: np.ndarray,            # u8  [cap, L]
+    n_vocab: int,
+    *,
+    head_bytes_budget: int,
+    head_df_threshold: int,
+) -> Dict[str, Any]:
+    """Partition the packed lexical matrix into the split-frequency BM25
+    layout: a TERM-major dense u8 head matrix [C, cap] for high-df terms
+    and term-sorted postings (rows/tfs + per-term offsets) for the tail.
+
+    Pure numpy — shared by IndexStore._sync_split (single device) and the
+    sharded prep (parallel/sharded.py). Returns ``n_overflow`` > 0 when
+    the head budget could not hold every term above the df threshold
+    (those fall to the tail and inflate ``r_cap``).
+    """
+    cap, width = term_ids.shape
+    n_vocab = max(n_vocab, 1)
+    flat_ids = term_ids.ravel()
+    flat_tfs = tfs.ravel()
+    present = (flat_ids >= 0) & (flat_tfs > 0)
+    ids_p = flat_ids[present]
+    tfs_p = flat_tfs[present]
+    rows_p = np.repeat(np.arange(cap, dtype=np.int64), width)[present]
+
+    df = np.bincount(ids_p, minlength=n_vocab)
+    max_head = max(128, int(head_bytes_budget // max(cap, 1)))
+    head_candidates = np.argsort(-df, kind="stable")
+    head_terms = head_candidates[:max_head]
+    head_terms = head_terms[df[head_terms] > head_df_threshold]
+    n_overflow = int((df > head_df_threshold).sum()) - len(head_terms)
+    c_pad = max(128, _round_up(len(head_terms), 128))
+    lut = np.full(n_vocab, -1, dtype=np.int32)
+    lut[head_terms] = np.arange(len(head_terms), dtype=np.int32)
+
+    slots = np.where(ids_p >= 0, lut[ids_p], -1)
+    is_head = slots >= 0
+    tf_head = np.zeros((c_pad, cap), dtype=np.uint8)
+    tf_head[slots[is_head], rows_p[is_head]] = tfs_p[is_head]
+
+    rare_ids = ids_p[~is_head]
+    rare_rows = rows_p[~is_head].astype(np.int32)
+    rare_tfs = tfs_p[~is_head]
+    order = np.argsort(rare_ids, kind="stable")
+    post_rows = rare_rows[order]
+    post_tfs = rare_tfs[order]
+    counts = np.bincount(rare_ids, minlength=n_vocab)
+    offsets = np.zeros(n_vocab + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    max_rare = int(counts.max()) if counts.size else 0
+    r_cap = max(8, 1 << int(np.ceil(np.log2(max(max_rare, 1)))))
+    # Pad the postings arrays by r_cap: dynamic_slice CLAMPS starts near
+    # the array end, which would silently shift a tail term's window.
+    p_pad = max(8, _round_up(len(post_rows) + r_cap, 4096))
+    post_rows_pad = np.zeros(p_pad, dtype=np.int32)
+    post_rows_pad[: len(post_rows)] = post_rows
+    post_tfs_pad = np.zeros(p_pad, dtype=np.uint8)
+    post_tfs_pad[: len(post_tfs)] = post_tfs
+    return {
+        "lut": lut,
+        "offsets": offsets,
+        "r_cap": r_cap,
+        "tf_head": tf_head,
+        "post_rows": post_rows_pad,
+        "post_tfs": post_tfs_pad,
+        "n_overflow": n_overflow,
+    }
+
+
+def split_query_arrays(
+    lut: np.ndarray,
+    offsets: np.ndarray,
+    q_tids: np.ndarray,         # i32 [B, M], -1 padded
+    q_counts: np.ndarray,       # f32 [B, M]
+) -> Dict[str, np.ndarray]:
+    """Map [B, M] query term ids onto the batch's distinct head-term and
+    tail-term unions (inputs to bm25_split_scores)."""
+    safe = np.maximum(q_tids, 0)
+    slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
+    is_head = slots >= 0
+    starts = offsets[safe]
+    lens = offsets[safe + 1] - starts
+    is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
+
+    def union(mask, values):
+        """Distinct values under mask → (padded array, per-pos index)."""
+        distinct = np.unique(values[mask]) if mask.any() else (
+            np.zeros(0, dtype=values.dtype)
+        )
+        real = len(distinct)
+        padded_n = max(8, 1 << int(np.ceil(np.log2(max(real, 1)))))
+        padded = np.full(padded_n, -1, dtype=np.int32)
+        padded[:real] = distinct
+        idx = np.full(values.shape, -1, dtype=np.int32)
+        if real:
+            idx[mask] = np.searchsorted(
+                distinct, values[mask]
+            ).astype(np.int32)
+        return distinct, padded, idx
+
+    head_tids, h_tids, qh_h = union(is_head, q_tids)
+    h_slots = np.full(len(h_tids), -1, dtype=np.int32)
+    if len(head_tids):
+        h_slots[: len(head_tids)] = lut[head_tids]
+
+    rare_tids, u_tids, qr_u = union(is_rare, q_tids)
+    u_starts = np.zeros(len(u_tids), dtype=np.int32)
+    u_lens = np.zeros(len(u_tids), dtype=np.int32)
+    if len(rare_tids):
+        u_starts[: len(rare_tids)] = offsets[rare_tids]
+        u_lens[: len(rare_tids)] = (
+            offsets[rare_tids + 1] - offsets[rare_tids]
+        )
+    return {
+        "h_slots": h_slots,
+        "h_tids": h_tids,
+        "qh_h": qh_h,
+        "q_counts_h": q_counts,
+        "u_starts": u_starts,
+        "u_lens": u_lens,
+        "u_tids": u_tids,
+        "qr_u": qr_u,
+        "q_counts_r": q_counts,
+    }
+
+
+def shard_postings(
+    post_rows: np.ndarray,
+    post_tfs: np.ndarray,
+    offsets: np.ndarray,
+    n_shards: int,
+    n_local: int,
+    r_cap: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Partition term-sorted tail postings by corpus shard (row // n_local).
+
+    Row ids become SHARD-LOCAL; per-shard per-term offsets are rebuilt so
+    each shard can slice its own contiguous posting windows. Returns
+    (post_rows_sh [S, Pmax] i32, post_tfs_sh [S, Pmax] u8,
+    offsets_sh [S, V+1] i64); Pmax is padded by r_cap like the global
+    layout (dynamic_slice clamp rule).
+    """
+    n_vocab = len(offsets) - 1
+    p = int(offsets[-1])
+    rows = post_rows[:p].astype(np.int64)
+    tfv = post_tfs[:p]
+    term_of = np.repeat(
+        np.arange(n_vocab, dtype=np.int64), np.diff(offsets)
+    )
+    shard_of = rows // n_local
+
+    local_rows, local_tfs = [], []
+    counts_sh = np.zeros((n_shards, n_vocab), dtype=np.int64)
+    for s in range(n_shards):
+        sel = shard_of == s        # stable → term grouping preserved
+        local_rows.append((rows[sel] - s * n_local).astype(np.int32))
+        local_tfs.append(tfv[sel])
+        counts_sh[s] = np.bincount(term_of[sel], minlength=n_vocab)
+    offsets_sh = np.zeros((n_shards, n_vocab + 1), dtype=np.int64)
+    np.cumsum(counts_sh, axis=1, out=offsets_sh[:, 1:])
+
+    pmax = max((len(r) for r in local_rows), default=0)
+    p_pad = max(8, _round_up(pmax + r_cap, 128))
+    post_rows_sh = np.zeros((n_shards, p_pad), dtype=np.int32)
+    post_tfs_sh = np.zeros((n_shards, p_pad), dtype=np.uint8)
+    for s in range(n_shards):
+        post_rows_sh[s, : len(local_rows[s])] = local_rows[s]
+        post_tfs_sh[s, : len(local_tfs[s])] = local_tfs[s]
+    return post_rows_sh, post_tfs_sh, offsets_sh
+
+
+def shard_tail_ranges(
+    offsets_sh: np.ndarray,     # i64 [S, V+1]
+    u_tids: np.ndarray,         # i32 [U], -1 padded
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-shard (u_starts, u_lens) [S, U] for the batch's tail-term union
+    (the union itself stays global so qr_u maps identically per shard)."""
+    s = offsets_sh.shape[0]
+    u = len(u_tids)
+    u_starts_sh = np.zeros((s, u), dtype=np.int32)
+    u_lens_sh = np.zeros((s, u), dtype=np.int32)
+    n_real = int((u_tids >= 0).sum())
+    if n_real:
+        tids = u_tids[:n_real].astype(np.int64)
+        starts = offsets_sh[:, :-1][:, tids]
+        ends = offsets_sh[:, 1:][:, tids]
+        u_starts_sh[:, :n_real] = starts
+        u_lens_sh[:, :n_real] = ends - starts
+    return u_starts_sh, u_lens_sh
+
+
 # ---------------------------------------------------------------------------
 # Device scoring
 # ---------------------------------------------------------------------------
@@ -176,6 +376,107 @@ def okapi_score_rows(term_ids, tfs, doc_len, avgdl, w, vocab_pad: int):
     return jnp.sum(gathered * jnp.where(term_ids >= 0, sat, 0.0), axis=1)
 
 
+def bm25_split_score_core(
+    tf_head,      # u8 [C, N] — dense tf of head terms, TERM-major
+    post_rows,    # i32 [P] — tail postings: row ids (term-major)
+    post_tfs,     # u8 [P]
+    doc_len,      # f32 [N]
+    keep,         # bool [N] — active-row mask
+    idf,          # f32 [vocab_pad+1]
+    avgdl,        # f32 scalar
+    h_slots,      # i32 [H] — distinct head slots in this batch (-1 pad)
+    h_tids,       # i32 [H] — their vocab ids (-1 pad)
+    qh_h,         # i32 [B, M] — index into H per query term (-1 = none)
+    q_counts_h,   # f32 [B, M]
+    u_starts,     # i32 [U] — posting range start per distinct tail term
+    u_lens,       # i32 [U] (0 = padding slot)
+    u_tids,       # i32 [U] vocab ids (-1 pad)
+    qr_u,         # i32 [B, M] — index into U per query term (-1 = none)
+    q_counts_r,   # f32 [B, M]
+    *,
+    vocab_pad: int,
+    r_cap: int,
+):
+    """Split-frequency BM25 scores [B, N] from precomputed subset stats.
+
+    Shared by the single-device jit wrappers below and the shard_map body
+    (parallel/sharded.py), where ``N`` is the shard-local row count and
+    idf/avgdl come from psum'd global statistics. Traced code only — the
+    caller provides the jit/shard_map context.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bq, m = qh_h.shape
+    h = h_slots.shape[0]
+    u = u_starts.shape[0]
+    n = tf_head.shape[1]
+    b_idx = jnp.broadcast_to(jnp.arange(bq)[:, None], (bq, m))
+
+    # ---- head: gather only the batch's head-term rows, then matmul.
+    # tf_head is term-major so each needed term is one contiguous
+    # [N]-row DMA; per-batch cost scales with the batch's distinct
+    # head terms, not the full head capacity.
+    tf_sub = tf_head[jnp.maximum(h_slots, 0)]                # [H, N] u8
+    sat_sub = okapi_sat(tf_sub, doc_len[None, :], avgdl)
+    sat_sub = sat_sub * (tf_sub > 0) * keep[None, :]
+    sat_sub = sat_sub * (h_slots >= 0)[:, None]              # [H, N] f32
+
+    h_tid_safe = jnp.where(h_tids >= 0, h_tids, vocab_pad)
+    h_idf = idf[h_tid_safe]                                  # [H]
+    w_head = jnp.zeros((bq, h + 1), jnp.float32)
+    qh_safe = jnp.where(qh_h >= 0, qh_h, h)
+    w_head = w_head.at[b_idx, qh_safe].add(
+        jnp.where(qh_h >= 0, q_counts_h, 0.0)
+    )[:, :h]
+    w_head = w_head * h_idf[None, :]
+    # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
+    # a 0.2% relative error that visibly perturbs BM25 rankings.
+    scores = jnp.einsum(
+        "bh,hn->bn", w_head, sat_sub,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # ---- tail: batch-union tf matrix + second matmul ---------------
+    # Contiguous posting slices per distinct tail term.
+    def slice_one(start):
+        return (
+            jax.lax.dynamic_slice(post_rows, (start,), (r_cap,)),
+            jax.lax.dynamic_slice(post_tfs, (start,), (r_cap,)),
+        )
+
+    rows_u, tfs_u = jax.vmap(slice_one)(
+        jnp.maximum(u_starts, 0)
+    )                                                         # [U, R]
+    r_iota = jnp.arange(r_cap, dtype=jnp.int32)
+    valid_u = (u_lens[:, None] > 0) & (r_iota[None, :] < u_lens[:, None])
+    u_iota = jnp.broadcast_to(
+        jnp.arange(u, dtype=jnp.int32)[:, None], (u, r_cap)
+    )
+    tf_tail = jnp.zeros((n, u + 1), jnp.float32).at[
+        jnp.where(valid_u, rows_u, 0),
+        jnp.where(valid_u, u_iota, u),
+    ].add(jnp.where(valid_u, tfs_u.astype(jnp.float32), 0.0))[:, :u]
+    sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
+    sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, U]
+
+    u_tid_safe = jnp.where(u_tids >= 0, u_tids, vocab_pad)
+    u_idf = idf[u_tid_safe]                                   # [U]
+    w_tail = jnp.zeros((bq, u + 1), jnp.float32)
+    qu_safe = jnp.where(qr_u >= 0, qr_u, u)
+    w_tail = w_tail.at[b_idx, qu_safe].add(
+        jnp.where(qr_u >= 0, q_counts_r, 0.0)
+    )[:, :u]
+    w_tail = w_tail * u_idf[None, :]
+    scores = scores + jnp.einsum(
+        "bu,nu->bn", w_tail, sat_tail,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return scores * keep[None, :]
+
+
 def _bm25_split_fns():
     """Split-frequency BM25 scoring: the TPU-native formulation.
 
@@ -224,74 +525,12 @@ def _bm25_split_fns():
         n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
         idf = okapi_idf(df, n_sub)
         avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
-        bq, m = qh_h.shape
-        h = h_slots.shape[0]
-        u = u_starts.shape[0]
-        n = tf_head.shape[1]
-        b_idx = jnp.broadcast_to(jnp.arange(bq)[:, None], (bq, m))
-
-        # ---- head: gather only the batch's head-term rows, then matmul.
-        # tf_head is term-major so each needed term is one contiguous
-        # [N]-row DMA; per-batch cost scales with the batch's distinct
-        # head terms, not the full head capacity.
-        tf_sub = tf_head[jnp.maximum(h_slots, 0)]                # [H, N] u8
-        sat_sub = okapi_sat(tf_sub, doc_len[None, :], avgdl)
-        sat_sub = sat_sub * (tf_sub > 0) * keep[None, :]
-        sat_sub = sat_sub * (h_slots >= 0)[:, None]              # [H, N] f32
-
-        h_tid_safe = jnp.where(h_tids >= 0, h_tids, vocab_pad)
-        h_idf = idf[h_tid_safe]                                  # [H]
-        w_head = jnp.zeros((bq, h + 1), jnp.float32)
-        qh_safe = jnp.where(qh_h >= 0, qh_h, h)
-        w_head = w_head.at[b_idx, qh_safe].add(
-            jnp.where(qh_h >= 0, q_counts_h, 0.0)
-        )[:, :h]
-        w_head = w_head * h_idf[None, :]
-        # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
-        # a 0.2% relative error that visibly perturbs BM25 rankings.
-        scores = jnp.einsum(
-            "bh,hn->bn", w_head, sat_sub,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        return bm25_split_score_core(
+            tf_head, post_rows, post_tfs, doc_len, keep, idf, avgdl,
+            h_slots, h_tids, qh_h, q_counts_h,
+            u_starts, u_lens, u_tids, qr_u, q_counts_r,
+            vocab_pad=vocab_pad, r_cap=r_cap,
         )
-
-        # ---- tail: batch-union tf matrix + second matmul ---------------
-        # Contiguous posting slices per distinct tail term.
-        def slice_one(start):
-            return (
-                jax.lax.dynamic_slice(post_rows, (start,), (r_cap,)),
-                jax.lax.dynamic_slice(post_tfs, (start,), (r_cap,)),
-            )
-
-        rows_u, tfs_u = jax.vmap(slice_one)(
-            jnp.maximum(u_starts, 0)
-        )                                                         # [U, R]
-        r_iota = jnp.arange(r_cap, dtype=jnp.int32)
-        valid_u = (u_lens[:, None] > 0) & (r_iota[None, :] < u_lens[:, None])
-        u_iota = jnp.broadcast_to(
-            jnp.arange(u, dtype=jnp.int32)[:, None], (u, r_cap)
-        )
-        tf_tail = jnp.zeros((n, u + 1), jnp.float32).at[
-            jnp.where(valid_u, rows_u, 0),
-            jnp.where(valid_u, u_iota, u),
-        ].add(jnp.where(valid_u, tfs_u.astype(jnp.float32), 0.0))[:, :u]
-        sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
-        sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, U]
-
-        u_tid_safe = jnp.where(u_tids >= 0, u_tids, vocab_pad)
-        u_idf = idf[u_tid_safe]                                   # [U]
-        w_tail = jnp.zeros((bq, u + 1), jnp.float32)
-        qu_safe = jnp.where(qr_u >= 0, qr_u, u)
-        w_tail = w_tail.at[b_idx, qu_safe].add(
-            jnp.where(qr_u >= 0, q_counts_r, 0.0)
-        )[:, :u]
-        w_tail = w_tail * u_idf[None, :]
-        scores = scores + jnp.einsum(
-            "bu,nu->bn", w_tail, sat_tail,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return scores * keep[None, :]
 
     @functools.partial(
         jax.jit, static_argnames=("vocab_pad", "r_cap", "top_k")

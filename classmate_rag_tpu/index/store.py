@@ -259,24 +259,14 @@ class IndexStore:
             return self._split
         import jax.numpy as jnp
 
-        cap = self.capacity
-        n_vocab = max(len(self.vocab), 1)
-        flat_ids = self.term_ids.ravel()
-        flat_tfs = self.tfs.ravel()
-        present = (flat_ids >= 0) & (flat_tfs > 0)
-        ids_p = flat_ids[present]
-        tfs_p = flat_tfs[present]
-        rows_p = np.repeat(
-            np.arange(cap, dtype=np.int64), self.term_width
-        )[present]
+        from classmate_rag_tpu.index.lexical import build_split_layout
 
-        df = np.bincount(ids_p, minlength=n_vocab)
-        max_head = max(128, int(self.HEAD_BYTES_BUDGET // max(cap, 1)))
-        head_candidates = np.argsort(-df, kind="stable")
-        head_terms = head_candidates[:max_head]
-        head_terms = head_terms[df[head_terms] > self.HEAD_DF_THRESHOLD]
-        n_over = int((df > self.HEAD_DF_THRESHOLD).sum()) - len(head_terms)
-        if n_over > 0:
+        layout = build_split_layout(
+            self.term_ids, self.tfs, len(self.vocab),
+            head_bytes_budget=self.HEAD_BYTES_BUDGET,
+            head_df_threshold=self.HEAD_DF_THRESHOLD,
+        )
+        if layout["n_overflow"] > 0:
             # Corpus too large for the head budget: overflow high-df terms
             # fall to the tail and inflate r_cap (device time per batch).
             import logging
@@ -285,101 +275,27 @@ class IndexStore:
                 "BM25 head budget exceeded: %d terms above df>%d fall to "
                 "the tail; r_cap will grow. Raise HEAD_BYTES_BUDGET "
                 "(head matrix is C x %d bytes).",
-                n_over, self.HEAD_DF_THRESHOLD, cap,
+                layout["n_overflow"], self.HEAD_DF_THRESHOLD, self.capacity,
             )
-        c_pad = max(128, _round_up(len(head_terms), 128))
-        lut = np.full(n_vocab, -1, dtype=np.int32)
-        lut[head_terms] = np.arange(len(head_terms), dtype=np.int32)
-
-        slots = np.where(ids_p >= 0, lut[ids_p], -1)
-        is_head = slots >= 0
-        # TERM-major: one contiguous [N] row per head term (per-batch row
-        # gathers instead of an [N, C] materialization).
-        tf_head = np.zeros((c_pad, cap), dtype=np.uint8)
-        tf_head[slots[is_head], rows_p[is_head]] = tfs_p[is_head]
-
-        rare_ids = ids_p[~is_head]
-        rare_rows = rows_p[~is_head].astype(np.int32)
-        rare_tfs = tfs_p[~is_head]
-        order = np.argsort(rare_ids, kind="stable")
-        post_rows = rare_rows[order]
-        post_tfs = rare_tfs[order]
-        counts = np.bincount(rare_ids, minlength=n_vocab)
-        offsets = np.zeros(n_vocab + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        max_rare = int(counts.max()) if counts.size else 0
-        r_cap = max(8, 1 << int(np.ceil(np.log2(max(max_rare, 1)))))
-        # Pad the postings arrays by r_cap: dynamic_slice CLAMPS starts near
-        # the array end, which would silently shift a tail term's window.
-        p_pad = max(8, _round_up(len(post_rows) + r_cap, 4096))
-        post_rows_pad = np.zeros(p_pad, dtype=np.int32)
-        post_rows_pad[: len(post_rows)] = post_rows
-        post_tfs_pad = np.zeros(p_pad, dtype=np.uint8)
-        post_tfs_pad[: len(post_tfs)] = post_tfs
-
         self._split = {
-            "lut": lut,
-            "offsets": offsets,
-            "r_cap": r_cap,
-            "tf_head": jnp.asarray(tf_head),
-            "post_rows": jnp.asarray(post_rows_pad),
-            "post_tfs": jnp.asarray(post_tfs_pad),
+            "lut": layout["lut"],
+            "offsets": layout["offsets"],
+            "r_cap": layout["r_cap"],
+            "tf_head": jnp.asarray(layout["tf_head"]),
+            "post_rows": jnp.asarray(layout["post_rows"]),
+            "post_tfs": jnp.asarray(layout["post_tfs"]),
         }
         return self._split
 
     def _split_query_arrays(self, q_tids: np.ndarray, q_counts: np.ndarray):
         """Map [B, M] query term ids onto the batch's distinct head-term
         and tail-term unions (see lexical._bm25_split_fns)."""
+        from classmate_rag_tpu.index.lexical import split_query_arrays
+
         split = self._sync_split()
-        lut = split["lut"]
-        offsets = split["offsets"]
-        safe = np.maximum(q_tids, 0)
-        slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
-        is_head = slots >= 0
-        starts = offsets[safe]
-        lens = offsets[safe + 1] - starts
-        is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
-
-        def union(mask, values):
-            """Distinct values under mask → (padded array, per-pos index)."""
-            distinct = np.unique(values[mask]) if mask.any() else (
-                np.zeros(0, dtype=values.dtype)
-            )
-            real = len(distinct)
-            padded_n = max(8, 1 << int(np.ceil(np.log2(max(real, 1)))))
-            padded = np.full(padded_n, -1, dtype=np.int32)
-            padded[:real] = distinct
-            idx = np.full(values.shape, -1, dtype=np.int32)
-            if real:
-                idx[mask] = np.searchsorted(
-                    distinct, values[mask]
-                ).astype(np.int32)
-            return distinct, padded, idx
-
-        head_tids, h_tids, qh_h = union(is_head, q_tids)
-        h_slots = np.full(len(h_tids), -1, dtype=np.int32)
-        if len(head_tids):
-            h_slots[: len(head_tids)] = lut[head_tids]
-
-        rare_tids, u_tids, qr_u = union(is_rare, q_tids)
-        u_starts = np.zeros(len(u_tids), dtype=np.int32)
-        u_lens = np.zeros(len(u_tids), dtype=np.int32)
-        if len(rare_tids):
-            u_starts[: len(rare_tids)] = offsets[rare_tids]
-            u_lens[: len(rare_tids)] = (
-                offsets[rare_tids + 1] - offsets[rare_tids]
-            )
-        return {
-            "h_slots": h_slots,
-            "h_tids": h_tids,
-            "qh_h": qh_h,
-            "q_counts_h": q_counts,
-            "u_starts": u_starts,
-            "u_lens": u_lens,
-            "u_tids": u_tids,
-            "qr_u": qr_u,
-            "q_counts_r": q_counts,
-        }
+        return split_query_arrays(
+            split["lut"], split["offsets"], q_tids, q_counts
+        )
 
     @property
     def vocab_pad(self) -> int:

@@ -151,6 +151,141 @@ class TestShardedHybrid:
         )
 
 
+class TestShardedSplitHybrid:
+    """The split-frequency BM25 formulation carried into the SPMD path:
+    bit-identical to the single-device hybrid_query_step_split."""
+
+    N_SHARDS = 8
+    N = 64          # 8 rows per shard
+    L = 12
+    DIMS = 32
+    VOCAB = 100
+    VPAD = 4096
+
+    def _corpus(self, seed=7):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((self.N, self.DIMS)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        # Skewed term distribution so some terms clear the head threshold.
+        term_ids = np.full((self.N, self.L), -1, np.int32)
+        tfs = np.zeros((self.N, self.L), np.uint8)
+        for r in range(self.N):
+            terms = np.unique(
+                (rng.zipf(1.6, self.L) - 1).clip(0, self.VOCAB - 1)
+            ).astype(np.int32)
+            term_ids[r, : len(terms)] = terms
+            tfs[r, : len(terms)] = rng.integers(1, 5, len(terms))
+        doc_len = tfs.sum(axis=1).astype(np.float32)
+        return emb, term_ids, tfs, doc_len
+
+    def _run_both(self, bias_np):
+        from classmate_rag_tpu.index.lexical import (
+            build_split_layout, device_fns, shard_postings,
+            shard_tail_ranges, split_query_arrays,
+        )
+        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step_split
+        from classmate_rag_tpu.parallel import (
+            corpus_mesh, make_sharded_split_hybrid_fn,
+        )
+
+        emb, term_ids, tfs, doc_len = self._corpus()
+        layout = build_split_layout(
+            term_ids, tfs, self.VOCAB,
+            head_bytes_budget=1 << 20, head_df_threshold=4,
+        )
+        assert (layout["lut"] >= 0).any(), "need head terms for coverage"
+        assert (layout["offsets"][-1] > 0), "need tail postings for coverage"
+
+        rng = np.random.default_rng(3)
+        B, M = 3, 6
+        q_vecs = rng.standard_normal((B, self.DIMS)).astype(np.float32)
+        q_vecs /= np.linalg.norm(q_vecs, axis=1, keepdims=True)
+        q_tids = np.full((B, M), -1, np.int32)
+        q_counts = np.zeros((B, M), np.float32)
+        # Query 0: head-heavy; query 1: mixed; query 2: no terms.
+        head_terms = np.where(layout["lut"] >= 0)[0]
+        tail_terms = np.where(
+            (layout["lut"] < 0)
+            & (np.diff(layout["offsets"]) > 0)
+        )[0]
+        q_tids[0, :3] = head_terms[:3]
+        q_counts[0, :3] = 1.0
+        q_tids[1, 0] = head_terms[0]
+        q_tids[1, 1:3] = tail_terms[:2]
+        q_counts[1, :3] = 1.0
+        has_terms = np.any(q_tids >= 0, axis=1, keepdims=True)
+
+        qa = split_query_arrays(layout["lut"], layout["offsets"], q_tids, q_counts)
+        subset_df, _ = device_fns()
+        keep = bias_np == 0.0
+        df = subset_df(
+            jnp.asarray(term_ids), jnp.asarray(tfs), jnp.asarray(keep),
+            self.VPAD,
+        )
+        emb_bf = jnp.asarray(emb, jnp.bfloat16)
+        knobs = dict(k_vector=3, k_bm25=3, top_k=4, pool=4, vocab_pad=self.VPAD)
+
+        single = hybrid_query_step_split(
+            emb_bf, jnp.asarray(layout["tf_head"]),
+            jnp.asarray(layout["post_rows"]), jnp.asarray(layout["post_tfs"]),
+            jnp.asarray(doc_len), df, jnp.asarray(bias_np),
+            jnp.asarray(q_vecs),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
+            jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
+            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
+            r_cap=layout["r_cap"], **knobs,
+        )
+
+        n_local = self.N // self.N_SHARDS
+        post_rows_sh, post_tfs_sh, offsets_sh = shard_postings(
+            layout["post_rows"], layout["post_tfs"], layout["offsets"],
+            self.N_SHARDS, n_local, layout["r_cap"],
+        )
+        u_starts_sh, u_lens_sh = shard_tail_ranges(offsets_sh, qa["u_tids"])
+        mesh = corpus_mesh(self.N_SHARDS)
+        fn = make_sharded_split_hybrid_fn(
+            mesh, r_cap=layout["r_cap"], **knobs
+        )
+        sharded = fn(
+            emb_bf, jnp.asarray(term_ids), jnp.asarray(tfs),
+            jnp.asarray(layout["tf_head"]),
+            jnp.asarray(post_rows_sh), jnp.asarray(post_tfs_sh),
+            jnp.asarray(doc_len), jnp.asarray(bias_np), jnp.asarray(q_vecs),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
+            jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
+            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
+            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
+        )
+        return single, sharded
+
+    def test_matches_single_device(self):
+        bias = np.zeros(self.N, np.float32)
+        single, sharded = self._run_both(bias)
+        assert np.array_equal(
+            np.asarray(single.rows), np.asarray(sharded.rows)
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
+        )
+
+    def test_matches_single_device_filtered(self):
+        """Subset-relative statistics survive sharding: psum'd df/avgdl
+        under a row mask give the same subset idf/ε as the single device."""
+        NEG = float(np.finfo(np.float32).min)
+        bias = np.zeros(self.N, np.float32)
+        bias[1::3] = NEG  # drop a third of the rows
+        single, sharded = self._run_both(bias)
+        assert np.array_equal(
+            np.asarray(single.rows), np.asarray(sharded.rows)
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
+        )
+
+
 class TestTraining:
     def test_contrastive_step_runs_and_improves(self):
         from classmate_rag_tpu.embeddings.model import EncoderConfig, init_params
