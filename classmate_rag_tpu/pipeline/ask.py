@@ -111,6 +111,51 @@ def ask_question(
         )
 
 
+def retrieve_batch_for_ask(
+    *,
+    questions: List[str],
+    filters: DocumentMetadata,
+    top_k: int = 8,
+    hybrid: bool = True,
+    runtime: Optional[Runtime] = None,
+):
+    """DEVICE phase of the batched ask: ONE fused retrieval dispatch for
+    all questions (they share the filter set). Returns the per-question
+    result lists, already materialized on host — callers holding a device
+    lock can release it before the generation tail."""
+    rt = runtime or get_runtime()
+    where = filters.to_dict()
+    return rt.retriever.retrieve_batch(
+        questions=list(questions), filters=where, top_k=int(top_k),
+        hybrid=bool(hybrid),
+    )
+
+
+def finish_ask_batch(
+    *,
+    questions: List[str],
+    batched,
+    filters: DocumentMetadata,
+    top_k: int = 8,
+    hybrid: bool = True,
+    forced_subject: Optional[str] = None,
+    runtime: Optional[Runtime] = None,
+) -> List[AskResult]:
+    """HOST tail of the batched ask: expansion, prompting, generation,
+    citations per question. Device-free for the extractive/llama.cpp
+    runners; safe to run outside the serving device lock."""
+    rt = runtime or get_runtime()
+    where = filters.to_dict()
+    return [
+        _finish_ask(
+            question=q, results=_apply_expansion_and_diversity(list(r), rt),
+            filters=filters, where=where, top_k=top_k, hybrid=hybrid,
+            forced_subject=forced_subject, rt=rt,
+        )
+        for q, r in zip(questions, batched)
+    ]
+
+
 def ask_question_batch(
     *,
     questions: List[str],
@@ -120,27 +165,22 @@ def ask_question_batch(
     forced_subject: Optional[str] = None,
     runtime: Optional[Runtime] = None,
 ) -> List[AskResult]:
-    """Batched ask: ONE fused retrieval dispatch for all questions (they
-    share the filter set), then the host-side tail (expansion, prompting,
-    generation, citations) per question. Used by the serving daemon's
-    micro-batcher."""
+    """Batched ask: retrieve_batch_for_ask + finish_ask_batch in one call
+    (the serving daemon invokes the phases separately so the device lock
+    covers only retrieval)."""
     from classmate_rag_tpu.utils.metrics import metrics
 
     rt = runtime or get_runtime()
     with metrics.timer("ask_batch"):
-        where = filters.to_dict()
-        batched = rt.retriever.retrieve_batch(
-            questions=list(questions), filters=where, top_k=int(top_k),
-            hybrid=bool(hybrid),
+        batched = retrieve_batch_for_ask(
+            questions=questions, filters=filters, top_k=top_k,
+            hybrid=hybrid, runtime=rt,
         )
-        return [
-            _finish_ask(
-                question=q, results=_apply_expansion_and_diversity(list(r), rt),
-                filters=filters, where=where, top_k=top_k, hybrid=hybrid,
-                forced_subject=forced_subject, rt=rt,
-            )
-            for q, r in zip(questions, batched)
-        ]
+        return finish_ask_batch(
+            questions=questions, batched=batched, filters=filters,
+            top_k=top_k, hybrid=hybrid, forced_subject=forced_subject,
+            runtime=rt,
+        )
 
 
 def _ask_question(

@@ -54,17 +54,25 @@ class MicroBatcher:
     """
 
     def __init__(self, runtime, device_lock: threading.Lock,
-                 max_batch: int = 32, max_wait_ms: float = 6.0) -> None:
+                 max_batch: int = 32, max_wait_ms: float = 6.0,
+                 follower_timeout_s: float = 120.0) -> None:
         self.runtime = runtime
         self.device_lock = device_lock
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # Deadline for a follower waiting on its batch leader (retrieval +
+        # generation for the whole batch). Tune down for latency-sensitive
+        # deployments; a timed-out follower gets TimeoutError while the
+        # leader's own request still completes.
+        self.follower_timeout = follower_timeout_s
         self._lock = threading.Lock()
         self._batches: Dict[Any, dict] = {}
 
     def ask(self, question: str, meta, top_k: int, hybrid: bool,
             subject: Optional[str]):
-        from classmate_rag_tpu.pipeline.ask import ask_question_batch
+        from classmate_rag_tpu.pipeline.ask import (
+            finish_ask_batch, retrieve_batch_for_ask,
+        )
 
         key = (json.dumps(meta.to_dict(), sort_keys=True, default=str),
                top_k, hybrid, subject)
@@ -95,17 +103,25 @@ class MicroBatcher:
                 if self._batches.get(key) is batch:
                     del self._batches[key]
             try:
+                # Device lock covers ONLY the fused retrieval dispatch;
+                # the generation/citation tail is host-side and must not
+                # serialize other device users (ingest, preview, the next
+                # batch's retrieval).
                 with self.device_lock:
-                    batch["results"] = ask_question_batch(
+                    batched = retrieve_batch_for_ask(
                         questions=batch["questions"], filters=batch["meta"],
-                        top_k=top_k, hybrid=hybrid, forced_subject=subject,
-                        runtime=self.runtime,
+                        top_k=top_k, hybrid=hybrid, runtime=self.runtime,
                     )
+                batch["results"] = finish_ask_batch(
+                    questions=batch["questions"], batched=batched,
+                    filters=batch["meta"], top_k=top_k, hybrid=hybrid,
+                    forced_subject=subject, runtime=self.runtime,
+                )
             except Exception as exc:  # propagate to every waiter
                 batch["error"] = exc
             batch["done"].set()
         else:
-            batch["done"].wait(timeout=120)
+            batch["done"].wait(timeout=self.follower_timeout)
         if batch["error"] is not None:
             raise batch["error"]
         if batch["results"] is None:

@@ -122,6 +122,123 @@ def test_concurrent_asks(server):
     assert len(results) == 18
 
 
+def test_generation_overlaps_device_lock(tmp_index_env, tmp_path):
+    """The device lock is released before the generation tail: while one
+    batch is generating, another thread can acquire the device lock."""
+    import threading
+    import time
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.serve import MicroBatcher
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "doc.md"
+    doc.write_text("Gradient descent minimizes loss by following gradients.")
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="ml"),
+                runtime=rt)
+
+    lock = threading.Lock()
+    batcher = MicroBatcher(rt, lock, max_wait_ms=1.0)
+
+    gen_started = threading.Event()
+    lock_acquired_during_gen = threading.Event()
+    orig_finish = None
+
+    import classmate_rag_tpu.pipeline.ask as ask_mod
+
+    orig_finish = ask_mod.finish_ask_batch
+
+    def slow_finish(**kwargs):
+        gen_started.set()
+        time.sleep(0.4)  # simulate generation latency
+        return orig_finish(**kwargs)
+
+    def prober():
+        gen_started.wait(timeout=30)
+        # If the leader still held the device lock through generation this
+        # acquire would block past the sleep window.
+        acquired = lock.acquire(timeout=0.2)
+        if acquired:
+            lock_acquired_during_gen.set()
+            lock.release()
+
+    probe = threading.Thread(target=prober)
+    probe.start()
+    ask_mod.finish_ask_batch = slow_finish
+    try:
+        res = batcher.ask(
+            "how does gradient descent work",
+            normalize_cli_metadata(), 2, True, None,
+        )
+    finally:
+        ask_mod.finish_ask_batch = orig_finish
+    probe.join(timeout=30)
+    assert res.answer
+    assert lock_acquired_during_gen.is_set(), (
+        "device lock was held through the generation tail"
+    )
+    reset_runtime()
+
+
+def test_follower_timeout_knob(tmp_index_env):
+    """A follower that outlives its deadline raises TimeoutError while the
+    leader still completes."""
+    import threading
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.serve import MicroBatcher
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    lock = threading.Lock()
+    # Big wait window so the two callers batch; tiny follower deadline.
+    batcher = MicroBatcher(rt, lock, max_wait_ms=300.0,
+                           follower_timeout_s=0.05)
+
+    import classmate_rag_tpu.pipeline.ask as ask_mod
+
+    orig_retrieve = ask_mod.retrieve_batch_for_ask
+
+    def slow_retrieve(**kwargs):
+        import time
+
+        time.sleep(0.6)  # longer than the follower deadline
+        return orig_retrieve(**kwargs)
+
+    meta = normalize_cli_metadata()
+    leader_res, follower_err = {}, {}
+
+    def leader():
+        leader_res["r"] = batcher.ask("first question", meta, 2, True, None)
+
+    def follower():
+        try:
+            batcher.ask("second question", meta, 2, True, None)
+        except TimeoutError as exc:
+            follower_err["e"] = exc
+
+    ask_mod.retrieve_batch_for_ask = slow_retrieve
+    try:
+        t1 = threading.Thread(target=leader)
+        t1.start()
+        import time
+
+        time.sleep(0.05)  # join the open batch as a follower
+        t2 = threading.Thread(target=follower)
+        t2.start()
+        t1.join(timeout=30)
+        t2.join(timeout=30)
+    finally:
+        ask_mod.retrieve_batch_for_ask = orig_retrieve
+    assert "r" in leader_res and leader_res["r"].answer is not None
+    assert isinstance(follower_err.get("e"), TimeoutError)
+    reset_runtime()
+
+
 def test_error_paths(server):
     base, _ = server
     code, body = _post(base + "/ask", {})

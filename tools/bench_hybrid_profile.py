@@ -1,0 +1,207 @@
+"""Stage-level timing of the fused hybrid query step (real TPU).
+
+Times each compute stage of hybrid_query_step_split in isolation with the
+honest chained-scan recipe (carry-perturbed q_vecs inside ONE jit so the
+relay cannot fake timings and XLA cannot hoist the work), at the corpus
+scale given by BENCH_CHUNKS. Used to target the 200k-chunk optimization:
+run at 50000 and 200000 and diff the stage times.
+
+Usage: BENCH_CHUNKS=200000 python tools/bench_hybrid_profile.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+ITERS = int(os.getenv("PROFILE_ITERS", "8"))
+BATCH = int(os.getenv("BENCH_BATCH", "256"))
+
+
+def timed(name, make_body, q_vecs, arrays):
+    """Time make_body(qv, arrays)->scalar via a carry-chained scan."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(qv, arrs):
+        def step(carry, _):
+            out = make_body(carry, arrs)
+            pert = (out.astype(jnp.float32) * 1e-12).astype(carry.dtype)
+            return carry + pert, None
+
+        final, _ = jax.lax.scan(step, qv, None, length=ITERS)
+        return final
+
+    jitted = jax.jit(run)
+    out = jitted(q_vecs, arrays)
+    np.asarray(out)  # warmup + compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(jitted(q_vecs, arrays))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name:28s} {best*1e3:8.2f} ms/batch")
+    return best
+
+
+def main():
+    from bench import N_CHUNKS, DIM, build_corpus, make_queries
+    from classmate_rag_tpu.index.store import IndexStore
+    from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from classmate_rag_tpu.index.lexical import (
+        bm25_split_score_core, device_fns, okapi_idf,
+    )
+    from classmate_rag_tpu.ops.hybrid_step import (
+        _dense_branch, hybrid_query_step_split,
+    )
+    from classmate_rag_tpu.ops.mmr import mmr_order
+
+    rng = np.random.default_rng(42)
+    print(f"corpus: {N_CHUNKS} chunks, building…", flush=True)
+    docs, emb = build_corpus(rng)
+    queries = make_queries(rng, docs, emb)[:BATCH]
+
+    tmp = Path(tempfile.mkdtemp(prefix="prof_idx_"))
+    store = IndexStore(DIM, tmp, slab_rows=4096, terms_per_chunk=128)
+    ids = [f"c{i}" for i in range(N_CHUNKS)]
+    for s in range(0, N_CHUNKS, 8192):
+        e = min(s + 8192, N_CHUNKS)
+        store.upsert(ids[s:e], emb[s:e], docs[s:e], [{} for _ in range(s, e)])
+
+    dev = store._sync_device()
+    split = store._sync_split()
+    bias = store._mask_bias(None)
+    vpad = store.vocab_pad
+    subset_df, _ = device_fns()
+    df = subset_df(dev["term_ids"], dev["tfs"], jnp.asarray(store.valid), vpad)
+
+    q_vecs = jnp.asarray(np.stack([q for q, _ in queries]), jnp.float32)
+    q_terms = np.full((BATCH, 32), -1, np.int32)
+    q_counts = np.zeros((BATCH, 32), np.float32)
+    for b, (_q, terms) in enumerate(queries):
+        counts = {}
+        for t in terms:
+            tid = store.vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0.0) + 1.0
+        for j, (tid, c) in enumerate(list(counts.items())[:32]):
+            q_terms[b, j] = tid
+            q_counts[b, j] = c
+    qa = store._split_query_arrays(q_terms, q_counts)
+    has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
+    r_cap = split["r_cap"]
+    H = len(qa["h_slots"])
+    U = len(qa["u_tids"])
+    n_tail_real = int((qa["u_lens"] > 0).sum())
+    n_head_real = int((qa["h_slots"] >= 0).sum())
+    print(f"vpad={vpad} r_cap={r_cap} H={H} (real {n_head_real}) "
+          f"U={U} (real {n_tail_real}) head_rows={split['tf_head'].shape}")
+
+    A = {
+        "emb": dev["emb"], "bias": bias, "doc_len": dev["doc_len"],
+        "df": df, "tf_head": split["tf_head"],
+        "post_rows": split["post_rows"], "post_tfs": split["post_tfs"],
+        "h_slots": jnp.asarray(qa["h_slots"]),
+        "h_tids": jnp.asarray(qa["h_tids"]),
+        "qh_h": jnp.asarray(qa["qh_h"]),
+        "q_counts_h": jnp.asarray(qa["q_counts_h"]),
+        "u_starts": jnp.asarray(qa["u_starts"]),
+        "u_lens": jnp.asarray(qa["u_lens"]),
+        "u_tids": jnp.asarray(qa["u_tids"]),
+        "qr_u": jnp.asarray(qa["qr_u"]),
+        "q_counts_r": jnp.asarray(qa["q_counts_r"]),
+        "has_terms": jnp.asarray(has_terms),
+        "q_terms": jnp.asarray(q_terms),
+        "q_counts": jnp.asarray(q_counts),
+    }
+
+    def dense_mm(qv, a):
+        s = jnp.einsum("qd,nd->qn", qv.astype(a["emb"].dtype), a["emb"],
+                       preferred_element_type=jnp.float32) + a["bias"][None, :]
+        return s.sum()
+
+    def dense_topk(qv, a):
+        s = jnp.einsum("qd,nd->qn", qv.astype(a["emb"].dtype), a["emb"],
+                       preferred_element_type=jnp.float32) + a["bias"][None, :]
+        v, i = jax.lax.top_k(s, 24)
+        return v.sum() + i.sum().astype(jnp.float32)
+
+    def dense_full(qv, a):
+        rows, dist = _dense_branch(
+            a["emb"], a["bias"], qv, k_vector=8, pool=24, use_mmr=True,
+            mmr_lambda=0.5,
+        )
+        return rows.sum().astype(jnp.float32) + jnp.where(
+            jnp.isfinite(dist), dist, 0.0).sum()
+
+    def _stats(a):
+        keep = a["bias"] == 0.0
+        n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+        idf = okapi_idf(a["df"], n_sub)
+        avgdl = jnp.sum(jnp.where(keep, a["doc_len"], 0.0)) / n_sub
+        return keep, idf, avgdl
+
+    def bm25_core(qv, a, head=True, tail=True):
+        keep, idf, avgdl = _stats(a)
+        h_slots = a["h_slots"] if head else jnp.full_like(a["h_slots"], -1)
+        u_lens = a["u_lens"] if tail else jnp.zeros_like(a["u_lens"])
+        s = bm25_split_score_core(
+            a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
+            keep, idf, avgdl, h_slots, a["h_tids"], a["qh_h"],
+            a["q_counts_h"], a["u_starts"], u_lens, a["u_tids"], a["qr_u"],
+            a["q_counts_r"], vocab_pad=vpad, r_cap=r_cap,
+        )
+        # qv enters so the scan carry has a dependency.
+        return s.sum() + qv.sum() * 0.0
+
+    def bm25_topk(qv, a):
+        keep, idf, avgdl = _stats(a)
+        s = bm25_split_score_core(
+            a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
+            keep, idf, avgdl, a["h_slots"], a["h_tids"], a["qh_h"],
+            a["q_counts_h"], a["u_starts"], a["u_lens"], a["u_tids"],
+            a["qr_u"], a["q_counts_r"], vocab_pad=vpad, r_cap=r_cap,
+        )
+        v, i = jax.lax.top_k(s + a["bias"][None, :], 8)
+        return v.sum() + i.sum().astype(jnp.float32) + qv.sum() * 0.0
+
+    def full_step(qv, a):
+        out = hybrid_query_step_split(
+            a["emb"], a["tf_head"], a["post_rows"], a["post_tfs"],
+            a["doc_len"], a["df"], a["bias"], qv,
+            a["h_slots"], a["h_tids"], a["qh_h"], a["q_counts_h"],
+            a["u_starts"], a["u_lens"], a["u_tids"], a["qr_u"],
+            a["q_counts_r"], a["has_terms"],
+            k_vector=8, k_bm25=8, top_k=8, pool=24, vocab_pad=vpad,
+            r_cap=r_cap,
+        )
+        return (out.rows.sum().astype(jnp.float32)
+                + jnp.where(jnp.isfinite(out.fused), out.fused, 0.0).sum())
+
+    timed("dense matmul", dense_mm, q_vecs, A)
+    timed("dense matmul+topk", dense_topk, q_vecs, A)
+    timed("dense full (+MMR)", dense_full, q_vecs, A)
+    timed("bm25 head only", lambda qv, a: bm25_core(qv, a, True, False),
+          q_vecs, A)
+    timed("bm25 tail only", lambda qv, a: bm25_core(qv, a, False, True),
+          q_vecs, A)
+    timed("bm25 head+tail", lambda qv, a: bm25_core(qv, a, True, True),
+          q_vecs, A)
+    timed("bm25 +topk", bm25_topk, q_vecs, A)
+    timed("FULL fused step", full_step, q_vecs, A)
+
+
+if __name__ == "__main__":
+    main()
