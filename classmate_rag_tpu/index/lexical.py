@@ -133,6 +133,13 @@ def _round_up(x: int, m: int) -> int:
 # Split-frequency layout (host-side build; see _bm25_split_fns for the math)
 # ---------------------------------------------------------------------------
 
+# Tail posting windows are sliced in fixed segments of this many entries;
+# a term with a longer list occupies several segments (disjoint rows, same
+# weight — contributions sum exactly). This caps the slice width r_cap no
+# matter how many high-df terms overflow the head budget.
+TAIL_SEG_CAP = 512
+
+
 def build_split_layout(
     term_ids: np.ndarray,       # i32 [cap, L]
     tfs: np.ndarray,            # u8  [cap, L]
@@ -140,6 +147,7 @@ def build_split_layout(
     *,
     head_bytes_budget: int,
     head_df_threshold: int,
+    seg_cap: int = TAIL_SEG_CAP,
 ) -> Dict[str, Any]:
     """Partition the packed lexical matrix into the split-frequency BM25
     layout: a TERM-major dense u8 head matrix [C, cap] for high-df terms
@@ -148,7 +156,9 @@ def build_split_layout(
     Pure numpy — shared by IndexStore._sync_split (single device) and the
     sharded prep (parallel/sharded.py). Returns ``n_overflow`` > 0 when
     the head budget could not hold every term above the df threshold
-    (those fall to the tail and inflate ``r_cap``).
+    (those fall to the tail as SEGMENTED posting lists — r_cap stays
+    capped at ``seg_cap``, so overflow degrades per-batch tail width, not
+    the slice cost).
     """
     cap, width = term_ids.shape
     n_vocab = max(n_vocab, 1)
@@ -184,7 +194,9 @@ def build_split_layout(
     offsets = np.zeros(n_vocab + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     max_rare = int(counts.max()) if counts.size else 0
-    r_cap = max(8, 1 << int(np.ceil(np.log2(max(max_rare, 1)))))
+    r_cap = min(
+        max(8, 1 << int(np.ceil(np.log2(max(max_rare, 1))))), seg_cap
+    )
     # Pad the postings arrays by r_cap: dynamic_slice CLAMPS starts near
     # the array end, which would silently shift a tail term's window.
     p_pad = max(8, _round_up(len(post_rows) + r_cap, 4096))
@@ -203,60 +215,68 @@ def build_split_layout(
     }
 
 
+def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
+    real = len(arr)
+    padded_n = max(8, 1 << int(np.ceil(np.log2(max(real, 1)))))
+    out = np.full(padded_n, fill, dtype=np.int32)
+    out[:real] = arr
+    return out
+
+
 def split_query_arrays(
     lut: np.ndarray,
     offsets: np.ndarray,
     q_tids: np.ndarray,         # i32 [B, M], -1 padded
     q_counts: np.ndarray,       # f32 [B, M]
+    r_cap: int = TAIL_SEG_CAP,
 ) -> Dict[str, np.ndarray]:
-    """Map [B, M] query term ids onto the batch's distinct head-term and
-    tail-term unions (inputs to bm25_split_scores)."""
+    """Map [B, M] query term ids onto the batch's distinct head-term
+    union and tail-term SEGMENT table (inputs to bm25_split_scores).
+
+    Tail terms whose posting lists exceed ``r_cap`` emit one entry per
+    ``r_cap``-sized window (same tid in u_tids); the device kernel sums
+    the disjoint windows' contributions, which equals the unsegmented
+    score exactly.
+    """
     safe = np.maximum(q_tids, 0)
     slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
     is_head = slots >= 0
-    starts = offsets[safe]
-    lens = offsets[safe + 1] - starts
+    lens = offsets[safe + 1] - offsets[safe]
     is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
 
-    def union(mask, values):
-        """Distinct values under mask → (padded array, per-pos index)."""
-        distinct = np.unique(values[mask]) if mask.any() else (
-            np.zeros(0, dtype=values.dtype)
-        )
-        real = len(distinct)
-        padded_n = max(8, 1 << int(np.ceil(np.log2(max(real, 1)))))
-        padded = np.full(padded_n, -1, dtype=np.int32)
-        padded[:real] = distinct
-        idx = np.full(values.shape, -1, dtype=np.int32)
-        if real:
-            idx[mask] = np.searchsorted(
-                distinct, values[mask]
-            ).astype(np.int32)
-        return distinct, padded, idx
-
-    head_tids, h_tids, qh_h = union(is_head, q_tids)
+    head_tids = (
+        np.unique(q_tids[is_head]) if is_head.any()
+        else np.zeros(0, np.int32)
+    )
+    h_tids = _pad_pow2(head_tids, -1)
     h_slots = np.full(len(h_tids), -1, dtype=np.int32)
     if len(head_tids):
         h_slots[: len(head_tids)] = lut[head_tids]
 
-    rare_tids, u_tids, qr_u = union(is_rare, q_tids)
+    rare_tids = (
+        np.unique(q_tids[is_rare]) if is_rare.any()
+        else np.zeros(0, np.int32)
+    )
+    seg_t, seg_start, seg_len = [], [], []
+    for t in rare_tids:
+        start = int(offsets[t])
+        ln = int(offsets[t + 1]) - start
+        for k in range(0, ln, r_cap):
+            seg_t.append(t)
+            seg_start.append(start + k)
+            seg_len.append(min(r_cap, ln - k))
+    u_tids = _pad_pow2(np.asarray(seg_t, np.int32), -1)
     u_starts = np.zeros(len(u_tids), dtype=np.int32)
     u_lens = np.zeros(len(u_tids), dtype=np.int32)
-    if len(rare_tids):
-        u_starts[: len(rare_tids)] = offsets[rare_tids]
-        u_lens[: len(rare_tids)] = (
-            offsets[rare_tids + 1] - offsets[rare_tids]
-        )
+    if seg_t:
+        u_starts[: len(seg_t)] = seg_start
+        u_lens[: len(seg_t)] = seg_len
     return {
         "h_slots": h_slots,
         "h_tids": h_tids,
-        "qh_h": qh_h,
-        "q_counts_h": q_counts,
         "u_starts": u_starts,
         "u_lens": u_lens,
         "u_tids": u_tids,
-        "qr_u": qr_u,
-        "q_counts_r": q_counts,
     }
 
 
@@ -307,21 +327,37 @@ def shard_postings(
 
 def shard_tail_ranges(
     offsets_sh: np.ndarray,     # i64 [S, V+1]
-    u_tids: np.ndarray,         # i32 [U], -1 padded
+    u_tids: np.ndarray,         # i32 [U], -1 padded (segments share tid)
+    r_cap: int = TAIL_SEG_CAP,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-shard (u_starts, u_lens) [S, U] for the batch's tail-term union
-    (the union itself stays global so qr_u maps identically per shard)."""
+    """Per-shard (u_starts, u_lens) [S, U] for the batch's tail SEGMENT
+    table (the segment/tid layout stays global and replicated; each shard
+    fills its own — possibly shorter — posting list into the term's
+    segment slots). A shard never needs more segments than the global
+    list does, since its local list is a subset."""
     s = offsets_sh.shape[0]
     u = len(u_tids)
+    # Occurrence index of each segment slot within its term.
+    occ = np.zeros(u, dtype=np.int64)
+    seen: Dict[int, int] = {}
+    for j, t in enumerate(u_tids):
+        t = int(t)
+        if t < 0:
+            continue
+        occ[j] = seen.get(t, 0)
+        seen[t] = int(occ[j]) + 1
+
     u_starts_sh = np.zeros((s, u), dtype=np.int32)
     u_lens_sh = np.zeros((s, u), dtype=np.int32)
-    n_real = int((u_tids >= 0).sum())
-    if n_real:
-        tids = u_tids[:n_real].astype(np.int64)
-        starts = offsets_sh[:, :-1][:, tids]
-        ends = offsets_sh[:, 1:][:, tids]
-        u_starts_sh[:, :n_real] = starts
-        u_lens_sh[:, :n_real] = ends - starts
+    real = u_tids >= 0
+    if real.any():
+        tids = np.maximum(u_tids, 0).astype(np.int64)
+        starts = offsets_sh[:, :-1][:, tids]          # [S, U]
+        total = offsets_sh[:, 1:][:, tids] - starts
+        seg_off = (occ * r_cap)[None, :]
+        ln = np.clip(total - seg_off, 0, r_cap)
+        u_starts_sh[:] = (starts + np.minimum(seg_off, total)).astype(np.int32)
+        u_lens_sh[:] = np.where(real[None, :], ln, 0).astype(np.int32)
     return u_starts_sh, u_lens_sh
 
 
@@ -386,13 +422,12 @@ def bm25_split_score_core(
     avgdl,        # f32 scalar
     h_slots,      # i32 [H] — distinct head slots in this batch (-1 pad)
     h_tids,       # i32 [H] — their vocab ids (-1 pad)
-    qh_h,         # i32 [B, M] — index into H per query term (-1 = none)
-    q_counts_h,   # f32 [B, M]
-    u_starts,     # i32 [U] — posting range start per distinct tail term
-    u_lens,       # i32 [U] (0 = padding slot)
-    u_tids,       # i32 [U] vocab ids (-1 pad)
-    qr_u,         # i32 [B, M] — index into U per query term (-1 = none)
-    q_counts_r,   # f32 [B, M]
+    u_starts,     # i32 [U] — posting window start per tail SEGMENT
+    u_lens,       # i32 [U] window length ≤ r_cap (0 = padding slot)
+    u_tids,       # i32 [U] vocab id per segment (-1 pad; a long posting
+                  #   list spans several segments with the same tid)
+    q_tids,       # i32 [B, M] query term ids (-1 padded)
+    q_counts,     # f32 [B, M] query term multiplicities
     *,
     vocab_pad: int,
     r_cap: int,
@@ -403,15 +438,21 @@ def bm25_split_score_core(
     (parallel/sharded.py), where ``N`` is the shard-local row count and
     idf/avgdl come from psum'd global statistics. Traced code only — the
     caller provides the jit/shard_map context.
+
+    Per-query weights come from matching ``q_tids`` against the batch's
+    head/tail unions ([B, M, H|U] one-hot einsum — tiny). Tail posting
+    lists longer than ``r_cap`` arrive as multiple segments sharing the
+    term id: each segment covers a disjoint row set, the segments share
+    the term's weight, so their matmul contributions sum to exactly the
+    single-column score. This keeps r_cap CONSTANT regardless of how many
+    high-df terms overflow the head budget.
     """
     import jax
     import jax.numpy as jnp
 
-    bq, m = qh_h.shape
-    h = h_slots.shape[0]
     u = u_starts.shape[0]
     n = tf_head.shape[1]
-    b_idx = jnp.broadcast_to(jnp.arange(bq)[:, None], (bq, m))
+    q_valid = (q_tids >= 0)[:, :, None]
 
     # ---- head: gather only the batch's head-term rows, then matmul.
     # tf_head is term-major so each needed term is one contiguous
@@ -422,14 +463,14 @@ def bm25_split_score_core(
     sat_sub = sat_sub * (tf_sub > 0) * keep[None, :]
     sat_sub = sat_sub * (h_slots >= 0)[:, None]              # [H, N] f32
 
-    h_tid_safe = jnp.where(h_tids >= 0, h_tids, vocab_pad)
-    h_idf = idf[h_tid_safe]                                  # [H]
-    w_head = jnp.zeros((bq, h + 1), jnp.float32)
-    qh_safe = jnp.where(qh_h >= 0, qh_h, h)
-    w_head = w_head.at[b_idx, qh_safe].add(
-        jnp.where(qh_h >= 0, q_counts_h, 0.0)
-    )[:, :h]
-    w_head = w_head * h_idf[None, :]
+    h_idf = idf[jnp.where(h_tids >= 0, h_tids, vocab_pad)]   # [H]
+    match_h = (
+        (q_tids[:, :, None] == h_tids[None, None, :])
+        & q_valid & (h_tids >= 0)[None, None, :]
+    )
+    w_head = jnp.einsum(
+        "bmh,bm->bh", match_h.astype(jnp.float32), q_counts
+    ) * h_idf[None, :]
     # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
     # a 0.2% relative error that visibly perturbs BM25 rankings.
     scores = jnp.einsum(
@@ -439,7 +480,7 @@ def bm25_split_score_core(
     )
 
     # ---- tail: batch-union tf matrix + second matmul ---------------
-    # Contiguous posting slices per distinct tail term.
+    # Contiguous posting window per tail segment.
     def slice_one(start):
         return (
             jax.lax.dynamic_slice(post_rows, (start,), (r_cap,)),
@@ -461,14 +502,14 @@ def bm25_split_score_core(
     sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
     sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, U]
 
-    u_tid_safe = jnp.where(u_tids >= 0, u_tids, vocab_pad)
-    u_idf = idf[u_tid_safe]                                   # [U]
-    w_tail = jnp.zeros((bq, u + 1), jnp.float32)
-    qu_safe = jnp.where(qr_u >= 0, qr_u, u)
-    w_tail = w_tail.at[b_idx, qu_safe].add(
-        jnp.where(qr_u >= 0, q_counts_r, 0.0)
-    )[:, :u]
-    w_tail = w_tail * u_idf[None, :]
+    u_idf = idf[jnp.where(u_tids >= 0, u_tids, vocab_pad)]   # [U]
+    match_u = (
+        (q_tids[:, :, None] == u_tids[None, None, :])
+        & q_valid & (u_tids >= 0)[None, None, :]
+    )
+    w_tail = jnp.einsum(
+        "bmu,bm->bu", match_u.astype(jnp.float32), q_counts
+    ) * u_idf[None, :]
     scores = scores + jnp.einsum(
         "bu,nu->bn", w_tail, sat_tail,
         preferred_element_type=jnp.float32,
@@ -490,10 +531,11 @@ def _bm25_split_fns():
       mass): tf prebuilt as a dense [N, C] u8 matrix at index build; a
       batch scores as ``W_head [B, C] @ sat(tf_head, dl) [C, N]``.
     - TAIL terms: term-major postings. Per batch, the *distinct* tail
-      terms (U of them) materialize as a [N, U] tf matrix — contiguous
-      posting-slice reads plus one small scatter (≤ U·r_cap elements,
-      with r_cap bounded by the head threshold) — then score as a second
-      matmul ``W_tail [B, U] @ sat(tf_tail, dl) [U, N]``.
+      terms (U segment slots; lists longer than r_cap span several slots)
+      materialize as a [N, U] tf matrix — contiguous posting-window reads
+      plus one small scatter (≤ U·r_cap elements, r_cap capped at
+      TAIL_SEG_CAP) — then score as a second matmul
+      ``W_tail [B, U] @ sat(tf_tail, dl) [U, N]``.
 
     Exactly the same Okapi math (idf/ε/avgdl shared with okapi_idf), just
     reorganized around the MXU. Both stages honor the row mask.
@@ -511,13 +553,11 @@ def _bm25_split_fns():
         df,           # f32 [vocab_pad+1] — subset df
         h_slots,      # i32 [H] — distinct head slots in this batch (-1 pad)
         h_tids,       # i32 [H] — their vocab ids (-1 pad)
-        qh_h,         # i32 [B, M] — index into H per query term (-1 = none)
-        q_counts_h,   # f32 [B, M]
-        u_starts,     # i32 [U] — posting range start per distinct tail term
-        u_lens,       # i32 [U] (0 = padding slot)
-        u_tids,       # i32 [U] vocab ids (-1 pad)
-        qr_u,         # i32 [B, M] — index into U per query term (-1 = none)
-        q_counts_r,   # f32 [B, M]
+        u_starts,     # i32 [U] — posting window start per tail segment
+        u_lens,       # i32 [U] window length ≤ r_cap (0 = padding slot)
+        u_tids,       # i32 [U] vocab id per segment (-1 pad)
+        q_tids,       # i32 [B, M] query term ids (-1 padded)
+        q_counts,     # f32 [B, M]
         vocab_pad: int,
         r_cap: int,
     ):
@@ -527,8 +567,7 @@ def _bm25_split_fns():
         avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
         return bm25_split_score_core(
             tf_head, post_rows, post_tfs, doc_len, keep, idf, avgdl,
-            h_slots, h_tids, qh_h, q_counts_h,
-            u_starts, u_lens, u_tids, qr_u, q_counts_r,
+            h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
             vocab_pad=vocab_pad, r_cap=r_cap,
         )
 

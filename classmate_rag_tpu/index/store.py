@@ -289,12 +289,13 @@ class IndexStore:
 
     def _split_query_arrays(self, q_tids: np.ndarray, q_counts: np.ndarray):
         """Map [B, M] query term ids onto the batch's distinct head-term
-        and tail-term unions (see lexical._bm25_split_fns)."""
+        union and tail segment table (see lexical._bm25_split_fns)."""
         from classmate_rag_tpu.index.lexical import split_query_arrays
 
         split = self._sync_split()
         return split_query_arrays(
-            split["lut"], split["offsets"], q_tids, q_counts
+            split["lut"], split["offsets"], q_tids, q_counts,
+            r_cap=split["r_cap"],
         )
 
     @property
@@ -417,10 +418,9 @@ class IndexStore:
             split["tf_head"], split["post_rows"], split["post_tfs"],
             dev["doc_len"], bias, df,
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
             jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
-            jnp.asarray(qa["q_counts_r"]),
+            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(q_terms), jnp.asarray(q_counts),
             vocab_pad=vpad, r_cap=split["r_cap"], top_k=k_eff,
         )
         vals_np = np.asarray(vals)[0]
@@ -489,10 +489,10 @@ class IndexStore:
             split["post_tfs"], dev["doc_len"], df, bias,
             jnp.asarray(query_vecs, jnp.float32),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
             jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
-            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
+            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(q_terms), jnp.asarray(q_counts),
+            jnp.asarray(has_terms),
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
             top_k=top_k,

@@ -167,9 +167,9 @@ def hybrid_query_step_split(
     df,             # [vocab_pad+1] f32
     mask_bias,      # [N] f32
     q_vecs,         # [B, d] f32
-    h_slots, h_tids, qh_h, q_counts_h,  # batch head-term union + mapping
-    u_starts, u_lens, u_tids,           # batch tail-term union [U]
-    qr_u, q_counts_r,                   # per-query tail mapping [B, M]
+    h_slots, h_tids,            # batch head-term union [H]
+    u_starts, u_lens, u_tids,   # batch tail SEGMENT table [U]
+    q_tids, q_counts,           # [B, M] query term ids / multiplicities
     has_terms,      # bool [B, 1]: query had ≥1 vocab-known term (host-computed
                     # so zero-posting terms rank zero-score rows, as the
                     # gather path and the reference do)
@@ -198,8 +198,8 @@ def hybrid_query_step_split(
     bm25_split_scores, _ = split_fns()
     bm_scores = bm25_split_scores(
         tf_head, post_rows, post_tfs, doc_len, mask_bias, df,
-        h_slots, h_tids, qh_h, q_counts_h, u_starts, u_lens, u_tids,
-        qr_u, q_counts_r, vocab_pad=vocab_pad, r_cap=r_cap,
+        h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
+        vocab_pad=vocab_pad, r_cap=r_cap,
     )
     bm_rows, bm_vals = _bm25_postprocess(
         bm_scores, mask_bias, has_terms, k_bm25=k_bm25

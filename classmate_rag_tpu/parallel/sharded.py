@@ -270,9 +270,10 @@ def make_sharded_split_hybrid_fn(
       post_tfs_sh [S, Pmax] u8        P(shard, ·)
       doc_len [N] f32 · mask_bias [N] f32          P(shard)
       q_vecs [B, d] f32               replicated
-      h_slots [H] · h_tids [H] · qh_h [B, M] · q_counts_h [B, M]  replicated
+      h_slots [H] · h_tids [H]        replicated (batch head union)
       u_starts_sh [S, U] · u_lens_sh [S, U]        P(shard, ·)
-      u_tids [U] · qr_u [B, M] · q_counts_r [B, M] replicated
+      u_tids [U] (tail segment table) replicated
+      q_tids [B, M] · q_counts [B, M] replicated
       has_terms [B, 1] bool           replicated
 
     Host prep: lexical.build_split_layout → lexical.shard_postings (once
@@ -283,8 +284,8 @@ def make_sharded_split_hybrid_fn(
 
     def body(emb, term_ids, tfs, tf_head, post_rows_sh, post_tfs_sh,
              doc_len, mask_bias, q_vecs,
-             h_slots, h_tids, qh_h, q_counts_h,
-             u_starts_sh, u_lens_sh, u_tids, qr_u, q_counts_r, has_terms):
+             h_slots, h_tids,
+             u_starts_sh, u_lens_sh, u_tids, q_tids, q_counts, has_terms):
         n_local = emb.shape[0]
         shard = jax.lax.axis_index("shard")
         row_base = (shard * n_local).astype(jnp.int32)
@@ -303,8 +304,8 @@ def make_sharded_split_hybrid_fn(
         bm = bm25_split_score_core(
             tf_head, post_rows_sh[0], post_tfs_sh[0], doc_len, keep,
             idf, avgdl,
-            h_slots, h_tids, qh_h, q_counts_h,
-            u_starts_sh[0], u_lens_sh[0], u_tids, qr_u, q_counts_r,
+            h_slots, h_tids,
+            u_starts_sh[0], u_lens_sh[0], u_tids, q_tids, q_counts,
             vocab_pad=vocab_pad, r_cap=r_cap,
         )                                                 # [B, N_local]
         bm_rows, bm_vals = _bm25_merge_sharded(
@@ -330,10 +331,11 @@ def make_sharded_split_hybrid_fn(
             P("shard"),         # doc_len
             P("shard"),         # mask_bias
             P(None, None),      # q_vecs
-            P(None), P(None), P(None, None), P(None, None),   # head mapping
+            P(None), P(None),   # h_slots, h_tids
             P("shard", None),   # u_starts_sh
             P("shard", None),   # u_lens_sh
-            P(None), P(None, None), P(None, None),            # tail mapping
+            P(None),            # u_tids (segment table)
+            P(None, None), P(None, None),   # q_tids, q_counts
             P(None, None),      # has_terms
         ),
         out_specs=ShardedHybridResult(

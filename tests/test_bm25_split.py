@@ -69,10 +69,9 @@ def _scores_both(st, q_tids, q_counts, where):
         split["tf_head"], split["post_rows"], split["post_tfs"],
         dev["doc_len"], bias, df,
         jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-        jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
         jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-        jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
-        jnp.asarray(qa["q_counts_r"]),
+        jnp.asarray(qa["u_tids"]),
+        jnp.asarray(q_tids), jnp.asarray(q_counts),
         vocab_pad=st.vocab_pad, r_cap=split["r_cap"],
     ))
     return gather, split_scores
@@ -116,6 +115,105 @@ def test_split_matches_gather(store, where):
     q_tids, q_counts = _query_arrays(st, queries)
     gather, split = _scores_both(st, q_tids, q_counts, where)
     np.testing.assert_allclose(split, gather, atol=2e-4, rtol=2e-4)
+
+
+def _split_scores_for_layout(st, layout, q_tids, q_counts, where=None):
+    """Score through the split kernel using an explicit layout (lets the
+    tests force tiny segment caps / head budgets)."""
+    from classmate_rag_tpu.index.lexical import split_query_arrays
+
+    dev = st._sync_device()
+    bias = st._mask_bias(where)
+    subset_df, _ = device_fns()
+    df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, st.vocab_pad)
+    qa = split_query_arrays(
+        layout["lut"], layout["offsets"], q_tids, q_counts,
+        r_cap=layout["r_cap"],
+    )
+    scores_fn, _ = split_fns()
+    return np.asarray(scores_fn(
+        jnp.asarray(layout["tf_head"]), jnp.asarray(layout["post_rows"]),
+        jnp.asarray(layout["post_tfs"]), dev["doc_len"], bias, df,
+        jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+        jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+        jnp.asarray(qa["u_tids"]),
+        jnp.asarray(q_tids), jnp.asarray(q_counts),
+        vocab_pad=st.vocab_pad, r_cap=layout["r_cap"],
+    )), qa
+
+
+def test_segmented_tail_matches_gather(store):
+    """Posting lists longer than seg_cap split into multiple segments and
+    still score exactly like the unsegmented gather formulation."""
+    from classmate_rag_tpu.index.lexical import build_split_layout
+
+    st, docs = store
+    # Threshold above any df: every term (high-df ones included) lands in
+    # the segmented tail.
+    layout = build_split_layout(
+        st.term_ids, st.tfs, len(st.vocab),
+        head_bytes_budget=1 << 30, head_df_threshold=10**6, seg_cap=8,
+    )
+    assert layout["r_cap"] == 8
+    # Pick tail terms with df > seg_cap so segmentation actually happens.
+    lens = np.diff(layout["offsets"])
+    lut = layout["lut"]
+    long_tail = [
+        t for t in range(len(lens)) if lut[t] < 0 and lens[t] > 8
+    ]
+    assert long_tail, "fixture corpus must have tail terms with df > 8"
+    q_tids = np.full((2, 16), -1, np.int32)
+    q_counts = np.zeros((2, 16), np.float32)
+    q_tids[0, : min(3, len(long_tail))] = long_tail[:3]
+    q_counts[0, : min(3, len(long_tail))] = 1.0
+    q_tids[1, 0] = long_tail[0]
+    q_counts[1, 0] = 2.0  # multiplicity through segments
+
+    split_scores, qa = _split_scores_for_layout(st, layout, q_tids, q_counts)
+    n_slots_for_first = int((qa["u_tids"] == long_tail[0]).sum())
+    assert n_slots_for_first > 1  # really segmented
+
+    gather = _scores_both(st, q_tids, q_counts, None)[0]
+    np.testing.assert_allclose(split_scores, gather, atol=2e-4, rtol=2e-4)
+
+
+def test_head_overflow_degrades_to_segmented_tail():
+    """With the head budget too small for the df spectrum (>128 terms
+    above the threshold but budget floor of 128 head rows), overflow
+    terms fall to the segmented tail: r_cap stays at seg_cap and scores
+    still match the gather formulation."""
+    from classmate_rag_tpu.index.lexical import build_split_layout
+
+    rng = np.random.default_rng(17)
+    n, dim, v = 500, 8, 400
+    st = IndexStore(dim, "/tmp/unused-overflow-test", slab_rows=128,
+                    terms_per_chunk=24)
+    st.HEAD_DF_THRESHOLD = 2
+    vocab_words = [f"w{i}" for i in range(v)]
+    docs = []
+    for _ in range(n):
+        k = int(rng.integers(8, 20))
+        docs.append([vocab_words[i]
+                     for i in rng.integers(0, v, size=k)])
+    embs = rng.standard_normal((n, dim)).astype(np.float32)
+    st.upsert([f"d{i}" for i in range(n)], embs, docs, [{}] * n)
+
+    layout = build_split_layout(
+        st.term_ids, st.tfs, len(st.vocab),
+        head_bytes_budget=1, head_df_threshold=2, seg_cap=16,
+    )
+    assert layout["n_overflow"] > 0          # budget forced an overflow
+    assert layout["r_cap"] <= 16             # ...but r_cap stays capped
+
+    queries = []
+    for _ in range(4):
+        doc = docs[int(rng.integers(0, len(docs)))]
+        queries.append(list(rng.choice(doc, size=min(4, len(doc)),
+                                       replace=False)))
+    q_tids, q_counts = _query_arrays(st, queries)
+    split_scores, _ = _split_scores_for_layout(st, layout, q_tids, q_counts)
+    gather = _scores_both(st, q_tids, q_counts, None)[0]
+    np.testing.assert_allclose(split_scores, gather, atol=2e-4, rtol=2e-4)
 
 
 def test_split_after_delete(store):

@@ -178,7 +178,7 @@ class TestShardedSplitHybrid:
         doc_len = tfs.sum(axis=1).astype(np.float32)
         return emb, term_ids, tfs, doc_len
 
-    def _run_both(self, bias_np):
+    def _run_both(self, bias_np, seg_cap=512, head_df_threshold=4):
         from classmate_rag_tpu.index.lexical import (
             build_split_layout, device_fns, shard_postings,
             shard_tail_ranges, split_query_arrays,
@@ -191,9 +191,11 @@ class TestShardedSplitHybrid:
         emb, term_ids, tfs, doc_len = self._corpus()
         layout = build_split_layout(
             term_ids, tfs, self.VOCAB,
-            head_bytes_budget=1 << 20, head_df_threshold=4,
+            head_bytes_budget=1 << 20, head_df_threshold=head_df_threshold,
+            seg_cap=seg_cap,
         )
-        assert (layout["lut"] >= 0).any(), "need head terms for coverage"
+        if head_df_threshold <= 4:
+            assert (layout["lut"] >= 0).any(), "need head terms for coverage"
         assert (layout["offsets"][-1] > 0), "need tail postings for coverage"
 
         rng = np.random.default_rng(3)
@@ -202,20 +204,25 @@ class TestShardedSplitHybrid:
         q_vecs /= np.linalg.norm(q_vecs, axis=1, keepdims=True)
         q_tids = np.full((B, M), -1, np.int32)
         q_counts = np.zeros((B, M), np.float32)
-        # Query 0: head-heavy; query 1: mixed; query 2: no terms.
+        # Query 0: head-heavy (tail when the layout has no head terms);
+        # query 1: mixed; query 2: no terms.
         head_terms = np.where(layout["lut"] >= 0)[0]
         tail_terms = np.where(
             (layout["lut"] < 0)
             & (np.diff(layout["offsets"]) > 0)
         )[0]
-        q_tids[0, :3] = head_terms[:3]
+        pool0 = head_terms if len(head_terms) >= 3 else tail_terms
+        q_tids[0, :3] = pool0[:3]
         q_counts[0, :3] = 1.0
-        q_tids[1, 0] = head_terms[0]
+        q_tids[1, 0] = head_terms[0] if len(head_terms) else tail_terms[2]
         q_tids[1, 1:3] = tail_terms[:2]
         q_counts[1, :3] = 1.0
         has_terms = np.any(q_tids >= 0, axis=1, keepdims=True)
 
-        qa = split_query_arrays(layout["lut"], layout["offsets"], q_tids, q_counts)
+        qa = split_query_arrays(
+            layout["lut"], layout["offsets"], q_tids, q_counts,
+            r_cap=layout["r_cap"],
+        )
         subset_df, _ = device_fns()
         keep = bias_np == 0.0
         df = subset_df(
@@ -231,10 +238,10 @@ class TestShardedSplitHybrid:
             jnp.asarray(doc_len), df, jnp.asarray(bias_np),
             jnp.asarray(q_vecs),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
             jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
-            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
+            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(q_tids), jnp.asarray(q_counts),
+            jnp.asarray(has_terms),
             r_cap=layout["r_cap"], **knobs,
         )
 
@@ -243,7 +250,9 @@ class TestShardedSplitHybrid:
             layout["post_rows"], layout["post_tfs"], layout["offsets"],
             self.N_SHARDS, n_local, layout["r_cap"],
         )
-        u_starts_sh, u_lens_sh = shard_tail_ranges(offsets_sh, qa["u_tids"])
+        u_starts_sh, u_lens_sh = shard_tail_ranges(
+            offsets_sh, qa["u_tids"], r_cap=layout["r_cap"]
+        )
         mesh = corpus_mesh(self.N_SHARDS)
         fn = make_sharded_split_hybrid_fn(
             mesh, r_cap=layout["r_cap"], **knobs
@@ -254,10 +263,10 @@ class TestShardedSplitHybrid:
             jnp.asarray(post_rows_sh), jnp.asarray(post_tfs_sh),
             jnp.asarray(doc_len), jnp.asarray(bias_np), jnp.asarray(q_vecs),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(qa["qh_h"]), jnp.asarray(qa["q_counts_h"]),
             jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
-            jnp.asarray(qa["u_tids"]), jnp.asarray(qa["qr_u"]),
-            jnp.asarray(qa["q_counts_r"]), jnp.asarray(has_terms),
+            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(q_tids), jnp.asarray(q_counts),
+            jnp.asarray(has_terms),
         )
         return single, sharded
 
@@ -278,6 +287,21 @@ class TestShardedSplitHybrid:
         bias = np.zeros(self.N, np.float32)
         bias[1::3] = NEG  # drop a third of the rows
         single, sharded = self._run_both(bias)
+        assert np.array_equal(
+            np.asarray(single.rows), np.asarray(sharded.rows)
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
+        )
+
+    def test_matches_single_device_segmented_tail(self):
+        """Tail posting lists longer than seg_cap segment per shard and
+        still merge bit-identically (threshold pushed up so every term —
+        high-df ones included — lands in the segmented tail)."""
+        bias = np.zeros(self.N, np.float32)
+        single, sharded = self._run_both(
+            bias, seg_cap=8, head_df_threshold=10**6
+        )
         assert np.array_equal(
             np.asarray(single.rows), np.asarray(sharded.rows)
         )

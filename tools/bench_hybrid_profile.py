@@ -115,13 +115,9 @@ def main():
         "post_rows": split["post_rows"], "post_tfs": split["post_tfs"],
         "h_slots": jnp.asarray(qa["h_slots"]),
         "h_tids": jnp.asarray(qa["h_tids"]),
-        "qh_h": jnp.asarray(qa["qh_h"]),
-        "q_counts_h": jnp.asarray(qa["q_counts_h"]),
         "u_starts": jnp.asarray(qa["u_starts"]),
         "u_lens": jnp.asarray(qa["u_lens"]),
         "u_tids": jnp.asarray(qa["u_tids"]),
-        "qr_u": jnp.asarray(qa["qr_u"]),
-        "q_counts_r": jnp.asarray(qa["q_counts_r"]),
         "has_terms": jnp.asarray(has_terms),
         "q_terms": jnp.asarray(q_terms),
         "q_counts": jnp.asarray(q_counts),
@@ -159,9 +155,9 @@ def main():
         u_lens = a["u_lens"] if tail else jnp.zeros_like(a["u_lens"])
         s = bm25_split_score_core(
             a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
-            keep, idf, avgdl, h_slots, a["h_tids"], a["qh_h"],
-            a["q_counts_h"], a["u_starts"], u_lens, a["u_tids"], a["qr_u"],
-            a["q_counts_r"], vocab_pad=vpad, r_cap=r_cap,
+            keep, idf, avgdl, h_slots, a["h_tids"],
+            a["u_starts"], u_lens, a["u_tids"],
+            a["q_terms"], a["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
         # qv enters so the scan carry has a dependency.
         return s.sum() + qv.sum() * 0.0
@@ -170,9 +166,9 @@ def main():
         keep, idf, avgdl = _stats(a)
         s = bm25_split_score_core(
             a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
-            keep, idf, avgdl, a["h_slots"], a["h_tids"], a["qh_h"],
-            a["q_counts_h"], a["u_starts"], a["u_lens"], a["u_tids"],
-            a["qr_u"], a["q_counts_r"], vocab_pad=vpad, r_cap=r_cap,
+            keep, idf, avgdl, a["h_slots"], a["h_tids"],
+            a["u_starts"], a["u_lens"], a["u_tids"],
+            a["q_terms"], a["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
         v, i = jax.lax.top_k(s + a["bias"][None, :], 8)
         return v.sum() + i.sum().astype(jnp.float32) + qv.sum() * 0.0
@@ -181,9 +177,9 @@ def main():
         out = hybrid_query_step_split(
             a["emb"], a["tf_head"], a["post_rows"], a["post_tfs"],
             a["doc_len"], a["df"], a["bias"], qv,
-            a["h_slots"], a["h_tids"], a["qh_h"], a["q_counts_h"],
-            a["u_starts"], a["u_lens"], a["u_tids"], a["qr_u"],
-            a["q_counts_r"], a["has_terms"],
+            a["h_slots"], a["h_tids"],
+            a["u_starts"], a["u_lens"], a["u_tids"],
+            a["q_terms"], a["q_counts"], a["has_terms"],
             k_vector=8, k_bm25=8, top_k=8, pool=24, vocab_pad=vpad,
             r_cap=r_cap,
         )
