@@ -37,38 +37,43 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import os
 
 N_CHUNKS = int(os.getenv("BENCH_CHUNKS", "50000"))
+# Second corpus scale recorded in the same JSON line (0 disables).
+SCALE2_CHUNKS = int(os.getenv("BENCH_SCALE2", "200000"))
 DIM = 768
 N_QUERIES = int(os.getenv("BENCH_QUERIES", "1024"))
 TPU_BATCH = int(os.getenv("BENCH_BATCH", "256"))
+N_ORACLE = int(os.getenv("BENCH_ORACLE", "128"))
 K = 8
 POOL = 24
 RRF_K = 60
 
 
-def build_corpus(rng):
+def build_corpus(rng, n_chunks: int = None):
     """Zipf-ish synthetic docs: realistic df spectrum for BM25."""
+    n_chunks = n_chunks or N_CHUNKS
     vocab = [f"w{i}" for i in range(5000)]
     # Zipf ranks: p(i) ∝ 1/(i+1)
     weights = 1.0 / np.arange(1, len(vocab) + 1)
     weights /= weights.sum()
     # One vectorized draw for all docs (a per-doc rng.choice loop costs
     # ~1 minute at 50k docs), sliced to per-doc lengths.
-    lengths = rng.integers(40, 120, size=N_CHUNKS)
+    lengths = rng.integers(40, 120, size=n_chunks)
     all_idx = rng.choice(len(vocab), size=int(lengths.sum()), p=weights)
     docs = []
     pos = 0
     for n_words in lengths:
         docs.append([vocab[i] for i in all_idx[pos : pos + n_words]])
         pos += n_words
-    emb = rng.standard_normal((N_CHUNKS, DIM)).astype(np.float32)
+    emb = rng.standard_normal((n_chunks, DIM)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     return docs, emb
 
 
 def make_queries(rng, docs, emb):
     qs = []
+    n_chunks = len(docs)
     for i in range(N_QUERIES):
-        doc_i = int(rng.integers(0, N_CHUNKS))
+        doc_i = int(rng.integers(0, n_chunks))
         qv = emb[doc_i] + 0.25 * rng.standard_normal(DIM).astype(np.float32)
         qv /= np.linalg.norm(qv)
         terms = list(rng.choice(docs[doc_i], size=min(5, len(docs[doc_i])),
@@ -169,12 +174,11 @@ def oracle_query(qv, terms, emb, bm25, k=K):
 
 # ---------------------------------------------------------------------------
 
-def main() -> None:
-    from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
-
-    enable_compilation_cache()
+def run_scale(n_chunks: int, n_oracle: int) -> dict:
+    """Build a fresh index at ``n_chunks`` and measure TPU QPS, the CPU
+    oracle QPS, and recall@8 over ``n_oracle`` queries."""
     rng = np.random.default_rng(42)
-    docs, emb = build_corpus(rng)
+    docs, emb = build_corpus(rng, n_chunks)
     queries = make_queries(rng, docs, emb)
 
     # ---- build the TPU index -----------------------------------------
@@ -182,25 +186,13 @@ def main() -> None:
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_idx_"))
     store = IndexStore(DIM, tmp, slab_rows=4096, terms_per_chunk=128)
-    ids = [f"c{i}" for i in range(N_CHUNKS)]
+    ids = [f"c{i}" for i in range(n_chunks)]
     batch = 8192
-    for s in range(0, N_CHUNKS, batch):
-        e = min(s + batch, N_CHUNKS)
+    for s in range(0, n_chunks, batch):
+        e = min(s + batch, n_chunks)
         store.upsert(
             ids[s:e], emb[s:e], docs[s:e], [{} for _ in range(s, e)]
         )
-
-    import jax
-
-    backend = jax.default_backend()
-
-    def run_tpu_batch(q_slice):
-        q_vecs = np.stack([q for (q, _t) in q_slice])
-        q_terms = [t for (_q, t) in q_slice]
-        out = store.hybrid_topk_batch(
-            q_vecs, q_terms, None, k_vector=K, k_bm25=K, top_k=K, pool=POOL,
-        )
-        return np.asarray(out.rows)  # host fetch = honest sync
 
     def dispatch_tpu_batch(q_slice):
         q_vecs = np.stack([q for (q, _t) in q_slice])
@@ -210,7 +202,7 @@ def main() -> None:
         )
 
     # Warmup (compile).
-    run_tpu_batch(queries[:TPU_BATCH])
+    np.asarray(dispatch_tpu_batch(queries[:TPU_BATCH]).rows)
 
     def timed_pass():
         """Throughput with bounded pipelining (depth 4): dispatch ahead,
@@ -236,7 +228,6 @@ def main() -> None:
 
     # ---- CPU oracle --------------------------------------------------
     bm25 = OracleBM25(docs)
-    n_oracle = 8
     t0 = time.perf_counter()
     oracle_results = [
         oracle_query(q, t, emb, bm25) for (q, t) in queries[:n_oracle]
@@ -244,7 +235,7 @@ def main() -> None:
     oracle_time = time.perf_counter() - t0
     qps_cpu = n_oracle / oracle_time
 
-    # ---- recall sanity: TPU top-k vs oracle top-k overlap ------------
+    # ---- recall: TPU top-k vs oracle top-k overlap --------------------
     overlaps = []
     tpu_flat = np.concatenate(tpu_results, axis=0)
     for i in range(n_oracle):
@@ -253,16 +244,38 @@ def main() -> None:
         overlaps.append(len(got & want) / max(len(want), 1))
     recall = float(np.mean(overlaps))
 
-    print(json.dumps({
-        "metric": "hybrid_query_qps",
+    return {
         "value": round(qps_tpu, 2),
-        "unit": "queries/s",
         "vs_baseline": round(qps_tpu / qps_cpu, 2),
         "baseline_qps": round(qps_cpu, 3),
         "recall_vs_oracle@8": round(recall, 4),
-        "corpus_chunks": N_CHUNKS,
+        "n_oracle_queries": n_oracle,
+        "corpus_chunks": n_chunks,
+    }
+
+
+def main() -> None:
+    from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import gc
+
+    import jax
+
+    backend = jax.default_backend()
+    primary = run_scale(N_CHUNKS, n_oracle=N_ORACLE)
+    out = {
+        "metric": "hybrid_query_qps",
+        "unit": "queries/s",
+        **primary,
         "backend": backend,
-    }))
+    }
+    if SCALE2_CHUNKS and SCALE2_CHUNKS != N_CHUNKS:
+        gc.collect()
+        # Fewer oracle queries at the large scale: the numpy oracle costs
+        # ~0.4 s/query at 200k chunks.
+        out["scale2"] = run_scale(SCALE2_CHUNKS, n_oracle=max(N_ORACLE // 2, 8))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,8 +58,14 @@ def initialize(
 
 def dcn_training_mesh():
     """('replica', 'data', 'model') mesh: replica axis across hosts (DCN),
-    data+model within a slice (ICI)."""
+    data+model within a slice (ICI).
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` (process = DCN granule)
+    so device order within and across hosts is chosen for collective
+    locality — a plain ``jax.devices()`` reshape assumes host-contiguous
+    enumeration, which TPU runtimes do not guarantee."""
     import jax
+    from jax.experimental import mesh_utils
     from jax.sharding import Mesh
 
     from classmate_rag_tpu.parallel.mesh import _factor_2d
@@ -68,5 +74,13 @@ def dcn_training_mesh():
     n_hosts = max(jax.process_count(), 1)
     per_host = len(devices) // n_hosts
     data, model = _factor_2d(per_host)
-    arr = np.array(devices).reshape(n_hosts, data, model)
+    if n_hosts == 1:
+        arr = np.array(devices).reshape(1, data, model)
+    else:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, data, model),
+            dcn_mesh_shape=(n_hosts, 1, 1),
+            devices=devices,
+            process_is_granule=True,
+        )
     return Mesh(arr, ("replica", "data", "model"))
