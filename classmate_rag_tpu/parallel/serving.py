@@ -1,0 +1,175 @@
+"""User-facing SPMD serving: an IndexStore queried over a device mesh.
+
+``ShardedHybridIndex`` wraps a built :class:`IndexStore` for multi-chip
+serving — the capability the reference never had (its Chroma store was a
+single local container). Corpus arrays are placed once with explicit
+``NamedSharding`` layouts (rows of the embedding/lexical matrices and
+columns of the term-major BM25 head matrix shard across chips; tail
+postings are pre-partitioned per shard with shard-local row ids), and
+every query batch is ONE SPMD dispatch through
+:func:`make_sharded_split_hybrid_fn` — the same split-frequency BM25 +
+dense + RRF math as the single-device fused step, bit-identical results
+(tests/test_sharded_index.py).
+
+Typical use::
+
+    store = IndexStore(...); store.upsert(...)
+    sharded = ShardedHybridIndex(store, corpus_mesh())
+    out = sharded.query_batch(q_vecs, q_terms_lists, filters=None, top_k=8)
+
+Re-wrap (cheap: one device_put pass) after mutating the store.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from classmate_rag_tpu.index.lexical import (
+    build_split_layout,
+    shard_postings,
+    shard_tail_ranges,
+    split_query_arrays,
+)
+from classmate_rag_tpu.index.store import IndexStore
+from classmate_rag_tpu.parallel.sharded import make_sharded_split_hybrid_fn
+
+
+class ShardedHybridIndex:
+    """SPMD view of an IndexStore over a 1-D ("shard",) corpus mesh."""
+
+    def __init__(
+        self,
+        store: IndexStore,
+        mesh: Mesh,
+        *,
+        k_vector: int = 8,
+        k_bm25: int = 8,
+        top_k: int = 8,
+        pool: int = 24,
+        use_mmr: bool = True,
+        mmr_lambda: float = 0.5,
+        rrf_k: int = 60,
+        weight_vector: float = 1.0,
+        weight_bm25: float = 1.0,
+        max_query_terms: int = 32,
+    ) -> None:
+        self.store = store
+        self.mesh = mesh
+        self.n_shards = int(mesh.shape["shard"])
+        if store.capacity % self.n_shards:
+            raise ValueError(
+                f"store capacity {store.capacity} must divide by the "
+                f"{self.n_shards}-way shard axis (slab_rows controls this)"
+            )
+        self.max_query_terms = max_query_terms
+        self._knobs = dict(
+            k_vector=min(k_vector, store.capacity),
+            k_bm25=min(k_bm25, store.capacity),
+            top_k=top_k,
+            pool=min(pool, store.capacity),
+            vocab_pad=store.vocab_pad,
+            use_mmr=use_mmr,
+            mmr_lambda=mmr_lambda,
+            rrf_k=rrf_k,
+            weight_vector=weight_vector,
+            weight_bm25=weight_bm25,
+        )
+
+        # ---- build + place the sharded corpus state -------------------
+        layout = build_split_layout(
+            store.term_ids, store.tfs, len(store.vocab),
+            head_bytes_budget=store.HEAD_BYTES_BUDGET,
+            head_df_threshold=store.HEAD_DF_THRESHOLD,
+        )
+        self._layout = layout
+        n_local = store.capacity // self.n_shards
+        post_rows_sh, post_tfs_sh, offsets_sh = shard_postings(
+            layout["post_rows"], layout["post_tfs"], layout["offsets"],
+            self.n_shards, n_local, layout["r_cap"],
+        )
+        self._offsets_sh = offsets_sh
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        self._dev = {
+            "emb": put(store.emb, P("shard", None)).astype(jnp.bfloat16),
+            "term_ids": put(store.term_ids, P("shard", None)),
+            "tfs": put(store.tfs, P("shard", None)),
+            "tf_head": put(layout["tf_head"], P(None, "shard")),
+            "post_rows_sh": put(post_rows_sh, P("shard", None)),
+            "post_tfs_sh": put(post_tfs_sh, P("shard", None)),
+            "doc_len": put(store.doc_len, P("shard")),
+        }
+        self._fn = make_sharded_split_hybrid_fn(
+            mesh, r_cap=layout["r_cap"], **self._knobs
+        )
+        self._bias_cache: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+
+    def _mask_bias_sharded(self, where: Optional[Mapping[str, Any]]):
+        """Filter mask as a shard-placed bias vector (cached per filter)."""
+        import json
+
+        key = json.dumps(where or {}, sort_keys=True, default=str)
+        cached = self._bias_cache.get(key)
+        if cached is not None:
+            return cached
+        bias = np.asarray(self.store._mask_bias(where))
+        placed = jax.device_put(
+            bias, NamedSharding(self.mesh, P("shard"))
+        )
+        self._bias_cache[key] = placed
+        return placed
+
+    def query_batch(
+        self,
+        query_vecs: np.ndarray,                    # [B, d] f32
+        query_terms_list: Sequence[Sequence[str]],
+        where: Optional[Mapping[str, Any]] = None,
+    ):
+        """One SPMD dispatch for the whole batch → HybridBatchResult-shaped
+        ShardedHybridResult (rows/fused/vec_dist/bm25_score, replicated)."""
+        store = self.store
+        bq = len(query_terms_list)
+        m = self.max_query_terms
+        q_terms = np.full((bq, m), -1, dtype=np.int32)
+        q_counts = np.zeros((bq, m), dtype=np.float32)
+        for b, terms in enumerate(query_terms_list):
+            counts: Dict[int, float] = {}
+            for t in terms:
+                tid = store.vocab.get(t)
+                if tid is not None:
+                    counts[tid] = counts.get(tid, 0.0) + 1.0
+            for j, (tid, c) in enumerate(list(counts.items())[:m]):
+                q_terms[b, j] = tid
+                q_counts[b, j] = c
+
+        layout = self._layout
+        qa = split_query_arrays(
+            layout["lut"], layout["offsets"], q_terms, q_counts,
+            r_cap=layout["r_cap"],
+        )
+        u_starts_sh, u_lens_sh = shard_tail_ranges(
+            self._offsets_sh, qa["u_tids"], r_cap=layout["r_cap"]
+        )
+        has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
+        bias = self._mask_bias_sharded(where)
+        d = self._dev
+        return self._fn(
+            d["emb"], d["term_ids"], d["tfs"], d["tf_head"],
+            d["post_rows_sh"], d["post_tfs_sh"], d["doc_len"], bias,
+            jnp.asarray(query_vecs, jnp.float32),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
+            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(q_terms), jnp.asarray(q_counts),
+            jnp.asarray(has_terms),
+        )
