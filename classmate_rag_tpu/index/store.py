@@ -452,7 +452,10 @@ class IndexStore:
         """
         import jax.numpy as jnp
 
-        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step_split
+        from classmate_rag_tpu.ops.hybrid_step import (
+            hybrid_query_step_split_packed,
+            pack_query_arrays,
+        )
 
         dev = self._sync_device()
         bias = self._mask_bias(where)
@@ -484,15 +487,13 @@ class IndexStore:
         split = self._sync_split()
         qa = self._split_query_arrays(q_terms, q_counts)
         has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
-        return hybrid_query_step_split(
+        packed, statics = pack_query_arrays(qa, q_terms, q_counts, has_terms)
+        return hybrid_query_step_split_packed(
             dev["emb"], split["tf_head"], split["post_rows"],
             split["post_tfs"], dev["doc_len"], df, bias,
             jnp.asarray(query_vecs, jnp.float32),
-            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]),
-            jnp.asarray(q_terms), jnp.asarray(q_counts),
-            jnp.asarray(has_terms),
+            jnp.asarray(packed),
+            **statics,
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
             top_k=top_k,

@@ -151,6 +151,93 @@ def hybrid_query_step(
     )
 
 
+def pack_query_arrays(qa, q_terms, q_counts, has_terms):
+    """Concatenate every per-batch metadata array into ONE i32 buffer.
+
+    Through a remote-device link each host→device array is a round trip;
+    a query batch carries ~8 small arrays whose upload latency dwarfs
+    their bytes. Packing (f32 bitcast to i32, bools widened) turns them
+    into a single transfer; ``hybrid_query_step_split_packed`` unpacks
+    with static offsets inside the jit. Returns (packed i32 [L], statics
+    dict for the packed step).
+    """
+    import numpy as np
+
+    b, m = q_terms.shape
+    parts = [
+        np.ascontiguousarray(qa["h_slots"], np.int32),
+        np.ascontiguousarray(qa["h_tids"], np.int32),
+        np.ascontiguousarray(qa["u_starts"], np.int32),
+        np.ascontiguousarray(qa["u_lens"], np.int32),
+        np.ascontiguousarray(qa["u_tids"], np.int32),
+        np.ascontiguousarray(q_terms, np.int32).ravel(),
+        np.ascontiguousarray(q_counts, np.float32).ravel().view(np.int32),
+        np.ascontiguousarray(has_terms, bool).ravel().astype(np.int32),
+    ]
+    statics = {"h": len(qa["h_slots"]), "u": len(qa["u_starts"]),
+               "b": b, "m": m}
+    return np.concatenate(parts), statics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "u", "b", "m",
+        "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
+        "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
+    ),
+)
+def hybrid_query_step_split_packed(
+    emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias,
+    q_vecs,         # [B, d] f32
+    packed,         # i32 [L] from pack_query_arrays
+    *,
+    h: int, u: int, b: int, m: int,
+    k_vector: int = 8,
+    k_bm25: int = 8,
+    top_k: int = 8,
+    pool: int = 24,
+    vocab_pad: int = 4096,
+    r_cap: int = 1024,
+    use_mmr: bool = True,
+    mmr_lambda: float = 0.5,
+    rrf_k: int = 60,
+    weight_vector: float = 1.0,
+    weight_bm25: float = 1.0,
+) -> HybridBatchResult:
+    """``hybrid_query_step_split`` with the batch metadata in one buffer
+    (single host→device transfer per batch — the serving hot path)."""
+    import jax.numpy as jnp
+
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = packed[o : o + n]
+        o += n
+        return out
+
+    h_slots = take(h)
+    h_tids = take(h)
+    u_starts = take(u)
+    u_lens = take(u)
+    u_tids = take(u)
+    q_tids = take(b * m).reshape(b, m)
+    q_counts = jax.lax.bitcast_convert_type(
+        take(b * m), jnp.float32
+    ).reshape(b, m)
+    has_terms = (take(b) > 0).reshape(b, 1)
+    return hybrid_query_step_split(
+        emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias, q_vecs,
+        h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
+        has_terms,
+        k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
+        vocab_pad=vocab_pad, r_cap=r_cap, use_mmr=use_mmr,
+        mmr_lambda=mmr_lambda, rrf_k=rrf_k, weight_vector=weight_vector,
+        weight_bm25=weight_bm25,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

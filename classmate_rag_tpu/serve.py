@@ -11,9 +11,11 @@ embedder — behind a dependency-free stdlib HTTP server:
   GET  /stats
   GET  /healthz
 
-Threaded server; device work serializes through a lock (single-writer
-discipline — JAX dispatch is not free-threaded), host work (loaders,
-parsing) overlaps.
+Threaded server; device access follows reader-writer discipline
+(utils/rwlock.py): query dispatches run CONCURRENTLY (most of a batch's
+wall time on a remote-attached device is link round trips — overlapping
+them is ~2x throughput), while index mutations (/add) take the exclusive
+writer side. Host work (loaders, parsing, generation) overlaps freely.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 from classmate_rag_tpu.metadata import normalize_cli_metadata
+from classmate_rag_tpu.utils.rwlock import ReadWriteLock, read_scope, write_scope
 
 
 def _meta_from_payload(payload: Dict[str, Any]):
@@ -103,11 +106,11 @@ class MicroBatcher:
                 if self._batches.get(key) is batch:
                     del self._batches[key]
             try:
-                # Device lock covers ONLY the fused retrieval dispatch;
-                # the generation/citation tail is host-side and must not
-                # serialize other device users (ingest, preview, the next
-                # batch's retrieval).
-                with self.device_lock:
+                # Reader side of the device lock covers ONLY the fused
+                # retrieval dispatch (concurrent with other queries,
+                # exclusive against mutations); the generation/citation
+                # tail is host-side and runs outside any lock.
+                with read_scope(self.device_lock):
                     batched = retrieve_batch_for_ask(
                         questions=batch["questions"], filters=batch["meta"],
                         top_k=top_k, hybrid=hybrid, runtime=self.runtime,
@@ -132,7 +135,7 @@ class MicroBatcher:
 class RagRequestHandler(BaseHTTPRequestHandler):
     server_version = "classmate-rag-tpu/0.1"
     runtime = None          # injected by serve()
-    device_lock: threading.Lock = threading.Lock()
+    device_lock = ReadWriteLock()
 
     # -- plumbing -------------------------------------------------------
     def _send(self, code: int, obj: Any) -> None:
@@ -165,7 +168,7 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         elif self.path == "/stats":
             from classmate_rag_tpu.pipeline.stats import index_stats
 
-            with self.device_lock:
+            with read_scope(self.device_lock):
                 self._send(200, index_stats(self.runtime))
         else:
             self._send(404, {"error": f"no route {self.path}"})
@@ -219,7 +222,7 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         question = str(payload.get("question") or "").strip()
         if not question:
             raise ValueError("missing 'question'")
-        with self.device_lock:
+        with read_scope(self.device_lock):
             out = retrieve_preview(
                 question=question,
                 filters=_meta_from_payload(payload),
@@ -235,7 +238,7 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         path = payload.get("path")
         if not path:
             raise ValueError("missing 'path'")
-        with self.device_lock:
+        with write_scope(self.device_lock):
             res = ingest_file(
                 path=path,
                 doc_meta=_meta_from_payload(payload),
@@ -250,7 +253,7 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
     from classmate_rag_tpu.pipeline.runtime import get_runtime
 
     rt = runtime or get_runtime()
-    lock = threading.Lock()
+    lock = ReadWriteLock()
     handler = type("Handler", (RagRequestHandler,), {
         "runtime": rt,
         "device_lock": lock,

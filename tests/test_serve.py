@@ -239,6 +239,63 @@ def test_follower_timeout_knob(tmp_index_env):
     reset_runtime()
 
 
+def test_concurrent_retrievals_overlap(tmp_index_env, tmp_path):
+    """Two MicroBatcher leaders (different filter keys) hold the READ side
+    of the device lock simultaneously — queries no longer serialize."""
+    import threading
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.serve import MicroBatcher
+    from classmate_rag_tpu.utils.rwlock import ReadWriteLock
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "doc.md"
+    doc.write_text("Backpropagation computes gradients by the chain rule.")
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="ml"),
+                runtime=rt)
+
+    batcher = MicroBatcher(rt, ReadWriteLock(), max_wait_ms=1.0)
+
+    import classmate_rag_tpu.pipeline.ask as ask_mod
+
+    orig = ask_mod.retrieve_batch_for_ask
+    barrier = threading.Barrier(2, timeout=20)
+
+    def rendezvous_retrieve(**kwargs):
+        barrier.wait()  # passes only if two retrievals run concurrently
+        return orig(**kwargs)
+
+    results, errors = {}, []
+
+    def worker(i, course):
+        try:
+            results[i] = batcher.ask(
+                f"gradients {i}", normalize_cli_metadata(course=course),
+                2, True, None,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    ask_mod.retrieve_batch_for_ask = rendezvous_retrieve
+    try:
+        threads = [
+            threading.Thread(target=worker, args=(i, c))
+            for i, c in enumerate(["ml", "nope"])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        ask_mod.retrieve_batch_for_ask = orig
+    assert not errors
+    assert len(results) == 2
+    reset_runtime()
+
+
 def test_error_paths(server):
     base, _ = server
     code, body = _post(base + "/ask", {})
