@@ -147,17 +147,35 @@ def _topk_kernel(
         idx_out[:] = run_idx[:]
 
 
+def _auto_tile_n(q: int, d: int, dtype_bytes: int) -> int:
+    """Largest power-of-two corpus tile whose VMEM working set (queries
+    f32 + emb tile + f32 score tile + merge scratch) fits a ~12 MB budget
+    of the 16 MB scoped VMEM."""
+    budget = 13 << 20
+    fixed = q * d * 4
+    # Input tiles are double-buffered by the pipeline; the merge keeps
+    # ~5 [Q, tile]-shaped f32/i32 temps live (scores, iota, concat
+    # values/indices, selection masks).
+    per_row = 2 * d * dtype_bytes + 5 * q * 4 + 8
+    tile = 512
+    while tile * 2 * per_row + fixed < budget and tile < 8192:
+        tile *= 2
+    return tile
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def topk_pallas(
     emb: jnp.ndarray,        # [N, d]
     queries: jnp.ndarray,    # [Q, d]
     mask_bias: jnp.ndarray,  # [N] f32
     k: int,
-    tile_n: int = 4096,
+    tile_n: int = 0,         # 0 = auto-size to the VMEM budget
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n, d = emb.shape
     q = queries.shape[0]
+    if not tile_n:
+        tile_n = _auto_tile_n(q, d, emb.dtype.itemsize)
     k_pad = k  # scratch width == k: fewer argmax rounds in the merge
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
@@ -211,15 +229,24 @@ def masked_topk(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch between the two implementations.
 
-    Measured on TPU v5e (N=200k, d=768, Q=8, k=24): the scan is HBM-bound
-    and XLA's matmul+top_k already runs at the machine's achievable
-    bandwidth (~360 GB/s here); the Pallas kernel's matmul matches it
-    (~370 GB/s matmul-only) but its per-tile top-k merge adds VPU time with
-    no bandwidth saved (the [Q, N] score matrix is only Q·N·4 bytes — 2%
-    of the matrix read). So XLA is the default; the fused kernel stays for
-    the regimes where it wins (large Q, and as the substrate for the
-    planned int8-scan + bf16-rescore path, where halving matrix bytes is a
-    real 2x).
+    Measured on TPU v5e through this rig's device link
+    (tools/bench_scan.py, N=200k, d=768, Q=256, K=24):
+
+      raw matmul bf16      6.0 ms   (51 GB/s effective)
+      raw matmul int8      5.9 ms   (1.01x — NO speedup)
+      topk_xla            10.7 ms
+      topk_int8_rescore   22.5 ms   (0.48x, recall 0.995 vs exact)
+      topk_pallas         10.4 ms   (1.03x vs XLA)
+
+    Verdict on the int8-scan + bf16-rescore plan: not realizable here.
+    The scan at these shapes is NOT matrix-byte-bound — the [Q, N] f32
+    score materialization + top_k limit it to ~51 GB/s effective, far
+    below the ~360 GB/s this rig reads at — so halving matrix bytes buys
+    nothing, and the rescore stage's quantize/gather overhead makes the
+    two-stage path 2x slower with recall < 1. int8 stays opt-in
+    (ops/quant.py) for memory-constrained corpora. The Pallas kernel
+    (auto-VMEM-sized tiles) matches XLA within noise and remains the
+    substrate for regimes XLA can't fuse; XLA stays the default.
     """
     if use_pallas:
         return topk_pallas(emb, queries, mask_bias, k)
