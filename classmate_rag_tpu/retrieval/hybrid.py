@@ -171,10 +171,13 @@ class HybridRetriever:
             weight_vector=self.weight_vector if hybrid else 1.0,
             weight_bm25=self.weight_bm25,
         )
-        rows = np.asarray(result.rows)
-        fused = np.asarray(result.fused)
-        vdist = np.asarray(result.vec_dist)
-        bscore = np.asarray(result.bm25_score)
+        import jax
+
+        # One batched transfer for all four [B, k] outputs (per-array
+        # fetches each pay a device-link round trip).
+        rows, fused, vdist, bscore = jax.device_get(
+            (result.rows, result.fused, result.vec_dist, result.bm25_score)
+        )
 
         for pos, (i, _q) in enumerate(live):
             items: List[Dict[str, Any]] = []
