@@ -86,6 +86,12 @@ class IndexStore:
         self._nofilter_bias = None
         self._split: Optional[Dict[str, Any]] = None
         self._dirty = True
+        # Native batch packer (C++ interner); created lazily. Once the
+        # Python fallback interns anything the native side doesn't know,
+        # native packing disables permanently for this store (the two
+        # interners must stay id-identical).
+        self._packer = None
+        self._packer_ok = True
 
     # ------------------------------------------------------------------
     # Capacity / registry
@@ -138,6 +144,36 @@ class IndexStore:
     # Mutation
     # ------------------------------------------------------------------
 
+    def _pack_rows(self, tokens_list: Sequence[Sequence[str]]):
+        """Batch (term_ids [B, W] i32, tfs [B, W] u8, doc_len [B] f32) —
+        the C++ batch packer when available (bit-identical interning
+        order, ~10x the Python loop), else pack_tokens per row."""
+        if self._packer_ok and self._packer is None:
+            from classmate_rag_tpu.native import make_native_packer
+
+            self._packer = make_native_packer()
+            if self._packer is None:
+                self._packer_ok = False
+        if (
+            self._packer_ok
+            and len(self.vocab) == self._packer.vocab_size()
+        ):
+            out = self._packer.pack_batch(
+                tokens_list, self.vocab, self.term_width
+            )
+            if out is not None:
+                return out
+            self._packer_ok = False  # separator-bearing tokens: stay Python
+        b = len(tokens_list)
+        term_ids = np.empty((b, self.term_width), dtype=np.int32)
+        tfs = np.empty((b, self.term_width), dtype=np.uint8)
+        doc_len = np.empty(b, dtype=np.float32)
+        for i, tokens in enumerate(tokens_list):
+            term_ids[i], tfs[i], doc_len[i] = pack_tokens(
+                tokens, self.vocab, self.term_width
+            )
+        return term_ids, tfs, doc_len
+
     def upsert(
         self,
         ids: Sequence[str],
@@ -148,13 +184,13 @@ class IndexStore:
         """Idempotent upsert of aligned (id, embedding, tokens, metadata)."""
         if not (len(ids) == len(embeddings) == len(tokens_list) == len(metadatas)):
             raise ValueError("ids/embeddings/tokens/metadatas length mismatch")
+        t_ids_b, t_tfs_b, dl_b = self._pack_rows(tokens_list)
         for i, cid in enumerate(ids):
             row = self._row_for(cid)
             self.emb[row] = embeddings[i].astype(np.float16)
-            t_ids, t_tfs, dl = pack_tokens(tokens_list[i], self.vocab, self.term_width)
-            self.term_ids[row] = t_ids
-            self.tfs[row] = t_tfs
-            self.doc_len[row] = dl
+            self.term_ids[row] = t_ids_b[i]
+            self.tfs[row] = t_tfs_b[i]
+            self.doc_len[row] = dl_b[i]
             meta = metadatas[i] or {}
             for j, f in enumerate(FILTER_FIELDS):
                 v = meta.get(f)
@@ -563,19 +599,24 @@ class IndexStore:
         valid = list(registry.get("valid") or [])
         n = min(len(ids), emb.shape[0], len(valid))
         store._grow_to(max(n, 1))
+        entries = [catalog.get(cid) for cid in ids[:n]]
+        with_tokens = [i for i in range(n) if entries[i] is not None]
+        if with_tokens:
+            t_ids_b, t_tfs_b, dl_b = store._pack_rows(
+                [entries[i].tokens for i in with_tokens]
+            )
+        packed_pos = {i: j for j, i in enumerate(with_tokens)}
         for i in range(n):
             cid = ids[i]
-            entry = catalog.get(cid)
+            entry = entries[i]
             alive = bool(valid[i]) and entry is not None
             row = store._row_for(cid)
             store.emb[row] = emb[i]
             if entry is not None:
-                t_ids, t_tfs, dl = pack_tokens(
-                    entry.tokens, store.vocab, store.term_width
-                )
-                store.term_ids[row] = t_ids
-                store.tfs[row] = t_tfs
-                store.doc_len[row] = dl
+                j = packed_pos[i]
+                store.term_ids[row] = t_ids_b[j]
+                store.tfs[row] = t_tfs_b[j]
+                store.doc_len[row] = dl_b[j]
                 meta = entry.metadata
                 for j, f in enumerate(FILTER_FIELDS):
                     v = meta.get(f)

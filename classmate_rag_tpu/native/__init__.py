@@ -64,6 +64,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.packer_create.restype = ctypes.c_void_p
+        lib.packer_create.argtypes = []
+        lib.packer_destroy.argtypes = [ctypes.c_void_p]
+        lib.packer_vocab_size.restype = ctypes.c_int32
+        lib.packer_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.packer_pack_batch.restype = ctypes.c_int32
+        lib.packer_pack_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.packer_export_terms.restype = ctypes.c_int64
+        lib.packer_export_terms.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -114,6 +129,98 @@ class NativeTokenizer:
         if n == 0:
             return []
         return self._buf.raw[:n].decode("utf-8").split(" ")
+
+
+class NativePacker:
+    """Batch term-frequency packer + vocabulary interner (C++ kernel).
+
+    Owns the authoritative term→id interner; ``pack_batch`` mirrors newly
+    created terms into the caller's Python dict so all existing lookup
+    code (store.vocab) keeps working unchanged. Packing semantics are
+    bit-identical to lexical.pack_tokens (fuzz-tested in test_native.py).
+    """
+
+    def __init__(self) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._handle = lib.packer_create()
+
+    def __del__(self) -> None:  # pragma: no cover - interpreter teardown
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.packer_destroy(self._handle)
+        except Exception:
+            pass
+
+    def pack_batch(self, tokens_list, vocab: dict, width: int):
+        """Pack a batch of token lists → (term_ids [B, W] i32, tfs [B, W]
+        u8, doc_len [B] f32), interning into the shared vocabulary and
+        extending ``vocab`` with any new terms.
+
+        Returns None (caller must fall back to the Python path) when a
+        token contains the ' '/'\\n' separators — impossible for
+        tokenizer output, possible for arbitrary caller-supplied tokens.
+        """
+        import numpy as np
+
+        try:
+            docs = []
+            for tokens in tokens_list:
+                joined = " ".join(tokens)
+                if "\n" in joined:
+                    return None
+                docs.append(joined)
+            # A token containing ' ' would split: cheap structural check.
+            for tokens, joined in zip(tokens_list, docs):
+                if joined and joined.count(" ") != len(tokens) - 1:
+                    return None
+            blob = "\n".join(docs).encode("utf-8")
+        except TypeError:
+            return None
+
+        b = len(tokens_list)
+        term_ids = np.empty((b, width), dtype=np.int32)
+        tfs = np.empty((b, width), dtype=np.uint8)
+        doc_len = np.empty(b, dtype=np.float32)
+        rc = self._lib.packer_pack_batch(
+            self._handle, blob, len(blob), b, width,
+            term_ids.ctypes.data_as(ctypes.c_void_p),
+            tfs.ctypes.data_as(ctypes.c_void_p),
+            doc_len.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            return None
+        self._sync_vocab(vocab)
+        return term_ids, tfs, doc_len
+
+    def _sync_vocab(self, vocab: dict) -> None:
+        n_native = self._lib.packer_vocab_size(self._handle)
+        start = len(vocab)
+        if n_native <= start:
+            return
+        cap = 1 << 20
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.packer_export_terms(self._handle, start, buf, cap)
+            if n >= 0:
+                break
+            cap = -n + 1
+        new_terms = buf.raw[:n].decode("utf-8").split("\n") if n else []
+        for i, term in enumerate(new_terms):
+            vocab[term] = start + i
+
+    def vocab_size(self) -> int:
+        return int(self._lib.packer_vocab_size(self._handle))
+
+
+def make_native_packer() -> Optional[NativePacker]:
+    """A fresh packer instance (one per IndexStore), or None."""
+    try:
+        return NativePacker()
+    except (RuntimeError, OSError):
+        return None
 
 
 _tokenizer: Optional[NativeTokenizer] = None

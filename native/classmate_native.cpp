@@ -1,23 +1,29 @@
 // Native host-side kernels for classmate_rag_tpu.
 //
 // The TPU owns the compute path (JAX/XLA/Pallas); this library owns the
-// host-side ingest hot loop the reference left to Python regex + dict ops:
-// BM25 tokenization — UTF-8 scan of latin letters (diacritics preserved),
-// lowercasing (ASCII + Latin-1 supplement), per-language stopword removal,
-// 1-char token drop. Semantics match classmate_rag_tpu/index/lexical.py's
-// tokenize() exactly (which mirrors the reference tokenizer,
-// rag/retrieval/bm25.py:34-70); a parity test fuzzes the two against each
-// other.
+// host-side ingest hot loops the reference left to Python regex + dict ops:
 //
-// C ABI (ctypes-friendly): a tokenizer object holds the stopword sets;
-// tokenize_join() writes the kept tokens space-joined into a caller
-// buffer — one memcpy out, Python's .split() does the rest at C speed.
+// 1. BM25 tokenization — UTF-8 scan of latin letters (diacritics
+//    preserved), lowercasing (ASCII + Latin-1 supplement), per-language
+//    stopword removal, 1-char token drop. Semantics match
+//    classmate_rag_tpu/index/lexical.py's tokenize() exactly (which
+//    mirrors the reference tokenizer, rag/retrieval/bm25.py:34-70); a
+//    parity test fuzzes the two against each other.
+// 2. Batch term packing — the index-build hot loop: per-document term
+//    frequency counting, top-width selection (stable, highest-tf wins,
+//    first-seen breaks ties), vocabulary interning (insertion order
+//    identical to lexical.pack_tokens so term ids match the Python
+//    path bit for bit), fixed-width emission. The interner is owned
+//    here; Python mirrors newly created terms after each batch.
 //
-// Build: native/build.sh (g++ -O3 -shared -fPIC).
+// C ABI (ctypes-friendly); Build: native/build.sh (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <string_view>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -142,6 +148,140 @@ int64_t tokenize_join(void* handle, const char* text, int64_t text_len,
   if (n > out_cap) return -n;
   std::memcpy(out, result.data(), static_cast<size_t>(n));
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Batch term packer / vocabulary interner
+// ---------------------------------------------------------------------------
+
+struct Packer {
+  std::unordered_map<std::string, int32_t> vocab;
+  std::vector<std::string> terms;  // id -> term
+};
+
+void* packer_create() { return new Packer(); }
+
+void packer_destroy(void* handle) { delete static_cast<Packer*>(handle); }
+
+int32_t packer_vocab_size(void* handle) {
+  return static_cast<int32_t>(static_cast<Packer*>(handle)->terms.size());
+}
+
+// Pack a batch of pre-tokenized documents.
+//
+// `blob` holds every document's tokens space-joined, documents separated
+// by '\n' (an empty segment = empty document); exactly n_docs segments.
+// Writes term_ids (i32, n_docs*width, -1 padded), tfs (u8, zero padded),
+// doc_len (f32). Semantics identical to lexical.pack_tokens: per-doc tf
+// counts in first-seen order; when distinct terms exceed `width` a STABLE
+// sort by descending tf picks the winners (first-seen breaks ties); terms
+// intern into the shared vocabulary in packed order; tf clamps at 255;
+// doc_len counts ALL tokens. Returns 0 on success, -1 on malformed input
+// (wrong segment count).
+int32_t packer_pack_batch(void* handle, const char* blob, int64_t blob_len,
+                          int32_t n_docs, int32_t width,
+                          int32_t* term_ids, uint8_t* tfs, float* doc_len) {
+  auto* p = static_cast<Packer*>(handle);
+  const char* s = blob;
+  const char* end = blob + blob_len;
+
+  // Per-doc scratch, reused across the batch.
+  std::unordered_map<std::string_view, int32_t> counts;
+  std::vector<std::string_view> first_seen;
+  std::vector<int32_t> order;
+
+  for (int32_t d = 0; d < n_docs; ++d) {
+    if (s > end) return -1;
+    const char* nl = static_cast<const char*>(
+        memchr(s, '\n', static_cast<size_t>(end - s)));
+    const char* doc_end = nl ? nl : end;
+    if (!nl && d != n_docs - 1) return -1;
+
+    counts.clear();
+    first_seen.clear();
+    int64_t n_tokens = 0;
+    const char* t = s;
+    while (t < doc_end) {
+      const char* sp = static_cast<const char*>(
+          memchr(t, ' ', static_cast<size_t>(doc_end - t)));
+      const char* tok_end = sp ? sp : doc_end;
+      if (tok_end > t) {
+        std::string_view tok(t, static_cast<size_t>(tok_end - t));
+        ++n_tokens;
+        auto it = counts.find(tok);
+        if (it == counts.end()) {
+          counts.emplace(tok, 1);
+          first_seen.push_back(tok);
+        } else {
+          ++it->second;
+        }
+      }
+      t = tok_end + 1;
+    }
+    doc_len[d] = static_cast<float>(n_tokens);
+
+    int32_t n_distinct = static_cast<int32_t>(first_seen.size());
+    order.resize(static_cast<size_t>(n_distinct));
+    for (int32_t i = 0; i < n_distinct; ++i) order[static_cast<size_t>(i)] = i;
+    if (n_distinct > width) {
+      // Stable sort by -tf: first-seen order breaks ties, matching
+      // Python's list.sort(key=-tf) on first-seen-ordered items.
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int32_t a, int32_t b) {
+                         return counts[first_seen[static_cast<size_t>(a)]] >
+                                counts[first_seen[static_cast<size_t>(b)]];
+                       });
+      order.resize(static_cast<size_t>(width));
+    }
+
+    int32_t* row_ids = term_ids + static_cast<int64_t>(d) * width;
+    uint8_t* row_tfs = tfs + static_cast<int64_t>(d) * width;
+    for (int32_t j = 0; j < width; ++j) {
+      row_ids[j] = -1;
+      row_tfs[j] = 0;
+    }
+    int32_t n_emit = static_cast<int32_t>(order.size());
+    for (int32_t j = 0; j < n_emit; ++j) {
+      std::string_view tok = first_seen[static_cast<size_t>(order[j])];
+      std::string key(tok);
+      auto it = p->vocab.find(key);
+      int32_t tid;
+      if (it == p->vocab.end()) {
+        tid = static_cast<int32_t>(p->terms.size());
+        p->vocab.emplace(key, tid);
+        p->terms.push_back(std::move(key));
+      } else {
+        tid = it->second;
+      }
+      int32_t tf = counts[tok];
+      row_ids[j] = tid;
+      row_tfs[j] = static_cast<uint8_t>(tf > 255 ? 255 : tf);
+    }
+    s = doc_end + 1;
+  }
+  return 0;
+}
+
+// Export terms with ids in [start, vocab_size) as a '\n'-joined blob.
+// Returns bytes written, or -(needed) when the buffer is too small.
+int64_t packer_export_terms(void* handle, int32_t start, char* out,
+                            int64_t out_cap) {
+  const auto* p = static_cast<const Packer*>(handle);
+  int64_t need = 0;
+  int32_t n = static_cast<int32_t>(p->terms.size());
+  for (int32_t i = start; i < n; ++i) {
+    need += static_cast<int64_t>(p->terms[static_cast<size_t>(i)].size());
+    if (i + 1 < n) ++need;
+  }
+  if (need > out_cap) return -need;
+  char* w = out;
+  for (int32_t i = start; i < n; ++i) {
+    const std::string& t = p->terms[static_cast<size_t>(i)];
+    std::memcpy(w, t.data(), t.size());
+    w += t.size();
+    if (i + 1 < n) *w++ = '\n';
+  }
+  return w - out;
 }
 
 }  // extern "C"
