@@ -169,8 +169,8 @@ def rebuild_embeddings(
             [e.metadata for e in batch],
         )
         updated += len(batch)
-    new_store.save()
     rt.catalog.save()
+    new_store.save(catalog_fingerprint=rt.catalog.fingerprint())
     # Swap the runtime onto the new store/embedder.
     rt.store = new_store
     rt.embedder = embedder

@@ -60,6 +60,19 @@ class Catalog:
                     metadata=dict(rec.get("metadata") or {}),
                 )
 
+    def fingerprint(self) -> str:
+        """sha1 of the on-disk JSONL — keys the store's fast-load lexical
+        snapshot to the exact catalog contents it was derived from."""
+        import hashlib
+
+        if not self.path.exists():
+            return ""
+        h = hashlib.sha1()
+        with self.path.open("rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
+        return h.hexdigest()
+
     def save(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".jsonl.tmp")

@@ -154,6 +154,10 @@ class IndexStore:
             self._packer = make_native_packer()
             if self._packer is None:
                 self._packer_ok = False
+            elif self.vocab and not self._packer.import_vocab(self.vocab):
+                # Fresh packer + pre-existing vocab (snapshot restore):
+                # seed the native interner; on failure stay Python.
+                self._packer_ok = False
         if (
             self._packer_ok
             and len(self.vocab) == self._packer.vocab_size()
@@ -560,7 +564,12 @@ class IndexStore:
     # Persistence
     # ------------------------------------------------------------------
 
-    def save(self) -> None:
+    def save(self, catalog_fingerprint: Optional[str] = None) -> None:
+        """Persist embeddings + row registry; with a catalog fingerprint,
+        also snapshot the derived columns (lexical + metadata + vocab) so
+        the next load skips the catalog re-pack entirely (fast cold
+        start). The fingerprint keys the snapshot to the exact catalog it
+        was derived from; any mismatch at load falls back to a rebuild."""
         self.directory.mkdir(parents=True, exist_ok=True)
         np.save(self.directory / "embeddings.npy", self.emb[: self.n_rows])
         registry = {
@@ -571,6 +580,69 @@ class IndexStore:
         tmp = self.directory / "rows.json.tmp"
         tmp.write_text(json.dumps(registry), encoding="utf-8")
         tmp.replace(self.directory / "rows.json")
+
+        snap = self.directory / "lexical.npz"
+        if catalog_fingerprint is None:
+            # Without a fingerprint a stale snapshot must not survive.
+            snap.unlink(missing_ok=True)
+            return
+        n = self.n_rows
+        vocab_terms = sorted(self.vocab, key=self.vocab.__getitem__)
+        tmp_snap = self.directory / "lexical.npz.tmp"
+        with tmp_snap.open("wb") as f:
+            np.savez(
+                f,
+                fingerprint=np.str_(catalog_fingerprint),
+                term_width=np.int64(self.term_width),
+                term_ids=self.term_ids[:n],
+                tfs=self.tfs[:n],
+                doc_len=self.doc_len[:n],
+                field_cols=self.field_cols[:, :n],
+                tag_bits=self.tag_bits[:n],
+                vocab_blob=np.str_("\n".join(vocab_terms)),
+                interns=np.str_(json.dumps(
+                    {f: t.to_id for f, t in self.interns.items()}
+                )),
+                tag_slots=np.str_(json.dumps(self.tag_slots)),
+            )
+        tmp_snap.replace(snap)
+
+    def _load_snapshot(self, catalog: Catalog) -> bool:
+        """Restore the derived columns from lexical.npz when it matches
+        the live catalog byte-for-byte. Returns True on success."""
+        snap = self.directory / "lexical.npz"
+        if not snap.exists():
+            return False
+        try:
+            with np.load(snap, allow_pickle=False) as z:
+                if str(z["fingerprint"]) != catalog.fingerprint():
+                    return False
+                if int(z["term_width"]) != self.term_width:
+                    return False
+                n = z["term_ids"].shape[0]
+                if n != self.n_rows:
+                    return False
+                self.term_ids[:n] = z["term_ids"]
+                self.tfs[:n] = z["tfs"]
+                self.doc_len[:n] = z["doc_len"]
+                self.field_cols[:, :n] = z["field_cols"]
+                self.tag_bits[:n] = z["tag_bits"]
+                vocab_blob = str(z["vocab_blob"])
+                terms = vocab_blob.split("\n") if vocab_blob else []
+                self.vocab = {t: i for i, t in enumerate(terms)}
+                interns = json.loads(str(z["interns"]))
+                for f_name, mapping in interns.items():
+                    if f_name in self.interns:
+                        self.interns[f_name].to_id = {
+                            k: int(v) for k, v in mapping.items()
+                        }
+                self.tag_slots = {
+                    k: int(v)
+                    for k, v in json.loads(str(z["tag_slots"])).items()
+                }
+            return True
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return False
 
     @classmethod
     def load_or_create(
@@ -599,6 +671,21 @@ class IndexStore:
         valid = list(registry.get("valid") or [])
         n = min(len(ids), emb.shape[0], len(valid))
         store._grow_to(max(n, 1))
+        for i in range(n):
+            row = store._row_for(ids[i])
+            store.emb[row] = emb[i]
+
+        if store._load_snapshot(catalog):
+            # Fast path: derived columns restored byte-for-byte; only the
+            # validity recheck (row alive AND catalog entry present)
+            # touches the catalog.
+            for i in range(n):
+                store.valid[i] = bool(valid[i]) and (
+                    catalog.get(ids[i]) is not None
+                )
+            store._dirty = True
+            return store
+
         entries = [catalog.get(cid) for cid in ids[:n]]
         with_tokens = [i for i in range(n) if entries[i] is not None]
         if with_tokens:
@@ -611,7 +698,6 @@ class IndexStore:
             entry = entries[i]
             alive = bool(valid[i]) and entry is not None
             row = store._row_for(cid)
-            store.emb[row] = emb[i]
             if entry is not None:
                 j = packed_pos[i]
                 store.term_ids[row] = t_ids_b[j]

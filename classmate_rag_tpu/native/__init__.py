@@ -79,6 +79,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.packer_export_terms.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.packer_import_terms.restype = ctypes.c_int32
+        lib.packer_import_terms.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -213,6 +217,18 @@ class NativePacker:
 
     def vocab_size(self) -> int:
         return int(self._lib.packer_vocab_size(self._handle))
+
+    def import_vocab(self, vocab: dict) -> bool:
+        """Seed a FRESH packer from a restored python vocab (terms append
+        in id order so both interners agree). False on failure."""
+        if self.vocab_size() != 0:
+            return False
+        terms = sorted(vocab, key=vocab.__getitem__)
+        if any("\n" in t for t in terms):
+            return False
+        blob = "\n".join(terms).encode("utf-8")
+        n = self._lib.packer_import_terms(self._handle, blob, len(blob))
+        return n == len(vocab)
 
 
 def make_native_packer() -> Optional[NativePacker]:

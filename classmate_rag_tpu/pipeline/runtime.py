@@ -61,7 +61,9 @@ class Runtime:
 
     def persist(self) -> None:
         self.catalog.save()
-        self.store.save()
+        # Fingerprint of the just-written catalog keys the store's
+        # fast-load snapshot (skips the re-pack on next cold start).
+        self.store.save(catalog_fingerprint=self.catalog.fingerprint())
 
 
 _RUNTIME: Optional[Runtime] = None

@@ -262,6 +262,30 @@ int32_t packer_pack_batch(void* handle, const char* blob, int64_t blob_len,
   return 0;
 }
 
+// Import terms (a '\n'-joined blob) appending to the interner in order —
+// used to seed a fresh packer from a restored vocabulary. Returns the new
+// vocab size, or -1 if a term already exists (id mismatch risk).
+int32_t packer_import_terms(void* handle, const char* blob, int64_t blob_len) {
+  auto* p = static_cast<Packer*>(handle);
+  const char* s = blob;
+  const char* end = blob + blob_len;
+  while (s < end) {
+    const char* nl = static_cast<const char*>(
+        memchr(s, '\n', static_cast<size_t>(end - s)));
+    const char* term_end = nl ? nl : end;
+    std::string term(s, static_cast<size_t>(term_end - s));
+    if (!term.empty()) {
+      if (p->vocab.count(term)) return -1;
+      int32_t tid = static_cast<int32_t>(p->terms.size());
+      p->vocab.emplace(term, tid);
+      p->terms.push_back(std::move(term));
+    }
+    if (!nl) break;
+    s = nl + 1;
+  }
+  return static_cast<int32_t>(p->terms.size());
+}
+
 // Export terms with ids in [start, vocab_size) as a '\n'-joined blob.
 // Returns bytes written, or -(needed) when the buffer is too small.
 int64_t packer_export_terms(void* handle, int32_t start, char* out,
