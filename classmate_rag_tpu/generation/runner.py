@@ -113,6 +113,11 @@ class ExtractiveRunner:
             else "I don't have enough information to answer that."
         )
 
+    def chat_batch(self, messages_list: Sequence[Messages], **kwargs: Any) -> List[str]:
+        """Host-side runner: batching is just a loop (kept for surface
+        symmetry with TPUDecodeRunner's real batched decode)."""
+        return [self.chat(m, **kwargs) for m in messages_list]
+
     def generate(self, prompt: str, **_: Any) -> str:
         return self.chat([{"role": "user", "content": prompt}])
 
@@ -236,23 +241,50 @@ class TPUDecodeRunner:
         parts.append("<|assistant|>\n")
         return "\n".join(parts)
 
-    def generate_ids(self, prompt_ids: List[int], seed: int = 42,
-                     temperature: float = 0.0, top_p: float = 0.95):
+    def generate_ids_batch(self, prompt_ids_list: Sequence[List[int]],
+                           seed: int = 42, temperature: float = 0.0,
+                           top_p: float = 0.95) -> List[List[int]]:
+        """ONE batched decode for several prompts (left-padded to the
+        shared width; batch pads to a power of two so arbitrary sizes
+        reuse compiled programs). Returns eos-stripped ids per prompt."""
         import jax.numpy as jnp
         import numpy as np
 
+        b = len(prompt_ids_list)
+        if b == 0:
+            return []
+        b_pad = 1 << (b - 1).bit_length() if b > 1 else 1
         width = self.max_seq - self.max_new
-        ids = prompt_ids[-width:]
-        pad = width - len(ids)
-        arr = np.full((1, width), 0, dtype=np.int32)
-        arr[0, pad:] = ids
+        arr = np.zeros((b_pad, width), dtype=np.int32)
+        lens = np.zeros(b_pad, dtype=np.int32)
+        for i, prompt_ids in enumerate(prompt_ids_list):
+            ids = prompt_ids[-width:]
+            arr[i, width - len(ids):] = ids
+            lens[i] = len(ids)
         toks = self._generate(
-            self.params, jnp.asarray(arr),
-            jnp.asarray([len(ids)], jnp.int32), seed, temperature, top_p,
-            self.eos_id,
+            self.params, jnp.asarray(arr), jnp.asarray(lens),
+            seed, temperature, top_p, self.eos_id,
         )
-        out = np.asarray(toks)[0].tolist()
-        return [t for t in out if t not in self.eos_ids]
+        out = np.asarray(toks)
+        return [
+            [t for t in out[i].tolist() if t not in self.eos_ids]
+            for i in range(b)
+        ]
+
+    def generate_ids(self, prompt_ids: List[int], seed: int = 42,
+                     temperature: float = 0.0, top_p: float = 0.95):
+        return self.generate_ids_batch(
+            [prompt_ids], seed=seed, temperature=temperature, top_p=top_p
+        )[0]
+
+    def _encode_prompt(self, messages: Messages) -> List[int]:
+        prompt = self._format_chat(messages)
+        width = self.max_seq - self.max_new
+        # Decoder checkpoints bring their own tokenizer template; never
+        # apply the XLM-R <s>…</s> framing to them.
+        if hasattr(self.tokenizer, "encode_raw"):
+            return self.tokenizer.encode_raw(prompt, max_length=width)
+        return self.tokenizer.encode(prompt, max_length=width)
 
     def chat(
         self,
@@ -262,16 +294,26 @@ class TPUDecodeRunner:
         top_p: float = 0.95,
         **_: Any,
     ) -> str:
-        prompt = self._format_chat(messages)
-        width = self.max_seq - self.max_new
-        # Decoder checkpoints bring their own tokenizer template; never
-        # apply the XLM-R <s>…</s> framing to them.
-        if hasattr(self.tokenizer, "encode_raw"):
-            ids = self.tokenizer.encode_raw(prompt, max_length=width)
-        else:
-            ids = self.tokenizer.encode(prompt, max_length=width)
+        ids = self._encode_prompt(messages)
         out_ids = self.generate_ids(ids, temperature=temperature, top_p=top_p)
         return self.tokenizer.decode(out_ids).strip()
+
+    def chat_batch(
+        self,
+        messages_list: Sequence[Messages],
+        max_tokens: int = 768,
+        temperature: float = 0.2,
+        top_p: float = 0.95,
+        **_: Any,
+    ) -> List[str]:
+        """ONE batched decode for a micro-batch of conversations — the
+        whole batch shares prefill + decode steps on device (the serving
+        tail's shape; per-question chat pays the full loop each time)."""
+        prompt_ids = [self._encode_prompt(m) for m in messages_list]
+        outs = self.generate_ids_batch(
+            prompt_ids, temperature=temperature, top_p=top_p
+        )
+        return [self.tokenizer.decode(ids).strip() for ids in outs]
 
     def generate(self, prompt: str, **kwargs: Any) -> str:
         return self.chat([{"role": "user", "content": prompt}], **kwargs)

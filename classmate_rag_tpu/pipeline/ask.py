@@ -142,18 +142,19 @@ def finish_ask_batch(
     runtime: Optional[Runtime] = None,
 ) -> List[AskResult]:
     """HOST tail of the batched ask: expansion, prompting, generation,
-    citations per question. Device-free for the extractive/llama.cpp
-    runners; safe to run outside the serving device lock."""
+    citations. Questions that decide onto the same route generate in ONE
+    batched chat (a real batched decode on the TPU runner; a loop on
+    host-side runners). Safe to run outside the serving device lock."""
     rt = runtime or get_runtime()
     where = filters.to_dict()
-    return [
-        _finish_ask(
-            question=q, results=_apply_expansion_and_diversity(list(r), rt),
-            filters=filters, where=where, top_k=top_k, hybrid=hybrid,
-            forced_subject=forced_subject, rt=rt,
-        )
-        for q, r in zip(questions, batched)
+    results_list = [
+        _apply_expansion_and_diversity(list(r), rt) for r in batched
     ]
+    return _finish_ask_many(
+        questions=questions, results_list=results_list, filters=filters,
+        where=where, top_k=top_k, hybrid=hybrid,
+        forced_subject=forced_subject, rt=rt,
+    )
 
 
 def ask_question_batch(
@@ -216,24 +217,65 @@ def _finish_ask(
     forced_subject: Optional[str],
     rt: Runtime,
 ) -> AskResult:
+    return _finish_ask_many(
+        questions=[question], results_list=[results], filters=filters,
+        where=where, top_k=top_k, hybrid=hybrid,
+        forced_subject=forced_subject, rt=rt,
+    )[0]
+
+
+def _general_messages_for(question: str, target_lang: str):
+    general = build_general_messages(question)
+    if target_lang == "it":
+        general[0] = {
+            "role": "system",
+            "content": "Sei un assistente generico. Rispondi alla "
+                       "domanda dell'utente.",
+        }
+    return general
+
+
+def _finish_ask_many(
+    *,
+    questions: List[str],
+    results_list: List[List[Dict[str, object]]],
+    filters: DocumentMetadata,
+    where: Dict[str, object],
+    top_k: int,
+    hybrid: bool,
+    forced_subject: Optional[str],
+    rt: Runtime,
+) -> List[AskResult]:
+    """The ask tail for one or many questions. Same semantics per question
+    as the reference's single-ask flow; generation groups questions by
+    decided route and answers each group through ONE chat_batch call
+    (a single batched decode on the TPU runner)."""
     cfg = rt.cfg
+    n = len(questions)
 
     forced_lang = None
     if filters.language and filters.language.value in ("en", "it"):
         forced_lang = filters.language.value
-    if forced_lang:
-        target_lang = forced_lang
-    else:
-        default = str(cfg.default_language)
-        target_lang = default if default in ("en", "it") else detect_lang_tag(question)
+    default = str(cfg.default_language)
 
-    context_text, provenance = format_context_blocks(
-        results, max_total_chars=cfg.context_budget_chars
-    )
+    langs: List[str] = []
+    contexts: List[str] = []
+    provs: List[List[str]] = []
+    for q, results in zip(questions, results_list):
+        if forced_lang:
+            langs.append(forced_lang)
+        elif default in ("en", "it"):
+            langs.append(default)
+        else:
+            langs.append(detect_lang_tag(q))
+        context_text, provenance = format_context_blocks(
+            results, max_total_chars=cfg.context_budget_chars
+        )
+        contexts.append(context_text)
+        provs.append(provenance)
 
     strict = cfg.strict_citations
     add_sources = cfg.append_sources_block
-    sources_title = "Sources" if target_lang == "en" else "Fonti"
 
     # ---- Routed path -------------------------------------------------
     if cfg.enable_routing:
@@ -242,76 +284,121 @@ def _finish_ask(
         if isinstance(candidate, str) and candidate in ROUTES:
             forced_route = candidate  # type: ignore[assignment]
 
-        decision: RouteDecision = rt.router.decide(
-            question,
-            retrieved_metas=[r.get("metadata") or {} for r in results],
-            forced_subject=forced_route,
-        )
-        messages = [
-            {"role": "system",
-             "content": system_prompt_for(decision.route, language=target_lang)},
-            {"role": "user",
-             "content": f"Context:\n{context_text}\n\nQuestion:\n{question}\n\nAnswer:"},
-        ]
-        answer = rt.loader.chat(
-            route=decision.route, messages=messages,
-            max_tokens=cfg.route_max_tokens,
-            temperature=cfg.route_temperature, top_p=cfg.route_top_p,
-        ).strip()
-
-        from_fallback = False
-        if _looks_unknown(answer, target_lang):
-            general = build_general_messages(question)
-            if target_lang == "it":
-                general[0] = {
-                    "role": "system",
-                    "content": "Sei un assistente generico. Rispondi alla "
-                               "domanda dell'utente.",
-                }
-            answer = rt.loader.chat(
-                route=decision.route, messages=general,
-                max_tokens=cfg.route_max_tokens,
-                temperature=cfg.route_temperature, top_p=cfg.route_top_p,
-            ).strip()
-            from_fallback = True
-
-        if strict and not from_fallback:
-            answer = enforce_citations(
-                answer, provenance,
-                add_sources_block=add_sources, sources_title=sources_title,
+        decisions: List[RouteDecision] = [
+            rt.router.decide(
+                q,
+                retrieved_metas=[r.get("metadata") or {} for r in results],
+                forced_subject=forced_route,
             )
-        return AskResult(
-            question=question, answer=answer, language=target_lang,
-            top_k=int(top_k), sources=[] if from_fallback else provenance,
-            retrieved=results, filters_applied=where, hybrid=bool(hybrid),
-            route=decision.route, route_reason=decision.reason,
-        )
+            for q, results in zip(questions, results_list)
+        ]
+        messages_list = [
+            [
+                {"role": "system",
+                 "content": system_prompt_for(d.route, language=lang)},
+                {"role": "user",
+                 "content": f"Context:\n{ctx}\n\nQuestion:\n{q}\n\nAnswer:"},
+            ]
+            for q, d, lang, ctx in zip(questions, decisions, langs, contexts)
+        ]
+
+        def chat_grouped(idxs: List[int], msgs: List) -> Dict[int, str]:
+            by_route: Dict[str, List[int]] = {}
+            for pos, i in enumerate(idxs):
+                by_route.setdefault(decisions[i].route, []).append(pos)
+            out: Dict[int, str] = {}
+            for route, positions in by_route.items():
+                answers = rt.loader.chat_batch(
+                    route=route,
+                    messages_list=[msgs[p] for p in positions],
+                    max_tokens=cfg.route_max_tokens,
+                    temperature=cfg.route_temperature,
+                    top_p=cfg.route_top_p,
+                )
+                for p, a in zip(positions, answers):
+                    out[idxs[p]] = a.strip()
+            return out
+
+        answers_map = chat_grouped(list(range(n)), messages_list)
+        answers = [answers_map[i] for i in range(n)]
+
+        from_fallback = [False] * n
+        fb = [i for i in range(n) if _looks_unknown(answers[i], langs[i])]
+        if fb:
+            fb_msgs = [
+                _general_messages_for(questions[i], langs[i]) for i in fb
+            ]
+            fb_map = chat_grouped(fb, fb_msgs)
+            for i in fb:
+                answers[i] = fb_map[i]
+                from_fallback[i] = True
+
+        out_results: List[AskResult] = []
+        for i in range(n):
+            answer = answers[i]
+            sources_title = "Sources" if langs[i] == "en" else "Fonti"
+            if strict and not from_fallback[i]:
+                answer = enforce_citations(
+                    answer, provs[i],
+                    add_sources_block=add_sources,
+                    sources_title=sources_title,
+                )
+            out_results.append(AskResult(
+                question=questions[i], answer=answer, language=langs[i],
+                top_k=int(top_k),
+                sources=[] if from_fallback[i] else provs[i],
+                retrieved=results_list[i], filters_applied=where,
+                hybrid=bool(hybrid),
+                route=decisions[i].route, route_reason=decisions[i].reason,
+            ))
+        return out_results
 
     # ---- Legacy single-model path ------------------------------------
     runner = get_runner(cfg)
-    messages = build_grounded_messages(
-        question=question, context_text=context_text, citations_required=True
-    )
-    answer = runner.chat(
-        messages, max_tokens=cfg.llm_max_tokens,
-        temperature=cfg.llm_temperature, top_p=cfg.llm_top_p,
-    ).strip()
 
-    from_fallback = False
-    if _looks_unknown(answer, target_lang):
-        answer = runner.chat(build_general_messages(question)).strip()
-        from_fallback = True
+    def runner_chat_batch(msgs: List, **kw) -> List[str]:
+        if hasattr(runner, "chat_batch"):
+            return list(runner.chat_batch(msgs, **kw))
+        return [runner.chat(m, **kw) for m in msgs]
 
-    if cfg.translate_on_miss and _needs_translation(answer, target_lang):
-        answer = _translate_text(answer, target_lang, runner)
-
-    if strict and not from_fallback:
-        answer = enforce_citations(
-            answer, provenance,
-            add_sources_block=add_sources, sources_title=sources_title,
+    messages_list = [
+        build_grounded_messages(
+            question=q, context_text=ctx, citations_required=True
         )
-    return AskResult(
-        question=question, answer=answer, language=target_lang,
-        top_k=int(top_k), sources=[] if from_fallback else provenance,
-        retrieved=results, filters_applied=where, hybrid=bool(hybrid),
-    )
+        for q, ctx in zip(questions, contexts)
+    ]
+    answers = [
+        a.strip() for a in runner_chat_batch(
+            messages_list, max_tokens=cfg.llm_max_tokens,
+            temperature=cfg.llm_temperature, top_p=cfg.llm_top_p,
+        )
+    ]
+    from_fallback = [False] * n
+    fb = [i for i in range(n) if _looks_unknown(answers[i], langs[i])]
+    if fb:
+        fb_answers = runner_chat_batch(
+            [build_general_messages(questions[i]) for i in fb]
+        )
+        for i, a in zip(fb, fb_answers):
+            answers[i] = a.strip()
+            from_fallback[i] = True
+
+    out_results = []
+    for i in range(n):
+        answer = answers[i]
+        if cfg.translate_on_miss and _needs_translation(answer, langs[i]):
+            answer = _translate_text(answer, langs[i], runner)
+        sources_title = "Sources" if langs[i] == "en" else "Fonti"
+        if strict and not from_fallback[i]:
+            answer = enforce_citations(
+                answer, provs[i],
+                add_sources_block=add_sources, sources_title=sources_title,
+            )
+        out_results.append(AskResult(
+            question=questions[i], answer=answer, language=langs[i],
+            top_k=int(top_k),
+            sources=[] if from_fallback[i] else provs[i],
+            retrieved=results_list[i], filters_applied=where,
+            hybrid=bool(hybrid),
+        ))
+    return out_results

@@ -67,3 +67,27 @@ class StickyModelLoader:
             messages, max_tokens=max_tokens,
             temperature=temperature, top_p=top_p,
         )
+
+    def chat_batch(
+        self,
+        *,
+        route: Route,
+        messages_list: Sequence[Sequence[Dict[str, str]]],
+        max_tokens: int = 768,
+        temperature: float = 0.2,
+        top_p: float = 0.95,
+    ) -> list:
+        """Batched chat on one route: runners with a real batched decode
+        (TPUDecodeRunner) answer the whole list in one device loop;
+        host-side runners fall back to a loop."""
+        runner = self.ensure_loaded(route)
+        if hasattr(runner, "chat_batch"):
+            return list(runner.chat_batch(
+                messages_list, max_tokens=max_tokens,
+                temperature=temperature, top_p=top_p,
+            ))
+        return [
+            runner.chat(m, max_tokens=max_tokens, temperature=temperature,
+                        top_p=top_p)
+            for m in messages_list
+        ]

@@ -146,3 +146,48 @@ class TestTPUDecoder:
             jnp.asarray([4], jnp.int32), 0, 0.0, 0.95, 2,
         )
         assert np.array_equal(np.asarray(short), np.asarray(longpad))
+
+
+class TestBatchedDecode:
+    """chat_batch must produce exactly what per-prompt chat produces
+    (greedy decode; left-padded batch shares the device loop)."""
+
+    def test_tpu_runner_chat_batch_matches_chat(self):
+        from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+        from classmate_rag_tpu.models.decoder import DecoderConfig
+
+        runner = TPUDecodeRunner(
+            config=DecoderConfig.tiny_test(), max_new_tokens=6, max_seq=64,
+        )
+        convs = [
+            [{"role": "user", "content": "what is a derivative"}],
+            [{"role": "user", "content": "explain eigenvalues simply"}],
+            [{"role": "user", "content": "ciao come stai oggi"}],
+        ]
+        singles = [runner.chat(c, temperature=0.0) for c in convs]
+        batched = runner.chat_batch(convs, temperature=0.0)
+        assert batched == singles
+
+    def test_generate_ids_batch_pads_to_pow2(self):
+        from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+        from classmate_rag_tpu.models.decoder import DecoderConfig
+
+        runner = TPUDecodeRunner(
+            config=DecoderConfig.tiny_test(), max_new_tokens=4, max_seq=32,
+        )
+        outs = runner.generate_ids_batch([[5, 6], [7], [8, 9, 10]])
+        assert len(outs) == 3
+        for ids in outs:
+            assert all(t not in runner.eos_ids for t in ids)
+
+    def test_extractive_chat_batch(self):
+        from classmate_rag_tpu.generation.runner import ExtractiveRunner
+
+        r = ExtractiveRunner()
+        convs = [
+            [{"role": "user", "content":
+              "Context:\n[1] The sky is blue because of Rayleigh "
+              "scattering.\n\nQuestion:\nwhy is the sky blue\n\nAnswer:"}],
+            [{"role": "user", "content": "no context here"}],
+        ]
+        assert r.chat_batch(convs) == [r.chat(c) for c in convs]

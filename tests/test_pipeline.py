@@ -226,3 +226,87 @@ def test_rebuild_embeddings(rt):
         runtime=rt,
     )
     assert res["items"]
+
+
+def test_ask_batch_matches_single(tmp_index_env, tmp_path):
+    """ask_question_batch must return exactly what per-question
+    ask_question returns (the batched tail groups generation by route)."""
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline import ask_question, ingest_file
+    from classmate_rag_tpu.pipeline.ask import ask_question_batch
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "notes.md"
+    doc.write_text(
+        "The derivative measures the rate of change of a function. "
+        "Gradient descent minimizes loss by following negative gradients. "
+        "La fotosintesi converte la luce in energia chimica."
+    )
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="sci"),
+                runtime=rt)
+
+    questions = [
+        "what does the derivative measure",
+        "how does gradient descent minimize loss",
+        "cosa fa la fotosintesi",
+    ]
+    meta = normalize_cli_metadata()
+    singles = [
+        ask_question(question=q, filters=meta, top_k=3, runtime=rt)
+        for q in questions
+    ]
+    batched = ask_question_batch(
+        questions=questions, filters=meta, top_k=3, runtime=rt
+    )
+    for s, b in zip(singles, batched):
+        assert b.answer == s.answer
+        assert b.sources == s.sources
+        assert b.language == s.language
+        assert b.route == s.route
+        assert [r["id"] for r in b.retrieved] == [r["id"] for r in s.retrieved]
+    reset_runtime()
+
+
+def test_ask_batch_matches_single_routed(tmp_index_env, tmp_path):
+    """Batch == single under routing: generation groups by decided route
+    and each group's batched chat returns the per-question answers."""
+    import dataclasses
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline import ask_question, ingest_file
+    from classmate_rag_tpu.pipeline.ask import ask_question_batch
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "notes.md"
+    doc.write_text(
+        "The derivative measures the rate of change. "
+        "Photosynthesis converts light into chemical energy. "
+        "The French Revolution began in 1789."
+    )
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="mix"),
+                runtime=rt)
+    rt.cfg = dataclasses.replace(rt.cfg, enable_routing=True)
+
+    questions = [
+        "what is the derivative of a function",
+        "how does photosynthesis work",
+        "when did the french revolution begin",
+    ]
+    meta = normalize_cli_metadata()
+    singles = [
+        ask_question(question=q, filters=meta, top_k=3, runtime=rt)
+        for q in questions
+    ]
+    batched = ask_question_batch(
+        questions=questions, filters=meta, top_k=3, runtime=rt
+    )
+    assert any(r.route for r in batched)
+    for s, b in zip(singles, batched):
+        assert (b.answer, b.route, b.route_reason, b.sources) == (
+            s.answer, s.route, s.route_reason, s.sources
+        )
+    reset_runtime()
