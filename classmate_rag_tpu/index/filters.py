@@ -80,3 +80,18 @@ def mask_bias_device(field_cols, tag_bits, valid, wanted, tag_want):
 
         _MASK_BIAS_JIT = jax.jit(_impl)
     return _MASK_BIAS_JIT(field_cols, tag_bits, valid, wanted, tag_want)
+
+
+def mask_bias_host(field_cols, tag_bits, valid, wanted, tag_want):
+    """Pure-numpy twin of mask_bias_device — for callers that keep the
+    corpus columns on host (e.g. the sharded serving wrapper, which must
+    not stage a full single-device replica just to compute a mask)."""
+    no_constraint = (wanted < 0)[:, None]
+    eq = field_cols == wanted[:, None]
+    fields_ok = np.all(np.where(no_constraint, True, eq), axis=0)
+    impossible = bool(np.any(wanted == -2))
+    tags_ok = np.all(
+        (tag_bits & tag_want[None, :]) == tag_want[None, :], axis=1
+    )
+    keep = fields_ok & tags_ok & valid & (not impossible)
+    return np.where(keep, 0.0, NEG_INF).astype(np.float32)

@@ -129,6 +129,30 @@ def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
 
 
+def pack_query_terms(
+    vocab: Dict[str, int],
+    term_lists: Sequence[Sequence[str]],
+    max_terms: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vocab-known query terms → fixed-width (q_terms i32 [B, M] −1-padded,
+    q_counts f32 [B, M] multiplicities). The single definition of the
+    query-side truncation/multiplicity semantics — every scoring entry
+    point (store, sharded serving, benches) must agree on it."""
+    b = len(term_lists)
+    q_terms = np.full((b, max_terms), -1, dtype=np.int32)
+    q_counts = np.zeros((b, max_terms), dtype=np.float32)
+    for i, terms in enumerate(term_lists):
+        counts: Dict[int, float] = {}
+        for t in terms:
+            tid = vocab.get(t)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0.0) + 1.0
+        for j, (tid, c) in enumerate(list(counts.items())[:max_terms]):
+            q_terms[i, j] = tid
+            q_counts[i, j] = c
+    return q_terms, q_counts
+
+
 # ---------------------------------------------------------------------------
 # Split-frequency layout (host-side build; see _bm25_split_fns for the math)
 # ---------------------------------------------------------------------------

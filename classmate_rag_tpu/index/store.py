@@ -342,19 +342,12 @@ class IndexStore:
     def vocab_pad(self) -> int:
         return _round_up(max(len(self.vocab), 1), 4096)
 
-    def _mask_bias(self, where: Optional[Mapping[str, Any]]):
-        import jax.numpy as jnp
-
-        dev = self._sync_device()
-        if not where:
-            # Hot path: no filter → validity-only bias, cached on device.
-            if self._nofilter_bias is None:
-                self._nofilter_bias = mask_bias_device(
-                    dev["field_cols"], dev["tag_bits"], dev["valid"],
-                    jnp.full(len(FILTER_FIELDS), -1, jnp.int32),
-                    jnp.zeros(TAG_WORDS, jnp.uint32),
-                )
-            return self._nofilter_bias
+    def compile_filter(
+        self, where: Optional[Mapping[str, Any]]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Filter dict → (wanted i32 [F], tag_want u32 [W]) — the interned
+        predicate shared by the device and host mask evaluators. Sentinels
+        never narrow; unsatisfiable tags set the -2 impossible marker."""
         wanted = np.full(len(FILTER_FIELDS), -1, dtype=np.int32)
         tag_want = np.zeros(TAG_WORDS, dtype=np.uint32)
         satisfiable = True
@@ -382,7 +375,23 @@ class IndexStore:
                 else:
                     tag_want[slot // 32] |= np.uint32(1 << (slot % 32))
         if not satisfiable:
-            wanted[0] = -2  # impossible marker understood by the device fn
+            wanted[0] = -2  # impossible marker understood by the mask fns
+        return wanted, tag_want
+
+    def _mask_bias(self, where: Optional[Mapping[str, Any]]):
+        import jax.numpy as jnp
+
+        dev = self._sync_device()
+        if not where:
+            # Hot path: no filter → validity-only bias, cached on device.
+            if self._nofilter_bias is None:
+                self._nofilter_bias = mask_bias_device(
+                    dev["field_cols"], dev["tag_bits"], dev["valid"],
+                    jnp.full(len(FILTER_FIELDS), -1, jnp.int32),
+                    jnp.zeros(TAG_WORDS, jnp.uint32),
+                )
+            return self._nofilter_bias
+        wanted, tag_want = self.compile_filter(where)
         return mask_bias_device(
             dev["field_cols"], dev["tag_bits"], dev["valid"],
             jnp.asarray(wanted), jnp.asarray(tag_want),
@@ -436,19 +445,13 @@ class IndexStore:
                 )
             df = self._df_cache
 
-        counts: Dict[int, float] = {}
-        for t in query_terms:
-            tid = self.vocab.get(t)
-            if tid is not None:
-                counts[tid] = counts.get(tid, 0.0) + 1.0
-        m = max_query_terms
-        q_terms = np.full((1, m), -1, dtype=np.int32)
-        q_counts = np.zeros((1, m), dtype=np.float32)
-        for j, (tid, c) in enumerate(list(counts.items())[:m]):
-            q_terms[0, j] = tid
-            q_counts[0, j] = c
+        from classmate_rag_tpu.index.lexical import (
+            pack_query_terms, split_fns,
+        )
 
-        from classmate_rag_tpu.index.lexical import split_fns
+        q_terms, q_counts = pack_query_terms(
+            self.vocab, [query_terms], max_query_terms
+        )
 
         split = self._sync_split()
         qa = self._split_query_arrays(q_terms, q_counts)
@@ -510,19 +513,11 @@ class IndexStore:
                 )
             df = self._df_cache
 
-        bq = len(query_terms_list)
-        m = max_query_terms
-        q_terms = np.full((bq, m), -1, dtype=np.int32)
-        q_counts = np.zeros((bq, m), dtype=np.float32)
-        for b, terms in enumerate(query_terms_list):
-            counts: Dict[int, float] = {}
-            for t in terms:
-                tid = self.vocab.get(t)
-                if tid is not None:
-                    counts[tid] = counts.get(tid, 0.0) + 1.0
-            for j, (tid, c) in enumerate(list(counts.items())[:m]):
-                q_terms[b, j] = tid
-                q_counts[b, j] = c
+        from classmate_rag_tpu.index.lexical import pack_query_terms
+
+        q_terms, q_counts = pack_query_terms(
+            self.vocab, query_terms_list, max_query_terms
+        )
 
         split = self._sync_split()
         qa = self._split_query_arrays(q_terms, q_counts)

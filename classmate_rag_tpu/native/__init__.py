@@ -176,9 +176,14 @@ class NativePacker:
                 if "\n" in joined:
                     return None
                 docs.append(joined)
-            # A token containing ' ' would split: cheap structural check.
+            # Tokens containing the separators (or empty tokens, which the
+            # C++ splitter would silently drop while pack_tokens counts
+            # them) must take the Python path: cheap structural check.
             for tokens, joined in zip(tokens_list, docs):
-                if joined and joined.count(" ") != len(tokens) - 1:
+                n = len(tokens)
+                if n and (not joined or joined.count(" ") != n - 1
+                          or joined[0] == " " or joined[-1] == " "
+                          or "  " in joined):
                     return None
             blob = "\n".join(docs).encode("utf-8")
         except TypeError:

@@ -30,8 +30,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from classmate_rag_tpu.index.filters import mask_bias_host
 from classmate_rag_tpu.index.lexical import (
     build_split_layout,
+    pack_query_terms,
     shard_postings,
     shard_tail_ranges,
     split_query_arrays,
@@ -115,14 +117,22 @@ class ShardedHybridIndex:
     # ------------------------------------------------------------------
 
     def _mask_bias_sharded(self, where: Optional[Mapping[str, Any]]):
-        """Filter mask as a shard-placed bias vector (cached per filter)."""
+        """Filter mask as a shard-placed bias vector (cached per filter).
+
+        Computed HOST-side from the store's numpy columns — going through
+        store._mask_bias would stage the whole corpus onto the single
+        default device, defeating the sharded placement."""
         import json
 
         key = json.dumps(where or {}, sort_keys=True, default=str)
         cached = self._bias_cache.get(key)
         if cached is not None:
             return cached
-        bias = np.asarray(self.store._mask_bias(where))
+        store = self.store
+        wanted, tag_want = store.compile_filter(where)
+        bias = mask_bias_host(
+            store.field_cols, store.tag_bits, store.valid, wanted, tag_want
+        )
         placed = jax.device_put(
             bias, NamedSharding(self.mesh, P("shard"))
         )
@@ -136,21 +146,22 @@ class ShardedHybridIndex:
         where: Optional[Mapping[str, Any]] = None,
     ):
         """One SPMD dispatch for the whole batch → HybridBatchResult-shaped
-        ShardedHybridResult (rows/fused/vec_dist/bm25_score, replicated)."""
+        ShardedHybridResult (rows/fused/vec_dist/bm25_score, replicated;
+        trailing rows past the true batch are padding)."""
         store = self.store
         bq = len(query_terms_list)
-        m = self.max_query_terms
-        q_terms = np.full((bq, m), -1, dtype=np.int32)
-        q_counts = np.zeros((bq, m), dtype=np.float32)
-        for b, terms in enumerate(query_terms_list):
-            counts: Dict[int, float] = {}
-            for t in terms:
-                tid = store.vocab.get(t)
-                if tid is not None:
-                    counts[tid] = counts.get(tid, 0.0) + 1.0
-            for j, (tid, c) in enumerate(list(counts.items())[:m]):
-                q_terms[b, j] = tid
-                q_counts[b, j] = c
+        # Pad the batch to a power of two: every distinct B is a fresh
+        # (expensive, multi-device) XLA compile.
+        b_pad = 1 << (bq - 1).bit_length() if bq > 1 else 1
+        q_vecs = np.asarray(query_vecs, np.float32)
+        if b_pad > bq:
+            q_vecs = np.concatenate(
+                [q_vecs, np.zeros((b_pad - bq, q_vecs.shape[1]), np.float32)]
+            )
+        term_lists = list(query_terms_list) + [[]] * (b_pad - bq)
+        q_terms, q_counts = pack_query_terms(
+            store.vocab, term_lists, self.max_query_terms
+        )
 
         layout = self._layout
         qa = split_query_arrays(
@@ -163,13 +174,16 @@ class ShardedHybridIndex:
         has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
         bias = self._mask_bias_sharded(where)
         d = self._dev
-        return self._fn(
+        out = self._fn(
             d["emb"], d["term_ids"], d["tfs"], d["tf_head"],
             d["post_rows_sh"], d["post_tfs_sh"], d["doc_len"], bias,
-            jnp.asarray(query_vecs, jnp.float32),
+            jnp.asarray(q_vecs),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
             jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
             jnp.asarray(qa["u_tids"]),
             jnp.asarray(q_terms), jnp.asarray(q_counts),
             jnp.asarray(has_terms),
         )
+        if b_pad == bq:
+            return out
+        return type(out)(*(a[:bq] for a in out))

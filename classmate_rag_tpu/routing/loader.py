@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import gc
 import logging
+import threading
 from typing import Any, Dict, Optional, Sequence
 
 from classmate_rag_tpu.config import Config, load_config
@@ -27,6 +28,13 @@ class StickyModelLoader:
         self.cfg = cfg or load_config()
         self._resident_route: Optional[Route] = None
         self._resident: Any = None
+        # Generation lock: the serving daemon runs the generation tail
+        # OUTSIDE the device read lock (so it overlaps retrieval), which
+        # means concurrent batch leaders reach this loader from several
+        # threads. Evict/load must not interleave, and single-context
+        # backends (llama.cpp) are not thread-safe — one generation at a
+        # time through the resident model.
+        self._lock = threading.RLock()
 
     @property
     def resident_route(self) -> Optional[Route]:
@@ -40,18 +48,19 @@ class StickyModelLoader:
             gc.collect()
 
     def ensure_loaded(self, route: Route) -> Any:
-        if self._resident_route == route and self._resident is not None:
-            return self._resident
-        self._evict()
-        try:
-            spec = get_model_spec(route, self.cfg)
-            runner = get_runner(self.cfg, model_path=str(spec.model_path))
-        except FileNotFoundError:
-            runner = ExtractiveRunner()
-        self._resident = runner
-        self._resident_route = route
-        log.info("loaded %s for route %s", type(runner).__name__, route)
-        return runner
+        with self._lock:
+            if self._resident_route == route and self._resident is not None:
+                return self._resident
+            self._evict()
+            try:
+                spec = get_model_spec(route, self.cfg)
+                runner = get_runner(self.cfg, model_path=str(spec.model_path))
+            except FileNotFoundError:
+                runner = ExtractiveRunner()
+            self._resident = runner
+            self._resident_route = route
+            log.info("loaded %s for route %s", type(runner).__name__, route)
+            return runner
 
     def chat(
         self,
@@ -62,11 +71,12 @@ class StickyModelLoader:
         temperature: float = 0.2,
         top_p: float = 0.95,
     ) -> str:
-        runner = self.ensure_loaded(route)
-        return runner.chat(
-            messages, max_tokens=max_tokens,
-            temperature=temperature, top_p=top_p,
-        )
+        with self._lock:
+            runner = self.ensure_loaded(route)
+            return runner.chat(
+                messages, max_tokens=max_tokens,
+                temperature=temperature, top_p=top_p,
+            )
 
     def chat_batch(
         self,
@@ -80,14 +90,15 @@ class StickyModelLoader:
         """Batched chat on one route: runners with a real batched decode
         (TPUDecodeRunner) answer the whole list in one device loop;
         host-side runners fall back to a loop."""
-        runner = self.ensure_loaded(route)
-        if hasattr(runner, "chat_batch"):
-            return list(runner.chat_batch(
-                messages_list, max_tokens=max_tokens,
-                temperature=temperature, top_p=top_p,
-            ))
-        return [
-            runner.chat(m, max_tokens=max_tokens, temperature=temperature,
-                        top_p=top_p)
-            for m in messages_list
-        ]
+        with self._lock:
+            runner = self.ensure_loaded(route)
+            if hasattr(runner, "chat_batch"):
+                return list(runner.chat_batch(
+                    messages_list, max_tokens=max_tokens,
+                    temperature=temperature, top_p=top_p,
+                ))
+            return [
+                runner.chat(m, max_tokens=max_tokens,
+                            temperature=temperature, top_p=top_p)
+                for m in messages_list
+            ]

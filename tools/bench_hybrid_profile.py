@@ -26,13 +26,18 @@ BATCH = int(os.getenv("BENCH_BATCH", "256"))
 
 
 def timed(name, make_body, q_vecs, arrays):
-    """Time make_body(qv, arrays)->scalar via a carry-chained scan."""
+    """Time make_body(qv, arrays, carry_eps)->scalar via a carry-chained
+    scan. The body must fold ``carry_eps`` (a scalar derived from the
+    carry) into EVERY input that feeds its compute — otherwise XLA hoists
+    the loop-invariant work out of the scan and the stage times ~ITERS x
+    optimistic (the CLAUDE.md timing pitfall; bit us once already)."""
     import jax
     import jax.numpy as jnp
 
     def run(qv, arrs):
         def step(carry, _):
-            out = make_body(carry, arrs)
+            eps = carry[0, 0] * 1e-12
+            out = make_body(carry, arrs, eps)
             pert = (out.astype(jnp.float32) * 1e-12).astype(carry.dtype)
             return carry + pert, None
 
@@ -87,18 +92,12 @@ def main():
     subset_df, _ = device_fns()
     df = subset_df(dev["term_ids"], dev["tfs"], jnp.asarray(store.valid), vpad)
 
+    from classmate_rag_tpu.index.lexical import pack_query_terms
+
     q_vecs = jnp.asarray(np.stack([q for q, _ in queries]), jnp.float32)
-    q_terms = np.full((BATCH, 32), -1, np.int32)
-    q_counts = np.zeros((BATCH, 32), np.float32)
-    for b, (_q, terms) in enumerate(queries):
-        counts = {}
-        for t in terms:
-            tid = store.vocab.get(t)
-            if tid is not None:
-                counts[tid] = counts.get(tid, 0.0) + 1.0
-        for j, (tid, c) in enumerate(list(counts.items())[:32]):
-            q_terms[b, j] = tid
-            q_counts[b, j] = c
+    q_terms, q_counts = pack_query_terms(
+        store.vocab, [terms for _q, terms in queries], 32
+    )
     qa = store._split_query_arrays(q_terms, q_counts)
     has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
     r_cap = split["r_cap"]
@@ -123,18 +122,30 @@ def main():
         "q_counts": jnp.asarray(q_counts),
     }
 
-    def dense_mm(qv, a):
+    def _vary(a, eps):
+        """Fold a data-dependent ZERO into every query-side input so the
+        BM25 compute stays inside the timing loop (values unchanged)."""
+        zero_i = (eps > 1.0).astype(jnp.int32)
+        return dict(
+            a,
+            h_slots=a["h_slots"] + zero_i,
+            u_starts=a["u_starts"] + zero_i,
+            q_terms=a["q_terms"] + zero_i,
+            q_counts=a["q_counts"] + eps,
+        )
+
+    def dense_mm(qv, a, eps):
         s = jnp.einsum("qd,nd->qn", qv.astype(a["emb"].dtype), a["emb"],
                        preferred_element_type=jnp.float32) + a["bias"][None, :]
         return s.sum()
 
-    def dense_topk(qv, a):
+    def dense_topk(qv, a, eps):
         s = jnp.einsum("qd,nd->qn", qv.astype(a["emb"].dtype), a["emb"],
                        preferred_element_type=jnp.float32) + a["bias"][None, :]
         v, i = jax.lax.top_k(s, 24)
         return v.sum() + i.sum().astype(jnp.float32)
 
-    def dense_full(qv, a):
+    def dense_full(qv, a, eps):
         rows, dist = _dense_branch(
             a["emb"], a["bias"], qv, k_vector=8, pool=24, use_mmr=True,
             mmr_lambda=0.5,
@@ -149,37 +160,39 @@ def main():
         avgdl = jnp.sum(jnp.where(keep, a["doc_len"], 0.0)) / n_sub
         return keep, idf, avgdl
 
-    def bm25_core(qv, a, head=True, tail=True):
-        keep, idf, avgdl = _stats(a)
-        h_slots = a["h_slots"] if head else jnp.full_like(a["h_slots"], -1)
-        u_lens = a["u_lens"] if tail else jnp.zeros_like(a["u_lens"])
+    def bm25_core(qv, a, eps, head=True, tail=True):
+        av = _vary(a, eps)
+        keep, idf, avgdl = _stats(av)
+        h_slots = av["h_slots"] if head else jnp.full_like(av["h_slots"], -1)
+        u_lens = av["u_lens"] if tail else jnp.zeros_like(av["u_lens"])
         s = bm25_split_score_core(
-            a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
-            keep, idf, avgdl, h_slots, a["h_tids"],
-            a["u_starts"], u_lens, a["u_tids"],
-            a["q_terms"], a["q_counts"], vocab_pad=vpad, r_cap=r_cap,
+            av["tf_head"], av["post_rows"], av["post_tfs"], av["doc_len"],
+            keep, idf, avgdl, h_slots, av["h_tids"],
+            av["u_starts"], u_lens, av["u_tids"],
+            av["q_terms"], av["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
-        # qv enters so the scan carry has a dependency.
-        return s.sum() + qv.sum() * 0.0
+        return s.sum()
 
-    def bm25_topk(qv, a):
-        keep, idf, avgdl = _stats(a)
+    def bm25_topk(qv, a, eps):
+        av = _vary(a, eps)
+        keep, idf, avgdl = _stats(av)
         s = bm25_split_score_core(
-            a["tf_head"], a["post_rows"], a["post_tfs"], a["doc_len"],
-            keep, idf, avgdl, a["h_slots"], a["h_tids"],
-            a["u_starts"], a["u_lens"], a["u_tids"],
-            a["q_terms"], a["q_counts"], vocab_pad=vpad, r_cap=r_cap,
+            av["tf_head"], av["post_rows"], av["post_tfs"], av["doc_len"],
+            keep, idf, avgdl, av["h_slots"], av["h_tids"],
+            av["u_starts"], av["u_lens"], av["u_tids"],
+            av["q_terms"], av["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
-        v, i = jax.lax.top_k(s + a["bias"][None, :], 8)
-        return v.sum() + i.sum().astype(jnp.float32) + qv.sum() * 0.0
+        v, i = jax.lax.top_k(s + av["bias"][None, :], 8)
+        return v.sum() + i.sum().astype(jnp.float32)
 
-    def full_step(qv, a):
+    def full_step(qv, a, eps):
+        av = _vary(a, eps)
         out = hybrid_query_step_split(
-            a["emb"], a["tf_head"], a["post_rows"], a["post_tfs"],
-            a["doc_len"], a["df"], a["bias"], qv,
-            a["h_slots"], a["h_tids"],
-            a["u_starts"], a["u_lens"], a["u_tids"],
-            a["q_terms"], a["q_counts"], a["has_terms"],
+            av["emb"], av["tf_head"], av["post_rows"], av["post_tfs"],
+            av["doc_len"], av["df"], av["bias"], qv,
+            av["h_slots"], av["h_tids"],
+            av["u_starts"], av["u_lens"], av["u_tids"],
+            av["q_terms"], av["q_counts"], av["has_terms"],
             k_vector=8, k_bm25=8, top_k=8, pool=24, vocab_pad=vpad,
             r_cap=r_cap,
         )
@@ -189,12 +202,12 @@ def main():
     timed("dense matmul", dense_mm, q_vecs, A)
     timed("dense matmul+topk", dense_topk, q_vecs, A)
     timed("dense full (+MMR)", dense_full, q_vecs, A)
-    timed("bm25 head only", lambda qv, a: bm25_core(qv, a, True, False),
-          q_vecs, A)
-    timed("bm25 tail only", lambda qv, a: bm25_core(qv, a, False, True),
-          q_vecs, A)
-    timed("bm25 head+tail", lambda qv, a: bm25_core(qv, a, True, True),
-          q_vecs, A)
+    timed("bm25 head only",
+          lambda qv, a, e: bm25_core(qv, a, e, True, False), q_vecs, A)
+    timed("bm25 tail only",
+          lambda qv, a, e: bm25_core(qv, a, e, False, True), q_vecs, A)
+    timed("bm25 head+tail",
+          lambda qv, a, e: bm25_core(qv, a, e, True, True), q_vecs, A)
     timed("bm25 +topk", bm25_topk, q_vecs, A)
     timed("FULL fused step", full_step, q_vecs, A)
 
