@@ -97,17 +97,15 @@ class ShardedHybridIndex:
         )
         self._offsets_sh = offsets_sh
 
-        def put(arr, spec):
-            return jax.device_put(arr, NamedSharding(mesh, spec))
-
         self._dev = {
-            "emb": put(store.emb, P("shard", None)).astype(jnp.bfloat16),
-            "term_ids": put(store.term_ids, P("shard", None)),
-            "tfs": put(store.tfs, P("shard", None)),
-            "tf_head": put(layout["tf_head"], P(None, "shard")),
-            "post_rows_sh": put(post_rows_sh, P("shard", None)),
-            "post_tfs_sh": put(post_tfs_sh, P("shard", None)),
-            "doc_len": put(store.doc_len, P("shard")),
+            "emb": self._place(store.emb, P("shard", None)
+                               ).astype(jnp.bfloat16),
+            "term_ids": self._place(store.term_ids, P("shard", None)),
+            "tfs": self._place(store.tfs, P("shard", None)),
+            "tf_head": self._place(layout["tf_head"], P(None, "shard")),
+            "post_rows_sh": self._place(post_rows_sh, P("shard", None)),
+            "post_tfs_sh": self._place(post_tfs_sh, P("shard", None)),
+            "doc_len": self._place(store.doc_len, P("shard")),
         }
         self._fn = make_sharded_split_hybrid_fn(
             mesh, r_cap=layout["r_cap"], **self._knobs
@@ -115,6 +113,26 @@ class ShardedHybridIndex:
         self._bias_cache: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
+
+    def _place(self, arr, spec):
+        """Host numpy → global device array with the given layout.
+
+        Single-process meshes use device_put; when the mesh spans
+        processes (multi-host DCN serving) every process holds the FULL
+        host array (each loads the same store — the SPMD contract: all
+        processes call query_batch with identical inputs), and
+        make_array_from_process_local_data carves out this process's
+        addressable shards."""
+        sharding = NamedSharding(self.mesh, spec)
+        if sharding.is_fully_addressable:
+            return jax.device_put(arr, sharding)
+        arr = np.asarray(arr)
+        # global_shape MUST be explicit: without it the full host array is
+        # interpreted as this process's local slice and the global array
+        # silently doubles.
+        return jax.make_array_from_process_local_data(
+            sharding, arr, global_shape=arr.shape
+        )
 
     def _mask_bias_sharded(self, where: Optional[Mapping[str, Any]]):
         """Filter mask as a shard-placed bias vector (cached per filter).
@@ -133,9 +151,7 @@ class ShardedHybridIndex:
         bias = mask_bias_host(
             store.field_cols, store.tag_bits, store.valid, wanted, tag_want
         )
-        placed = jax.device_put(
-            bias, NamedSharding(self.mesh, P("shard"))
-        )
+        placed = self._place(bias, P("shard"))
         self._bias_cache[key] = placed
         return placed
 
@@ -174,15 +190,20 @@ class ShardedHybridIndex:
         has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
         bias = self._mask_bias_sharded(where)
         d = self._dev
+        rep1 = P(None)
+        rep2 = P(None, None)
         out = self._fn(
             d["emb"], d["term_ids"], d["tfs"], d["tf_head"],
             d["post_rows_sh"], d["post_tfs_sh"], d["doc_len"], bias,
-            jnp.asarray(q_vecs),
-            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
-            jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
-            jnp.asarray(qa["u_tids"]),
-            jnp.asarray(q_terms), jnp.asarray(q_counts),
-            jnp.asarray(has_terms),
+            self._place(q_vecs, rep2),
+            self._place(qa["h_slots"], rep1),
+            self._place(qa["h_tids"], rep1),
+            self._place(u_starts_sh, P("shard", None)),
+            self._place(u_lens_sh, P("shard", None)),
+            self._place(qa["u_tids"], rep1),
+            self._place(q_terms, rep2),
+            self._place(q_counts, rep2),
+            self._place(has_terms, rep2),
         )
         if b_pad == bq:
             return out

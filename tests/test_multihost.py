@@ -41,15 +41,58 @@ print(f"OK proc{{pid}} mesh={{shape}}")
 """
 
 
+SERVING_CHILD = r"""
+import sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from classmate_rag_tpu.parallel.multihost import initialize
+initialize(f"127.0.0.1:{{port}}", 2, pid)
+assert jax.process_count() == 2
+
+from jax.sharding import Mesh
+from classmate_rag_tpu.index.store import IndexStore
+from classmate_rag_tpu.index.lexical import tokenize
+from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+# Every process builds the SAME store (the multi-host SPMD contract).
+rng = np.random.default_rng(99)
+store = IndexStore(16, f"/tmp/mh_shidx_{{pid}}", slab_rows=8,
+                   terms_per_chunk=8)
+docs = ["the derivative measures change", "pasta needs boiling water",
+        "eigenvalues characterize maps", "gradients minimize loss",
+        "entropy measures uncertainty", "matrices compose maps",
+        "integrals accumulate area", "variance measures spread"]
+embs = rng.standard_normal((8, 16)).astype(np.float32)
+embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+store.upsert([f"d{{i}}" for i in range(8)], embs,
+             [tokenize(d, "en") for d in docs], [{{}}] * 8)
+
+mesh = Mesh(np.array(jax.devices()), ("shard",))  # 4 devices, 2 hosts
+idx = ShardedHybridIndex(store, mesh, top_k=2)
+q_terms = [tokenize("derivative", "en"), tokenize("pasta water", "en"),
+           tokenize("entropy uncertainty", "en")]
+out = idx.query_batch(embs[[0, 1, 4]], q_terms)
+rows = np.asarray(out.rows.addressable_data(0))
+
+single = store.hybrid_topk_batch(embs[[0, 1, 4]], q_terms, None, top_k=2)
+want = np.asarray(single.rows)
+assert np.array_equal(rows, want), (rows, want)
+print(f"OK proc{{pid}} rows={{rows.tolist()}}")
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def test_two_process_dcn_mesh_and_allgather(tmp_path):
+def _run_two_process(tmp_path, child_src: str):
     script = tmp_path / "child.py"
-    script.write_text(CHILD.format(repo=str(REPO)))
+    script.write_text(child_src.format(repo=str(REPO)))
     port = _free_port()
 
     env = dict(os.environ)
@@ -73,7 +116,7 @@ def test_two_process_dcn_mesh_and_allgather(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=120)
+            out, _ = p.communicate(timeout=180)
             outs.append(out)
     finally:
         for p in procs:
@@ -82,3 +125,14 @@ def test_two_process_dcn_mesh_and_allgather(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out}"
         assert f"OK proc{i}" in out
+
+
+def test_two_process_dcn_mesh_and_allgather(tmp_path):
+    _run_two_process(tmp_path, CHILD)
+
+
+def test_two_process_sharded_serving(tmp_path):
+    """ShardedHybridIndex over a 2-process x 2-device mesh: the corpus
+    shards across hosts via make_array_from_process_local_data and the
+    SPMD query matches the single-device store path bit for bit."""
+    _run_two_process(tmp_path, SERVING_CHILD)
