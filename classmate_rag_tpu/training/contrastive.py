@@ -64,13 +64,41 @@ def make_train_step(
     mesh: Mesh,
     learning_rate: float = 2e-5,
     temperature: float = 0.05,
+    weight_decay: float = 1e-4,
+    max_grad_norm: float = 1.0,
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    accum_steps: int = 1,
 ):
     """Returns (init_state_fn, jitted train_step) for the given mesh.
 
     train_step(state, q_ids, q_mask, p_ids, p_mask) → (state, loss).
     Batch arrays shard on "data"; params per ``encoder_param_specs``.
+
+    Optimizer: AdamW behind global-norm gradient clipping; with
+    ``total_steps`` the learning rate follows linear-warmup + cosine
+    decay (``warmup_steps`` alone gives linear warmup to a constant);
+    ``accum_steps`` > 1 accumulates gradients over that many micro-steps
+    before applying one update (optax.MultiSteps).
     """
-    tx = optax.adamw(learning_rate)
+    if total_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1), decay_steps=total_steps,
+        )
+    elif warmup_steps:
+        schedule = optax.linear_schedule(
+            init_value=0.0, end_value=learning_rate,
+            transition_steps=warmup_steps,
+        )
+    else:
+        schedule = learning_rate
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     p_specs = encoder_param_specs(config)
 
     def shard_params(params: Params) -> Params:
@@ -128,3 +156,40 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return init_state, train_step
+
+
+def make_eval_step(
+    config: EncoderConfig,
+    mesh: Mesh,
+    temperature: float = 0.05,
+):
+    """Jitted eval_step(params, q_ids, q_mask, p_ids, p_mask) →
+    (loss, in_batch_accuracy): the InfoNCE objective plus the fraction of
+    queries whose own passage wins the in-batch ranking — the cheap
+    retrieval-quality proxy to watch during fine-tuning."""
+    p_specs = encoder_param_specs(config)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    param_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), p_specs)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            param_shardings,
+            batch_sharding, batch_sharding, batch_sharding, batch_sharding,
+        ),
+    )
+    def eval_step(params, q_ids, q_mask, p_ids, p_mask):
+        q = encode(params, q_ids, q_mask, config)
+        p = encode(params, p_ids, p_mask, config)
+        logits = (q @ p.T) / temperature
+        labels = jnp.arange(q.shape[0])
+        loss_qp = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        loss_pq = optax.softmax_cross_entropy_with_integer_labels(
+            logits.T, labels
+        ).mean()
+        acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+        return 0.5 * (loss_qp + loss_pq), acc
+
+    return eval_step

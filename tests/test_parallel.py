@@ -334,3 +334,70 @@ class TestTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0]  # optimizes the InfoNCE objective
         assert int(state.step) == 5
+
+
+class TestTrainingKnobs:
+    def _data(self, cfg):
+        rng = np.random.default_rng(0)
+        B, T = 8, 16
+        q = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+        p = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, T)), jnp.int32)
+        m = jnp.ones((B, T), jnp.int32)
+        return q, m, p, m
+
+    def test_schedule_clip_still_optimizes(self):
+        from classmate_rag_tpu.embeddings.model import EncoderConfig, init_params
+        from classmate_rag_tpu.parallel import training_mesh
+        from classmate_rag_tpu.training import make_train_step
+
+        cfg = EncoderConfig.small_test()
+        mesh = training_mesh(8)
+        init_state, step = make_train_step(
+            cfg, mesh, learning_rate=1e-3, warmup_steps=2, total_steps=10,
+            max_grad_norm=0.5,
+        )
+        state = init_state(init_params(cfg, "knobs"))
+        data = self._data(cfg)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, *data)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_gradient_accumulation_delays_update(self):
+        from classmate_rag_tpu.embeddings.model import EncoderConfig, init_params
+        from classmate_rag_tpu.parallel import training_mesh
+        from classmate_rag_tpu.training import make_train_step
+
+        cfg = EncoderConfig.small_test()
+        mesh = training_mesh(8)
+        init_state, step = make_train_step(cfg, mesh, learning_rate=1e-3,
+                                           accum_steps=2)
+        state = init_state(init_params(cfg, "accum"))
+        w0 = np.asarray(state.params["layers"]["q_w"])
+        data = self._data(cfg)
+        state, _ = step(state, *data)
+        w1 = np.asarray(state.params["layers"]["q_w"])
+        assert np.array_equal(w0, w1)  # first micro-step only accumulates
+        state, _ = step(state, *data)
+        w2 = np.asarray(state.params["layers"]["q_w"])
+        assert not np.array_equal(w1, w2)  # second applies the update
+
+    def test_eval_step_loss_and_accuracy(self):
+        from classmate_rag_tpu.embeddings.model import EncoderConfig, init_params
+        from classmate_rag_tpu.parallel import training_mesh
+        from classmate_rag_tpu.training import make_eval_step, make_train_step
+
+        cfg = EncoderConfig.small_test()
+        mesh = training_mesh(8)
+        init_state, step = make_train_step(cfg, mesh, learning_rate=2e-3)
+        eval_step = make_eval_step(cfg, mesh)
+        state = init_state(init_params(cfg, "eval"))
+        data = self._data(cfg)
+        loss0, acc0 = eval_step(state.params, *data)
+        for _ in range(8):
+            state, _ = step(state, *data)
+        loss1, acc1 = eval_step(state.params, *data)
+        assert float(loss1) < float(loss0)
+        assert 0.0 <= float(acc1) <= 1.0
+        assert float(acc1) >= float(acc0)  # overfits the fixed batch
