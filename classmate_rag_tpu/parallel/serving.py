@@ -155,6 +155,28 @@ class ShardedHybridIndex:
         self._bias_cache[key] = placed
         return placed
 
+    def stats(self) -> Dict[str, Any]:
+        """Shard-occupancy observability: live rows, head-matrix columns,
+        and tail postings per shard (imbalance here means one chip does
+        more scan work than the rest)."""
+        n_local = self.store.capacity // self.n_shards
+        valid = self.store.valid
+        per_shard_rows = [
+            int(valid[s * n_local:(s + 1) * n_local].sum())
+            for s in range(self.n_shards)
+        ]
+        per_shard_postings = [
+            int(self._offsets_sh[s, -1]) for s in range(self.n_shards)
+        ]
+        return {
+            "n_shards": self.n_shards,
+            "rows_per_shard": per_shard_rows,
+            "tail_postings_per_shard": per_shard_postings,
+            "head_terms": int((self._layout["lut"] >= 0).sum()),
+            "r_cap": int(self._layout["r_cap"]),
+            "capacity_per_shard": n_local,
+        }
+
     def query_batch(
         self,
         query_vecs: np.ndarray,                    # [B, d] f32

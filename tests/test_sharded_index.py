@@ -109,3 +109,16 @@ class TestShardedHybridIndex:
         )
         with pytest.raises(ValueError, match="divide"):
             ShardedHybridIndex(store, corpus_mesh(8))
+
+
+def test_stats_shard_occupancy(built):
+    from classmate_rag_tpu.parallel import corpus_mesh
+    from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+    store, _ = built
+    idx = ShardedHybridIndex(store, corpus_mesh(8))
+    s = idx.stats()
+    assert s["n_shards"] == 8
+    assert sum(s["rows_per_shard"]) == len(store)
+    assert len(s["tail_postings_per_shard"]) == 8
+    assert s["capacity_per_shard"] * 8 == store.capacity
