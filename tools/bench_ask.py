@@ -22,12 +22,20 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=20, help="Total asks")
     ap.add_argument("--retrieval-only", action="store_true",
                     help="Time preview (retrieval) instead of full ask")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="Untimed warmup asks (first call pays XLA compile)")
     args = ap.parse_args()
 
     from classmate_rag_tpu.metadata import normalize_cli_metadata
     from classmate_rag_tpu.pipeline import ask_question, retrieve_preview
 
     meta = normalize_cli_metadata()
+    for i in range(args.warmup):
+        q = args.questions[i % len(args.questions)]
+        if args.retrieval_only:
+            retrieve_preview(question=q, filters=meta, top_k=8)
+        else:
+            ask_question(question=q, filters=meta, top_k=8)
     times_ms = []
     for i in range(args.n):
         q = args.questions[i % len(args.questions)]
