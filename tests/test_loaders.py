@@ -250,3 +250,54 @@ def test_zip_without_expected_parts_raises_clean(tmp_path):
     zipfile.ZipFile(f, "w").writestr("nothing", "x")
     with pytest.raises(ValueError, match="cannot parse"):
         load_document_by_type(f, "docx")
+
+
+class TestGarbageFuzz:
+    """Random bytes into every format must fail CLEANLY: either empty/
+    best-effort pages or ValueError — never an unhandled exception."""
+
+    @pytest.mark.parametrize("ext", [
+        "pdf", "docx", "pptx", "epub", "html", "md", "txt", "csv",
+    ])
+    def test_random_garbage(self, tmp_path, ext):
+        import random
+
+        from classmate_rag_tpu.loaders import load_document_by_type
+
+        rng = random.Random(hash(ext) & 0xFFFF)
+        for trial in range(12):
+            path = tmp_path / f"junk{trial}.{ext}"
+            n = rng.randint(0, 4096)
+            payload = bytes(rng.getrandbits(8) for _ in range(n))
+            if trial % 3 == 1:
+                # Magic-bytes prefix + garbage body: the nastier case.
+                magic = {
+                    "pdf": b"%PDF-1.4\n", "docx": b"PK\x03\x04",
+                    "pptx": b"PK\x03\x04", "epub": b"PK\x03\x04",
+                    "html": b"<!DOCTYPE html><html>", "md": b"# ",
+                    "txt": b"", "csv": b"a,b,c\n",
+                }[ext]
+                payload = magic + payload
+            path.write_bytes(payload)
+            try:
+                pages = load_document_by_type(path, ext)
+            except ValueError:
+                continue  # clean, typed failure
+            assert isinstance(pages, list)
+            for page_no, text in pages:
+                assert isinstance(page_no, int)
+                assert isinstance(text, str)
+
+    def test_truncated_real_docx(self, tmp_path):
+        from classmate_rag_tpu.loaders import load_document_by_type
+
+        src = tmp_path / "full.docx"
+        make_docx(src, ["Hello world paragraph"])
+        full = src.read_bytes()
+        for cut in (10, len(full) // 2, len(full) - 4):
+            p = tmp_path / f"cut{cut}.docx"
+            p.write_bytes(full[:cut])
+            try:
+                load_document_by_type(p, "docx")
+            except ValueError:
+                pass  # clean failure is the contract
