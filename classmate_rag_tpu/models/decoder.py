@@ -1,8 +1,12 @@
 """Causal decoder LM in pure JAX: the TPU-native answer to llama.cpp.
 
 The reference generates with GGUF models through llama-cpp-python
-(rag/generation/llama_cpp_runner.py:25-106). This module is the TPU path:
-a LLaMA-family decoder (RMSNorm, RoPE, GQA attention, SwiGLU) with
+(rag/generation/llama_cpp_runner.py:25-106); its configured route lineup
+(rag/config.py:101-113) spans LLaMA (Llama-3.1, salamandraTA), Qwen2
+(DeepSeek-R1-Distill-Qwen-7B, Qwen2.5-Coder) and Qwen3 checkpoints. This
+module is the TPU path covering all three families: a decoder (RMSNorm,
+RoPE, GQA attention, SwiGLU; optional QKV biases for Qwen2, optional
+per-head QK-norm + decoupled head_dim for Qwen3) with
 
 - stacked per-layer params + ``lax.scan`` body (one compiled layer),
 - a preallocated KV cache updated by ``dynamic_update_slice`` — static
@@ -43,10 +47,19 @@ class DecoderConfig:
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # Family switches. The reference's route lineup
+    # (rag/config.py:101-113) spans three decoder families: LLaMA
+    # (salamandraTA, Llama-3.1), Qwen2 (DeepSeek-R1-Distill-Qwen,
+    # Qwen2.5-Coder: biases on the QKV projections), and Qwen3
+    # (per-head RMSNorm on Q/K before RoPE, explicit head_dim that need
+    # not equal hidden/heads).
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    head_dim_override: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
-        return self.hidden // self.heads
+        return self.head_dim_override or self.hidden // self.heads
 
     @classmethod
     def small(cls) -> "DecoderConfig":
@@ -63,6 +76,20 @@ class DecoderConfig:
                    kv_heads=8, ffn=14336, max_seq=8192)
 
     @classmethod
+    def qwen2_7b(cls) -> "DecoderConfig":
+        """Qwen2.5-7B shape (also DeepSeek-R1-Distill-Qwen-7B)."""
+        return cls(vocab_size=152064, hidden=3584, layers=28, heads=28,
+                   kv_heads=4, ffn=18944, max_seq=32768,
+                   rope_theta=1000000.0, norm_eps=1e-6, qkv_bias=True)
+
+    @classmethod
+    def qwen3_8b(cls) -> "DecoderConfig":
+        return cls(vocab_size=151936, hidden=4096, layers=36, heads=32,
+                   kv_heads=8, ffn=12288, max_seq=32768,
+                   rope_theta=1000000.0, norm_eps=1e-6, qk_norm=True,
+                   head_dim_override=128)
+
+    @classmethod
     def from_hf_config(cls, model_dir: str | Path) -> Optional["DecoderConfig"]:
         """Build the config from an HF checkpoint's config.json (LLaMA
         family). None when no readable config is present."""
@@ -76,6 +103,11 @@ class DecoderConfig:
         except (OSError, ValueError):
             return None
         try:
+            model_type = str(raw.get("model_type", "llama")).lower()
+            # Qwen2's HF module hardcodes bias=True on q/k/v; LLaMA and
+            # Qwen3 read it from `attention_bias` (default False).
+            qkv_bias = bool(raw.get("attention_bias", model_type == "qwen2"))
+            head_dim = raw.get("head_dim")
             return cls(
                 vocab_size=int(raw["vocab_size"]),
                 hidden=int(raw["hidden_size"]),
@@ -88,6 +120,9 @@ class DecoderConfig:
                 # HF treats an absent rope_theta as 10000 (LLaMA-2 era).
                 rope_theta=float(raw.get("rope_theta", 10000.0)),
                 norm_eps=float(raw.get("rms_norm_eps", 1e-5)),
+                qkv_bias=qkv_bias,
+                qk_norm=model_type == "qwen3",
+                head_dim_override=int(head_dim) if head_dim else None,
             )
         except (KeyError, TypeError, ValueError):
             return None
@@ -100,26 +135,35 @@ def init_params(config: DecoderConfig, seed_key: str) -> Params:
     seed = int.from_bytes(blake2b(seed_key.encode(), digest_size=4).digest(), "little")
     rng = np.random.default_rng(seed)
     h, L, ff = config.hidden, config.layers, config.ffn
+    qh = config.heads * config.head_dim
     kvh = config.kv_heads * config.head_dim
 
     def norm(*shape):
         return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
 
+    layers: Dict[str, np.ndarray] = {
+        "attn_norm": np.ones((L, h), np.float32),
+        "q_w": norm(L, h, qh),
+        "k_w": norm(L, h, kvh),
+        "v_w": norm(L, h, kvh),
+        "o_w": norm(L, qh, h),
+        "ffn_norm": np.ones((L, h), np.float32),
+        "gate_w": norm(L, h, ff),
+        "up_w": norm(L, h, ff),
+        "down_w": norm(L, ff, h),
+    }
+    if config.qkv_bias:
+        layers["q_b"] = norm(L, qh)
+        layers["k_b"] = norm(L, kvh)
+        layers["v_b"] = norm(L, kvh)
+    if config.qk_norm:
+        layers["q_norm"] = np.ones((L, config.head_dim), np.float32)
+        layers["k_norm"] = np.ones((L, config.head_dim), np.float32)
     params: Params = {
         "tok_emb": norm(config.vocab_size, h),
         "final_norm": np.ones(h, np.float32),
         "lm_head": norm(h, config.vocab_size),
-        "layers": {
-            "attn_norm": np.ones((L, h), np.float32),
-            "q_w": norm(L, h, h),
-            "k_w": norm(L, h, kvh),
-            "v_w": norm(L, h, kvh),
-            "o_w": norm(L, h, h),
-            "ffn_norm": np.ones((L, h), np.float32),
-            "gate_w": norm(L, h, ff),
-            "up_w": norm(L, h, ff),
-            "down_w": norm(L, ff, h),
-        },
+        "layers": layers,
     }
     return jax.tree.map(jnp.asarray, params)
 
@@ -150,10 +194,15 @@ def load_params_from_hf(model_dir: str, config: DecoderConfig) -> Optional[Param
 
     try:
         L = config.layers
-        stacks: Dict[str, list] = {k: [] for k in (
+        keys = [
             "attn_norm", "q_w", "k_w", "v_w", "o_w",
             "ffn_norm", "gate_w", "up_w", "down_w",
-        )}
+        ]
+        if config.qkv_bias:
+            keys += ["q_b", "k_b", "v_b"]
+        if config.qk_norm:
+            keys += ["q_norm", "k_norm"]
+        stacks: Dict[str, list] = {k: [] for k in keys}
         for i in range(L):
             base = f"layers.{i}."
             stacks["attn_norm"].append(get(base + "input_layernorm.weight"))
@@ -161,6 +210,13 @@ def load_params_from_hf(model_dir: str, config: DecoderConfig) -> Optional[Param
             stacks["k_w"].append(get(base + "self_attn.k_proj.weight").T)
             stacks["v_w"].append(get(base + "self_attn.v_proj.weight").T)
             stacks["o_w"].append(get(base + "self_attn.o_proj.weight").T)
+            if config.qkv_bias:
+                stacks["q_b"].append(get(base + "self_attn.q_proj.bias"))
+                stacks["k_b"].append(get(base + "self_attn.k_proj.bias"))
+                stacks["v_b"].append(get(base + "self_attn.v_proj.bias"))
+            if config.qk_norm:
+                stacks["q_norm"].append(get(base + "self_attn.q_norm.weight"))
+                stacks["k_norm"].append(get(base + "self_attn.k_norm.weight"))
             stacks["ffn_norm"].append(get(base + "post_attention_layernorm.weight"))
             stacks["gate_w"].append(get(base + "mlp.gate_proj.weight").T)
             stacks["up_w"].append(get(base + "mlp.up_proj.weight").T)
@@ -182,8 +238,9 @@ def load_params_from_hf(model_dir: str, config: DecoderConfig) -> Optional[Param
     # not crash later inside the forward's head reshapes.
     if params["tok_emb"].shape != (config.vocab_size, config.hidden):
         return None
+    q_width = config.heads * config.head_dim
     if params["layers"]["q_w"].shape != (config.layers, config.hidden,
-                                         config.hidden):
+                                         q_width):
         return None
     return jax.tree.map(jnp.asarray, params)
 
@@ -235,11 +292,21 @@ def forward(
 
         normed = _rms_norm(hidden, lp["attn_norm"], config.norm_eps).astype(cdtype)
         q = jnp.einsum("bth,hd->btd", normed, lp["q_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32).reshape(B, T, H, D)
+                       preferred_element_type=jnp.float32)
         k = jnp.einsum("bth,hd->btd", normed, lp["k_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32).reshape(B, T, KH, D)
+                       preferred_element_type=jnp.float32)
         v = jnp.einsum("bth,hd->btd", normed, lp["v_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32).reshape(B, T, KH, D)
+                       preferred_element_type=jnp.float32)
+        if config.qkv_bias:  # Qwen2 family
+            q = q + lp["q_b"]
+            k = k + lp["k_b"]
+            v = v + lp["v_b"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, KH, D)
+        v = v.reshape(B, T, KH, D)
+        if config.qk_norm:  # Qwen3 family: per-head RMSNorm before RoPE
+            q = _rms_norm(q, lp["q_norm"], config.norm_eps)
+            k = _rms_norm(k, lp["k_norm"], config.norm_eps)
         q = _rope(q.astype(jnp.float32), positions, config.rope_theta)
         k = _rope(k.astype(jnp.float32), positions, config.rope_theta)
 

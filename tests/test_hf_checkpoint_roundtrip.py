@@ -187,6 +187,138 @@ class TestDecoderCheckpointRoundtrip:
 
 
 # ---------------------------------------------------------------------------
+# Decoder family checkpoints: Qwen2 (QKV bias) / Qwen3 (QK-norm, head_dim)
+# — the shapes of the reference's actual route models
+# (rag/config.py:101-113: DeepSeek-R1-Distill-Qwen, Qwen2.5-Coder, Qwen3).
+# ---------------------------------------------------------------------------
+
+def _make_family_checkpoint(tmp_path, *, model_type, head_dim=None,
+                            seed=321):
+    cfg = dict(DEC_CFG)
+    cfg["model_type"] = model_type
+    if head_dim:
+        cfg["head_dim"] = head_dim
+    rng = np.random.default_rng(seed)
+    h = cfg["hidden_size"]
+    ff = cfg["intermediate_size"]
+    heads = cfg["num_attention_heads"]
+    d = head_dim or h // heads
+    qh = heads * d
+    kvh = cfg["num_key_value_heads"] * d
+    v = cfg["vocab_size"]
+    L = cfg["num_hidden_layers"]
+
+    def w(*shape):
+        return rng.normal(0, 0.05, shape).astype(np.float32)
+
+    sd = {
+        "model.embed_tokens.weight": w(v, h),
+        "model.norm.weight": np.ones(h, np.float32),
+        "lm_head.weight": w(v, h),
+    }
+    for i in range(L):
+        b = f"model.layers.{i}."
+        sd[b + "input_layernorm.weight"] = np.ones(h, np.float32)
+        sd[b + "self_attn.q_proj.weight"] = w(qh, h)
+        sd[b + "self_attn.k_proj.weight"] = w(kvh, h)
+        sd[b + "self_attn.v_proj.weight"] = w(kvh, h)
+        sd[b + "self_attn.o_proj.weight"] = w(h, qh)
+        if model_type == "qwen2":
+            sd[b + "self_attn.q_proj.bias"] = w(qh)
+            sd[b + "self_attn.k_proj.bias"] = w(kvh)
+            sd[b + "self_attn.v_proj.bias"] = w(kvh)
+        if model_type == "qwen3":
+            sd[b + "self_attn.q_norm.weight"] = 1.0 + 0.1 * w(d)
+            sd[b + "self_attn.k_norm.weight"] = 1.0 + 0.1 * w(d)
+        sd[b + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        sd[b + "mlp.gate_proj.weight"] = w(ff, h)
+        sd[b + "mlp.up_proj.weight"] = w(ff, h)
+        sd[b + "mlp.down_proj.weight"] = w(h, ff)
+
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    _write_tokenizer(
+        tmp_path / "tokenizer.json",
+        ["what", "is", "a", "derivative", "the", "rate", "of", "change"],
+    )
+    return sd
+
+
+class TestQwenFamilyRoundtrip:
+    def test_qwen2_config_and_bias_load(self, tmp_path):
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig, load_params_from_hf,
+        )
+
+        sd = _make_family_checkpoint(tmp_path, model_type="qwen2")
+        config = DecoderConfig.from_hf_config(tmp_path)
+        assert config.qkv_bias and not config.qk_norm
+        params = load_params_from_hf(str(tmp_path), config)
+        assert params is not None
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["q_b"][0]),
+            sd["model.layers.0.self_attn.q_proj.bias"],
+        )
+
+    def test_qwen3_config_and_norms_load(self, tmp_path):
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig, load_params_from_hf,
+        )
+
+        sd = _make_family_checkpoint(
+            tmp_path, model_type="qwen3", head_dim=24
+        )
+        config = DecoderConfig.from_hf_config(tmp_path)
+        assert config.qk_norm and config.head_dim == 24
+        assert not config.qkv_bias
+        params = load_params_from_hf(str(tmp_path), config)
+        assert params is not None
+        assert params["layers"]["q_w"].shape == (2, 64, 4 * 24)
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["k_norm"][1]),
+            sd["model.layers.1.self_attn.k_norm.weight"],
+        )
+
+    def test_missing_bias_tensor_rejected(self, tmp_path):
+        """A qwen2-typed config whose checkpoint lacks the bias tensors
+        must be rejected cleanly (None), not KeyError-crash."""
+        from classmate_rag_tpu.models.decoder import (
+            DecoderConfig, load_params_from_hf,
+        )
+
+        _make_llama_checkpoint(tmp_path)  # no bias tensors on disk
+        cfg = dict(DEC_CFG)
+        cfg["model_type"] = "qwen2"
+        (tmp_path / "config.json").write_text(json.dumps(cfg))
+        config = DecoderConfig.from_hf_config(tmp_path)
+        assert config.qkv_bias
+        assert load_params_from_hf(str(tmp_path), config) is None
+
+    @pytest.mark.parametrize("model_type,head_dim", [
+        ("qwen2", None), ("qwen3", 24),
+    ])
+    def test_runner_end_to_end_greedy(self, tmp_path, model_type, head_dim):
+        from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+
+        _make_family_checkpoint(
+            tmp_path, model_type=model_type, head_dim=head_dim
+        )
+        runner = TPUDecodeRunner(
+            model_dir=str(tmp_path), max_new_tokens=6, max_seq=48
+        )
+        assert runner.has_pretrained_weights
+        out1 = runner.chat(
+            [{"role": "user", "content": "the rate of change"}],
+            temperature=0.0,
+        )
+        out2 = runner.chat(
+            [{"role": "user", "content": "the rate of change"}],
+            temperature=0.0,
+        )
+        assert isinstance(out1, str) and out1 == out2
+
+
+# ---------------------------------------------------------------------------
 # Encoder (XLM-R-shaped)
 # ---------------------------------------------------------------------------
 

@@ -189,9 +189,17 @@ def np_decoder_logits(params, ids, config):
     for li in range(config.layers):
         lp = {k: v[li] for k, v in p["layers"].items()}
         normed = np_rms_norm(x, lp["attn_norm"], config.norm_eps)
-        q = (normed @ lp["q_w"]).reshape(B, T, H, D)
-        k = (normed @ lp["k_w"]).reshape(B, T, KH, D)
-        v = (normed @ lp["v_w"]).reshape(B, T, KH, D)
+        q = normed @ lp["q_w"]
+        k = normed @ lp["k_w"]
+        v = normed @ lp["v_w"]
+        if config.qkv_bias:
+            q, k, v = q + lp["q_b"], k + lp["k_b"], v + lp["v_b"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, KH, D)
+        v = v.reshape(B, T, KH, D)
+        if config.qk_norm:
+            q = np_rms_norm(q, lp["q_norm"], config.norm_eps)
+            k = np_rms_norm(k, lp["k_norm"], config.norm_eps)
         q = np_rope(q, pos, config.rope_theta)
         k = np_rope(k, pos, config.rope_theta)
         rep = H // KH
@@ -291,4 +299,80 @@ class TestDecoderOracle:
         )
         np.testing.assert_allclose(
             np.asarray(step_logits)[:, 0, :], want, atol=1e-4, rtol=1e-4
+        )
+
+
+class TestDecoderFamilyOracles:
+    """Qwen2 (QKV bias) and Qwen3 (QK-norm, decoupled head_dim) variants
+    of the decoder must match the numpy oracle too — these cover the
+    reference's actual route model lineup (rag/config.py:101-113)."""
+
+    def _config(self, **kw):
+        from classmate_rag_tpu.models.decoder import DecoderConfig
+
+        return dataclasses.replace(
+            DecoderConfig.tiny_test(), compute_dtype=jnp.float32, **kw
+        )
+
+    def _check_prefill(self, config, seed_key):
+        from classmate_rag_tpu.models.decoder import forward, init_params
+
+        params = init_params(config, seed_key)
+        rng = np.random.default_rng(11)
+        B, T = 2, 9
+        ids = rng.integers(4, config.vocab_size, (B, T)).astype(np.int32)
+        S = T + 3
+        neg = np.finfo(np.float32).min
+        key_slot = np.arange(S)[None, None, :]
+        q_slot = np.arange(T)[None, :, None]
+        mask = np.broadcast_to(
+            np.where((key_slot <= q_slot) & (key_slot < T), 0.0, neg),
+            (B, T, S),
+        ).astype(np.float32)
+        positions = np.broadcast_to(
+            np.arange(T, dtype=np.int32)[None, :], (B, T)
+        )
+        logits, _ = forward(
+            params, jnp.asarray(ids), jnp.asarray(positions),
+            _f32_cache(config, B, S), jnp.int32(0), config,
+            attn_mask=jnp.asarray(mask),
+        )
+        want = np_decoder_logits(params, ids, config)
+        np.testing.assert_allclose(
+            np.asarray(logits), want, atol=1e-4, rtol=1e-4
+        )
+
+    def test_qwen2_bias_matches_numpy(self):
+        self._check_prefill(self._config(qkv_bias=True), "oracle-qwen2")
+
+    def test_qwen3_qknorm_matches_numpy(self):
+        self._check_prefill(
+            self._config(qk_norm=True, head_dim_override=24), "oracle-qwen3"
+        )
+
+    def test_bias_and_norm_params_change_logits(self):
+        """The family switches must be load-bearing: zeroing the bias /
+        perturbing the qk-norm gains must move the logits (guards against
+        a forward that silently ignores the new params)."""
+        from classmate_rag_tpu.models.decoder import init_params
+
+        config = self._config(qkv_bias=True, qk_norm=True)
+        params = init_params(config, "oracle-fam")
+        rng = np.random.default_rng(3)
+        ids = rng.integers(4, config.vocab_size, (1, 6)).astype(np.int32)
+        base = np_decoder_logits(params, ids, config)
+
+        import jax as _jax
+
+        mutated = _jax.tree.map(lambda x: x, params)
+        mutated["layers"] = dict(mutated["layers"])
+        mutated["layers"]["q_b"] = mutated["layers"]["q_b"] + 0.5
+        assert not np.allclose(
+            np_decoder_logits(mutated, ids, config), base
+        )
+        mutated2 = _jax.tree.map(lambda x: x, params)
+        mutated2["layers"] = dict(mutated2["layers"])
+        mutated2["layers"]["k_norm"] = mutated2["layers"]["k_norm"] * 1.7
+        assert not np.allclose(
+            np_decoder_logits(mutated2, ids, config), base
         )
