@@ -88,3 +88,24 @@ class CachingEmbedder:
 
     def encode_passages(self, texts: Sequence[str]) -> np.ndarray:
         return self._encode_with_cache("passage", texts)
+
+    def _encode_queries_device(self, texts: Sequence[str]):
+        """Device-resident query encoding, bypassing the disk cache.
+
+        The retrieval hot path consumes query vectors on device in the
+        next dispatch; a disk-cache round (host fetch + .npy write) would
+        re-introduce exactly the host↔device sync this path removes.
+        Queries are unique in serving, so the cache buys nothing there;
+        the cached host path remains for everything else. Installed as
+        ``encode_queries_device`` only when the wrapped encoder has a
+        device path (the hashing fallback has none), so callers' getattr
+        probe stays truthful.
+        """
+        return self.base.encode_queries_device(list(texts))
+
+    def __getattr__(self, name: str):
+        if name == "encode_queries_device" and hasattr(
+            self.base, "encode_queries_device"
+        ):
+            return self._encode_queries_device
+        raise AttributeError(name)

@@ -137,9 +137,59 @@ class E5Encoder:
             drain_one()
         return out
 
+    def _encode_texts_device(self, texts: Sequence[str], prefix: str):
+        """Like ``_encode_texts`` but the result STAYS ON DEVICE.
+
+        Returns a jax array [n, dim] f32 in input order. Through the
+        remote device link every host fetch is a round trip; retrieval
+        consumes the query vectors in the very next dispatch, so fetching
+        them to host between encode and the fused hybrid step wastes a
+        full round trip per ask. Order restoration is a device gather —
+        enqueued, never synced.
+        """
+        import jax.numpy as jnp
+
+        if not texts:
+            return jnp.zeros((0, self.dim), dtype=jnp.float32)
+        prefixed = [f"{prefix}{t or ''}" for t in texts]
+        encoded = self.tokenizer.encode_batch(prefixed, self.max_length)
+
+        by_bucket: dict[int, List[int]] = {}
+        for i, ids in enumerate(encoded):
+            by_bucket.setdefault(bucket_length(len(ids)), []).append(i)
+
+        groups: List[List[int]] = []
+        devs: List = []
+        for bucket, indices in sorted(by_bucket.items()):
+            max_batch = max(8, _TOKENS_PER_STEP // bucket)
+            max_batch = 2 ** int(math.ceil(math.log2(max_batch)))
+            for start in range(0, len(indices), max_batch):
+                group = indices[start : start + max_batch]
+                rows = [encoded[i] for i in group]
+                for candidate in (8, 64, max_batch):
+                    if len(rows) <= candidate:
+                        batch_size = min(candidate, max_batch)
+                        break
+                n_pad = batch_size - len(rows)
+                ids_arr, mask_arr = pad_to_bucket(rows + [[0]] * n_pad, bucket)
+                groups.append(group)
+                devs.append(
+                    self._dispatch_bucket(ids_arr, mask_arr)[: len(group)]
+                )
+        if len(devs) == 1 and groups[0] == list(range(len(texts))):
+            return devs[0]
+        flat = np.concatenate([np.asarray(g, np.int64) for g in groups])
+        inverse = np.empty(len(texts), np.int64)
+        inverse[flat] = np.arange(len(texts))
+        return jnp.concatenate(devs, axis=0)[jnp.asarray(inverse)]
+
     # Public surface (matches the reference embedder).
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         return self._encode_texts(texts, "query: ")
 
     def encode_passages(self, texts: Sequence[str]) -> np.ndarray:
         return self._encode_texts(texts, "passage: ")
+
+    def encode_queries_device(self, texts: Sequence[str]):
+        """Device-resident query encoding (see ``_encode_texts_device``)."""
+        return self._encode_texts_device(texts, "query: ")

@@ -90,10 +90,26 @@ class HybridRetriever:
         filters: Optional[Mapping[str, Any]] = None,
         top_k: int = 8,
         hybrid: bool = True,
+        use_fused: bool = True,
     ) -> List[Dict[str, Any]]:
+        """Single-question retrieval.
+
+        By default this runs through the fused batch step (B=1): the
+        per-query spec path makes ~5 device dispatches (encode, dense
+        top-k, MMR, BM25, RRF), each a round trip through the remote
+        device link, where the fused path makes 2 (encode → fused step,
+        with the encode output handed over on device). Results are
+        identical — ``use_fused=False`` keeps the readable spec path
+        alive for parity tests.
+        """
         from classmate_rag_tpu.utils.metrics import metrics
 
         with metrics.timer("retrieve"):
+            if use_fused:
+                return self._retrieve_batch(
+                    questions=[question], filters=filters, top_k=top_k,
+                    hybrid=hybrid,
+                )[0]
             return self._retrieve(
                 question=question, filters=filters, top_k=top_k, hybrid=hybrid
             )
@@ -138,9 +154,19 @@ class HybridRetriever:
         if not live:
             return out
 
-        q_vecs = self.embedder.encode_queries([q for _i, q in live]).astype(
-            np.float32
-        )
+        # Device-resident handoff when the embedder can encode on device:
+        # the query vectors go straight from the encoder's output buffer
+        # into the fused hybrid dispatch without a host fetch in between
+        # (each fetch through the remote device link is a full round trip).
+        import jax.numpy as jnp
+
+        encode_device = getattr(self.embedder, "encode_queries_device", None)
+        if encode_device is not None:
+            q_vecs = encode_device([q for _i, q in live])
+        else:
+            q_vecs = self.embedder.encode_queries(
+                [q for _i, q in live]
+            ).astype(np.float32)
         q_terms = [
             tokenize(q, detect_lang_tag(q)) if hybrid else []
             for _i, q in live
@@ -151,9 +177,10 @@ class HybridRetriever:
         n_live = len(live)
         b_pad = 1 << (n_live - 1).bit_length() if n_live > 1 else 1
         if b_pad > n_live:
-            q_vecs = np.concatenate(
-                [q_vecs, np.zeros((b_pad - n_live, q_vecs.shape[1]),
-                                  np.float32)]
+            xp = jnp if isinstance(q_vecs, jnp.ndarray) else np
+            q_vecs = xp.concatenate(
+                [q_vecs, xp.zeros((b_pad - n_live, q_vecs.shape[1]),
+                                  xp.float32)]
             )
             q_terms = q_terms + [[] for _ in range(b_pad - n_live)]
         # Same knobs as the per-query path: dense-only widens k_vector to

@@ -82,6 +82,48 @@ def test_jax_encoder_batch_invariance():
     np.testing.assert_allclose(alone, batch[1], atol=1e-4)
 
 
+def test_encode_queries_device_matches_host():
+    """The device-resident query path must produce the host path's
+    vectors exactly (same dispatches, just no intermediate fetch) —
+    including when queries span multiple length buckets, which exercises
+    the on-device order-restoring gather."""
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    enc = E5Encoder(model_name="test-tiny", config=EncoderConfig.small_test())
+    texts = [
+        "short one",
+        "a much longer question about the rate of change " * 8,
+        "mid length question here",
+        "tiny",
+    ]
+    host = enc.encode_queries(texts)
+    dev = np.asarray(enc.encode_queries_device(texts), np.float32)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_caching_embedder_device_path_gated(tmp_path):
+    """CachingEmbedder exposes encode_queries_device iff its base does."""
+    from classmate_rag_tpu.embeddings.cache import CachingEmbedder
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder
+    from classmate_rag_tpu.embeddings.hashing import HashingEmbedder
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    jax_enc = E5Encoder(
+        model_name="test-tiny", config=EncoderConfig.small_test()
+    )
+    cached = CachingEmbedder(jax_enc, cache_dir=str(tmp_path / "a"))
+    assert getattr(cached, "encode_queries_device", None) is not None
+    out = np.asarray(cached.encode_queries_device(["hello"]), np.float32)
+    np.testing.assert_allclose(out, cached.encode_queries(["hello"]), atol=1e-6)
+
+    hash_cached = CachingEmbedder(
+        HashingEmbedder(), cache_dir=str(tmp_path / "b")
+    )
+    assert getattr(hash_cached, "encode_queries_device", None) is None
+
+
 def test_caching_embedder_roundtrip(tmp_path):
     base = HashingEmbedder(dim=64)
     calls = {"n": 0}

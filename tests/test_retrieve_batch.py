@@ -44,8 +44,12 @@ QUESTIONS = [
 
 @pytest.mark.parametrize("hybrid", [True, False])
 def test_retrieve_batch_matches_per_query(rt, hybrid):
+    # use_fused=False pins the multi-dispatch spec path — without it this
+    # comparison would be fused-vs-fused and prove nothing.
     per_query = [
-        rt.retriever.retrieve(question=q, top_k=3, hybrid=hybrid)
+        rt.retriever.retrieve(
+            question=q, top_k=3, hybrid=hybrid, use_fused=False
+        )
         for q in QUESTIONS
     ]
     batched = rt.retriever.retrieve_batch(
