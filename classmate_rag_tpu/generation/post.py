@@ -13,7 +13,9 @@ from typing import List
 
 _CITE_RE = re.compile(r"\[(\d+)\]")
 _ADJACENT_RE = re.compile(r"\]\s*(?:,?\s*)\[")
-_SPACE_RUNS = re.compile(r" {2,}")
+# \s (not just spaces): the reference collapses newline runs too
+# (rag/generation/post.py:49) — enforced by the differential fuzz.
+_SPACE_RUNS = re.compile(r"\s{2,}")
 
 
 def _cited_indices(text: str) -> List[int]:

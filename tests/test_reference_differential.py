@@ -1,0 +1,414 @@
+"""Differential fuzz vs LIVE reference modules (beyond the chunker).
+
+tests/test_chunker_differential.py already locks chunker byte-compat by
+importing the real reference chunker. This file extends the same
+technique to every other reference module that is importable offline
+(stdlib/numpy-pure, loaded by file path with stubs for its heavyweight
+package imports): stable IDs, near-dup filtering, citation post-
+processing, context formatting, MMR ordering, RRF fusion, and neighbor
+expansion. Each test feeds both implementations hundreds of seeded
+random inputs and requires equal outputs — the parity claims in
+PARITY.md are enforced by CI, not prose.
+
+All tests skip cleanly when /root/reference is absent.
+"""
+
+import importlib.util
+import json
+import random
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_ROOT = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REF_ROOT.exists(), reason="reference checkout not present"
+)
+
+
+def _load_ref(relpath: str, name: str, stubs: dict | None = None):
+    """Import a reference module by file path, with optional sys.modules
+    stubs standing in for its heavyweight imports (torch, chromadb...)."""
+    inserted = []
+    for mod_name, attrs in (stubs or {}).items():
+        if mod_name in sys.modules:
+            continue
+        mod = types.ModuleType(mod_name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[mod_name] = mod
+        inserted.append(mod_name)
+    spec = importlib.util.spec_from_file_location(name, REF_ROOT / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        for m in inserted + [name]:
+            sys.modules.pop(m, None)
+        raise
+    return mod, inserted + [name]
+
+
+@pytest.fixture(scope="module")
+def ref_ids():
+    mod, names = _load_ref("rag/utils/ids.py", "_ref_ids")
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.fixture(scope="module")
+def ref_dedup():
+    mod, names = _load_ref("rag/utils/dedup.py", "_ref_dedup")
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.fixture(scope="module")
+def ref_post():
+    mod, names = _load_ref("rag/generation/post.py", "_ref_post")
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.fixture(scope="module")
+def ref_prompting():
+    mod, names = _load_ref("rag/generation/prompting.py", "_ref_prompting")
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.fixture(scope="module")
+def ref_fusion():
+    # fusion.py imports the embedder and both stores at module scope; only
+    # rrf_fuse/_mmr_order are exercised, so stub those imports.
+    stubs = {
+        "rag": {},
+        "rag.embeddings": {"E5MultilingualEmbedder": object},
+        "rag.retrieval": {},
+        "rag.retrieval.vector_chroma": {
+            "ChromaVectorStore": object,
+            "build_where_filter": lambda *a, **k: None,
+        },
+        "rag.retrieval.bm25": {"BM25Store": object},
+    }
+    mod, names = _load_ref("rag/retrieval/fusion.py", "_ref_fusion", stubs)
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+@pytest.fixture()
+def ref_expand(ref_ids, tmp_path, monkeypatch):
+    """Reference expand reads ./indexes/bm25/bm25_index.jsonl relative to
+    CWD — run it from a temp dir the test populates."""
+    stubs = {
+        "rag": {},
+        "rag.utils": {"stable_chunk_id": ref_ids.stable_chunk_id},
+    }
+    mod, names = _load_ref("rag/retrieval/expand.py", "_ref_expand", stubs)
+    monkeypatch.chdir(tmp_path)
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+# ---------------------------------------------------------------------------
+# stable_chunk_id
+# ---------------------------------------------------------------------------
+
+def test_stable_chunk_id_differential(ref_ids):
+    from classmate_rag_tpu.utils.ids import stable_chunk_id
+
+    rng = random.Random(42)
+    paths = [
+        "notes.txt", "dir sub/Lec 2.pdf", "unicodé/città.md",
+        "/abs/path/file.docx", "./rel/../rel/file.epub", "UPPER.PDF",
+    ]
+    courses = [None, "", "cs101", "Analisi Matematica", "a b"]
+    for _ in range(300):
+        kwargs = dict(
+            source_path=rng.choice(paths),
+            page=rng.randint(0, 999),
+            chunk_index=rng.randint(0, 5000),
+            course=rng.choice(courses),
+            unit=rng.choice(courses),
+        )
+        assert stable_chunk_id(**kwargs) == ref_ids.stable_chunk_id(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# dedup_text_blocks
+# ---------------------------------------------------------------------------
+
+def test_dedup_differential(ref_dedup):
+    from classmate_rag_tpu.utils.dedup import dedup_text_blocks
+
+    rng = random.Random(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau").split()
+
+    def block():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+
+    for trial in range(40):
+        blocks = []
+        for _ in range(rng.randint(2, 15)):
+            if blocks and rng.random() < 0.5:
+                # near-duplicate of an earlier block with light mutation
+                base = rng.choice(blocks).split()
+                if rng.random() < 0.5 and len(base) > 4:
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                blocks.append(" ".join(base))
+            else:
+                blocks.append(block())
+        for thr in (0.92, 0.5, 0.99):
+            assert dedup_text_blocks(blocks, jaccard_threshold=thr) == \
+                ref_dedup.dedup_text_blocks(blocks, jaccard_threshold=thr), \
+                f"trial {trial} thr {thr}"
+
+
+# ---------------------------------------------------------------------------
+# enforce_citations
+# ---------------------------------------------------------------------------
+
+def test_enforce_citations_differential(ref_post):
+    from classmate_rag_tpu.generation.post import enforce_citations
+
+    rng = random.Random(11)
+    frags = ["The answer", "is", "therefore", "see", "la risposta", "è",
+             "quindi", "compute", "x + y", "\n\n", "  ", "."]
+    for trial in range(200):
+        n_prov = rng.randint(0, 4)
+        prov = [f"/src/doc{i}.pdf" for i in range(n_prov)]
+        parts = []
+        for _ in range(rng.randint(1, 25)):
+            r = rng.random()
+            if r < 0.3:
+                parts.append(f"[{rng.randint(0, n_prov + 3)}]")
+            elif r < 0.4:
+                parts.append(f"[{rng.randint(1, 9)}] [{rng.randint(1, 9)}]")
+            else:
+                parts.append(rng.choice(frags))
+        answer = " ".join(parts)
+        for add_block in (False, True):
+            for title in ("Sources", "Fonti"):
+                got = enforce_citations(
+                    answer, prov, add_sources_block=add_block,
+                    sources_title=title,
+                )
+                want = ref_post.enforce_citations(
+                    answer, prov, add_sources_block=add_block,
+                    sources_title=title,
+                )
+                assert got == want, f"trial {trial}: {answer!r}"
+
+
+# ---------------------------------------------------------------------------
+# format_context_blocks (incl. the prov-before-budget-break quirk)
+# ---------------------------------------------------------------------------
+
+def test_format_context_blocks_differential(ref_prompting):
+    from classmate_rag_tpu.generation.prompting import format_context_blocks
+
+    rng = random.Random(23)
+    for trial in range(120):
+        retrieved = []
+        for i in range(rng.randint(0, 8)):
+            doc = " ".join(
+                f"w{rng.randint(0, 50)}" for _ in range(rng.randint(0, 120))
+            )
+            meta = {}
+            if rng.random() < 0.8:
+                meta["source_path"] = f"/d/doc{rng.randint(0, 3)}.txt"
+            retrieved.append({
+                "id": f"c{i}",
+                "document": doc if rng.random() < 0.9 else "",
+                "metadata": meta,
+            })
+        for budget in (None, 50, 200, 2000):
+            got = format_context_blocks(retrieved, max_total_chars=budget)
+            want = ref_prompting.format_context_blocks(
+                retrieved, max_total_chars=budget
+            )
+            assert got == want, f"trial {trial} budget {budget}"
+
+
+def test_grounded_and_general_messages_differential(ref_prompting):
+    from classmate_rag_tpu.generation.prompting import (
+        build_general_messages, build_grounded_messages,
+    )
+
+    for q, ctx in [
+        ("what is x", "[1] some context"),
+        ("domanda", ""),
+        ("q " * 50, "[1] a\n[2] b"),
+    ]:
+        for cit in (True, False):
+            assert build_grounded_messages(
+                question=q, context_text=ctx, citations_required=cit
+            ) == ref_prompting.build_grounded_messages(
+                question=q, context_text=ctx, citations_required=cit
+            )
+        assert build_general_messages(q) == \
+            ref_prompting.build_general_messages(q)
+
+
+# ---------------------------------------------------------------------------
+# MMR ordering
+# ---------------------------------------------------------------------------
+
+def test_mmr_order_differential(ref_fusion):
+    import jax.numpy as jnp
+
+    from classmate_rag_tpu.ops.mmr import mmr_order
+
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        p = int(rng.integers(1, 25))
+        d = 16
+        k = int(rng.integers(1, 9))
+        cands = rng.standard_normal((p, d)).astype(np.float32)
+        cands /= np.linalg.norm(cands, axis=1, keepdims=True)
+        q = rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+
+        want = ref_fusion._mmr_order(
+            q, cands, [f"i{j}" for j in range(p)], k, 0.5
+        )
+        got = np.asarray(mmr_order(
+            jnp.asarray(q), jnp.asarray(cands), jnp.ones(p, bool), k, 0.5
+        ))
+        got = [int(x) for x in got if x >= 0]
+        assert got == list(want), f"trial {trial}: {got} vs {want}"
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion + merge ordering
+# ---------------------------------------------------------------------------
+
+def test_rrf_merge_differential(ref_fusion):
+    """Our fused scores and output order must match rrf_fuse + the
+    reference retriever's merge/sort (fusion.py:132-167): sort key
+    (fused, −vector_distance) descending, missing branches scored None."""
+    import jax.numpy as jnp
+
+    from classmate_rag_tpu.ops.fusion import rrf_merge
+
+    rng = np.random.default_rng(9)
+    for trial in range(80):
+        n_universe = int(rng.integers(10, 40))
+        kv = int(rng.integers(1, 9))
+        kb = int(rng.integers(1, 9))
+        vec = list(rng.choice(n_universe, size=kv, replace=False))
+        bm = list(rng.choice(n_universe, size=kb, replace=False))
+        vec_dist = np.sort(rng.random(kv)).astype(np.float32)  # ranked
+        bm_scores = np.sort(rng.random(kb))[::-1].astype(np.float32)
+        w_v = float(rng.choice([1.0, 0.5, 2.0]))
+        w_b = float(rng.choice([1.0, 0.3]))
+        rrf_k = int(rng.choice([60, 10]))
+        top_k = int(rng.integers(1, 9))
+
+        fused = ref_fusion.rrf_fuse(
+            rank_lists=[[f"i{i}" for i in vec], [f"i{i}" for i in bm]],
+            weights=[w_v, w_b], rrf_k=rrf_k,
+        )
+        # Reference merge: dict insertion order = vec then bm; stable sort
+        # by (fused, -distance or 0) descending (fusion.py:159-166).
+        by_id = {}
+        for rank, i in enumerate(vec):
+            by_id[i] = {"fused": fused[f"i{i}"], "vd": float(vec_dist[rank])}
+        for i in bm:
+            by_id.setdefault(i, {"fused": fused[f"i{i}"], "vd": None})
+        ranked = sorted(
+            by_id.items(),
+            key=lambda kvp: (
+                kvp[1]["fused"],
+                -(kvp[1]["vd"] if kvp[1]["vd"] is not None else 0.0),
+            ),
+            reverse=True,
+        )
+        want_rows = [i for i, _ in ranked[:top_k]]
+
+        rows, got_fused, vdist, bscore = rrf_merge(
+            jnp.asarray(vec, jnp.int32), jnp.asarray(bm, jnp.int32),
+            jnp.asarray(vec_dist), jnp.asarray(bm_scores),
+            w_v, w_b, rrf_k, top_k,
+        )
+        rows = [int(r) for r in np.asarray(rows) if r >= 0]
+        assert rows == want_rows, f"trial {trial}: {rows} vs {want_rows}"
+        for pos, i in enumerate(rows):
+            assert abs(float(np.asarray(got_fused)[pos]) - by_id[i]["fused"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Neighbor expansion + per-doc diversity
+# ---------------------------------------------------------------------------
+
+def test_expand_with_neighbors_differential(ref_expand, ref_ids, tmp_path):
+    from classmate_rag_tpu.index.catalog import Catalog
+    from classmate_rag_tpu.retrieval.expand import expand_with_neighbors
+
+    rng = random.Random(31)
+    # Build a catalog: 3 files × pages × chunk runs, written in the
+    # reference JSONL layout (which is also ours).
+    jsonl_dir = tmp_path / "indexes" / "bm25"
+    jsonl_dir.mkdir(parents=True)
+    entries = {}
+    for f in range(3):
+        sp = f"/docs/file{f}.txt"
+        for page in range(1, 3):
+            for ci in range(6):
+                cid = ref_ids.stable_chunk_id(
+                    source_path=sp, page=page, chunk_index=ci,
+                    course="cs", unit=None,
+                )
+                meta = {
+                    "source_path": sp, "page": page, "chunk_id": ci,
+                    "course": "cs",
+                }
+                text = f"text f{f} p{page} c{ci}"
+                if f == 2 and ci == 3:
+                    text = "   "  # blank neighbor must be skipped
+                entries[cid] = (text, meta)
+    with (jsonl_dir / "bm25_index.jsonl").open("w") as fh:
+        for cid, (text, meta) in entries.items():
+            fh.write(json.dumps(
+                {"id": cid, "text": text, "tokens": [], "metadata": meta}
+            ) + "\n")
+
+    catalog = Catalog.load_or_create(jsonl_dir)
+    ids_list = list(entries)
+
+    for trial in range(30):
+        results = []
+        for _ in range(rng.randint(1, 6)):
+            cid = rng.choice(ids_list)
+            text, meta = entries[cid]
+            results.append({
+                "id": cid, "document": text,
+                "score": round(rng.random(), 3), "metadata": dict(meta),
+            })
+        for radius in (0, 1, 2):
+            for cap in (None, 1, 3):
+                want = ref_expand.expand_with_neighbors(
+                    list(results), radius=radius, max_per_doc=cap,
+                )
+                got = expand_with_neighbors(
+                    [dict(r) for r in results], catalog,
+                    radius=radius, max_per_doc=cap,
+                )
+                assert [g["id"] for g in got] == [w["id"] for w in want], \
+                    f"trial {trial} r={radius} cap={cap}"
+                for g, w in zip(got, want):
+                    assert abs(g["score"] - w["score"]) < 1e-9
+                    assert g["document"] == w["document"]
+                    assert g["metadata"] == w["metadata"]
