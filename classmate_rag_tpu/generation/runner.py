@@ -183,6 +183,7 @@ class TPUDecodeRunner:
         config=None,
         max_new_tokens: int = 256,
         max_seq: int = 1024,
+        mesh=None,
     ) -> None:
         import json
 
@@ -232,7 +233,37 @@ class TPUDecodeRunner:
         )
         self.max_new = max_new_tokens
         self.max_seq = max_seq
-        self._generate = make_generate_fn(self.config, max_seq, max_new_tokens)
+        self._mesh = mesh
+        if mesh is None and os.getenv("TPU_DECODE_TP", "").lower() in (
+            "1", "true", "yes",
+        ):
+            import jax
+
+            if len(jax.devices()) > 1:
+                # The TP degree must divide THIS model's kv_heads/ffn —
+                # auto_mesh_for picks the largest one that does.
+                from classmate_rag_tpu.parallel.tp_decode import auto_mesh_for
+
+                self._mesh = auto_mesh_for(self.config)
+        if self._mesh is not None:
+            # dp×tp decode: an 8B route model at bf16 exceeds one chip's
+            # HBM — shard it (parallel/tp_decode.py) instead of failing.
+            from classmate_rag_tpu.parallel.tp_decode import (
+                make_tp_generate_fn, shard_decoder_params,
+            )
+
+            self._generate = make_tp_generate_fn(
+                self.config, self._mesh, max_seq, max_new_tokens
+            )
+            self.params = shard_decoder_params(
+                self.params, self.config, self._mesh
+            )
+            self._data_axis = int(self._mesh.shape["data"])
+        else:
+            self._generate = make_generate_fn(
+                self.config, max_seq, max_new_tokens
+            )
+            self._data_axis = 1
 
     def _format_chat(self, messages: Messages) -> str:
         parts = []
@@ -254,6 +285,9 @@ class TPUDecodeRunner:
         if b == 0:
             return []
         b_pad = 1 << (b - 1).bit_length() if b > 1 else 1
+        # A dp-sharded batch must divide over the mesh's data axis.
+        if b_pad % self._data_axis:
+            b_pad = self._data_axis * (-(-b_pad // self._data_axis))
         width = self.max_seq - self.max_new
         arr = np.zeros((b_pad, width), dtype=np.int32)
         lens = np.zeros(b_pad, dtype=np.int32)
