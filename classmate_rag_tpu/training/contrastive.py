@@ -82,9 +82,13 @@ def make_train_step(
     before applying one update (optax.MultiSteps).
     """
     if total_steps:
+        # optax requires decay_steps > warmup_steps; short runs (smoke
+        # tests, tiny corpora) may ask for fewer total steps than warmup.
+        warmup_eff = min(max(warmup_steps, 1), max(total_steps - 1, 1))
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=learning_rate,
-            warmup_steps=max(warmup_steps, 1), decay_steps=total_steps,
+            warmup_steps=warmup_eff,
+            decay_steps=max(total_steps, warmup_eff + 1),
         )
     elif warmup_steps:
         schedule = optax.linear_schedule(

@@ -41,6 +41,54 @@ def test_bench_ingest(corpus, capsys, monkeypatch):
     assert res["chunks_per_sec"] > 0
 
 
+def test_train_encoder_end_to_end(tmp_index_env, tmp_path, capsys,
+                                  monkeypatch):
+    """tools/train_encoder.py over a tiny ingested corpus: pairs mined
+    from the catalog, a few dp×tp steps on the virtual mesh, eval metrics
+    reported, checkpoint written, resume picks the step back up."""
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import reset_runtime
+
+    reset_runtime()
+    words = ("gradient descent momentum convergence eigenvalue matrix "
+             "derivative integral limit probability entropy kernel").split()
+    for d in range(10):
+        doc = tmp_path / f"doc{d}.md"
+        doc.write_text("\n\n".join(
+            f"The {words[(d + i) % len(words)]} of the "
+            f"{words[(d + 2 * i + 1) % len(words)]} determines the "
+            f"{words[(d + 3 * i + 2) % len(words)]} in lecture {i}. "
+            f"It follows that {words[(d + i + 5) % len(words)]} bounds "
+            f"the {words[(d + i + 7) % len(words)]}."
+            for i in range(30)
+        ))
+        ingest_file(path=doc, doc_meta=normalize_cli_metadata(course="ml"))
+    reset_runtime()
+
+    ckpt = tmp_path / "ckpt"
+    argv = ["--steps", "4", "--batch", "8", "--seq-len", "32",
+            "--eval-every", "2", "--eval-batches", "1",
+            "--config", "small_test", "--checkpoint-dir", str(ckpt),
+            "--checkpoint-every", "2"]
+    res = _run_tool("train_encoder", argv, capsys, monkeypatch)
+    assert res["done"] and res["steps"] == 4
+    assert res["checkpoint"] and Path(res["checkpoint"]).exists()
+    assert 0.0 <= res["eval_acc"] <= 1.0
+
+    # Resume: with steps already reached, the driver must restore step 4
+    # and exit without training further.
+    import importlib
+
+    mod = importlib.import_module("train_encoder")
+    monkeypatch.setattr(sys, "argv", ["train_encoder"] + argv + ["--resume"])
+    assert mod.main() == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert any(l.get("resumed_from") for l in lines)
+    assert lines[-1]["steps"] == 4
+
+
 def test_bench_ask_retrieval_only(corpus, capsys, monkeypatch):
     from classmate_rag_tpu.metadata import normalize_cli_metadata
     from classmate_rag_tpu.pipeline import ingest_file
