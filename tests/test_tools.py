@@ -89,6 +89,27 @@ def test_train_encoder_end_to_end(tmp_index_env, tmp_path, capsys,
     assert lines[-1]["steps"] == 4
 
 
+def test_bench_serve_http_load(tmp_index_env, capsys, monkeypatch):
+    """tools/bench_serve.py end to end: synthetic corpus → HTTP daemon →
+    concurrent /ask clients → QPS/latency JSON with zero errors."""
+    from classmate_rag_tpu.pipeline.runtime import reset_runtime
+
+    reset_runtime()
+    try:
+        res = _run_tool(
+            "bench_serve",
+            ["--clients", "4", "--seconds", "1.5", "--warmup-seconds",
+             "1.0", "--port", "8199", "--synthetic", "128"],
+            capsys, monkeypatch,
+        )
+    finally:
+        reset_runtime()
+    assert res["errors"] == 0
+    assert res["requests"] > 0
+    assert res["http_ask_qps"] > 0
+    assert res["p95_ms"] > 0
+
+
 def test_bench_ask_retrieval_only(corpus, capsys, monkeypatch):
     from classmate_rag_tpu.metadata import normalize_cli_metadata
     from classmate_rag_tpu.pipeline import ingest_file
