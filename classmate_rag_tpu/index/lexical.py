@@ -258,9 +258,14 @@ def split_query_arrays(
     union and tail-term SEGMENT table (inputs to bm25_split_scores).
 
     Tail terms whose posting lists exceed ``r_cap`` emit one entry per
-    ``r_cap``-sized window (same tid in u_tids); the device kernel sums
-    the disjoint windows' contributions, which equals the unsegmented
-    score exactly.
+    ``r_cap``-sized window (same tid in u_tids); on device every segment
+    of a term scatters into that term's SINGLE column (``u_cols`` maps
+    segment → index into ``t_tids``, the batch's distinct tail terms).
+    Segments cover disjoint row windows, so the merged column holds
+    exactly the unsegmented tf — and the big [N, T] tail matrix is sized
+    by distinct TERMS, not segments (at 1M chunks the per-segment
+    formulation materialized [N, U≈1024] ≈ 4 GB f32 per batch and
+    dominated the whole fused step; per-term columns cut it ~U/T ≈ 10×).
     """
     safe = np.maximum(q_tids, 0)
     slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
@@ -281,15 +286,19 @@ def split_query_arrays(
         np.unique(q_tids[is_rare]) if is_rare.any()
         else np.zeros(0, np.int32)
     )
-    seg_t, seg_start, seg_len = [], [], []
+    t_tids = _pad_pow2(rare_tids, -1)
+    col_of = {int(t): i for i, t in enumerate(rare_tids)}
+    seg_t, seg_col, seg_start, seg_len = [], [], [], []
     for t in rare_tids:
         start = int(offsets[t])
         ln = int(offsets[t + 1]) - start
         for k in range(0, ln, r_cap):
             seg_t.append(t)
+            seg_col.append(col_of[int(t)])
             seg_start.append(start + k)
             seg_len.append(min(r_cap, ln - k))
     u_tids = _pad_pow2(np.asarray(seg_t, np.int32), -1)
+    u_cols = _pad_pow2(np.asarray(seg_col, np.int32), -1)
     u_starts = np.zeros(len(u_tids), dtype=np.int32)
     u_lens = np.zeros(len(u_tids), dtype=np.int32)
     if seg_t:
@@ -301,6 +310,8 @@ def split_query_arrays(
         "u_starts": u_starts,
         "u_lens": u_lens,
         "u_tids": u_tids,
+        "u_cols": u_cols,
+        "t_tids": t_tids,
     }
 
 
@@ -448,8 +459,9 @@ def bm25_split_score_core(
     h_tids,       # i32 [H] — their vocab ids (-1 pad)
     u_starts,     # i32 [U] — posting window start per tail SEGMENT
     u_lens,       # i32 [U] window length ≤ r_cap (0 = padding slot)
-    u_tids,       # i32 [U] vocab id per segment (-1 pad; a long posting
-                  #   list spans several segments with the same tid)
+    u_cols,       # i32 [U] — segment's column in the per-TERM tail
+                  #   matrix (-1 pad; segments of one term share a column)
+    t_tids,       # i32 [T] — the batch's distinct tail term ids (-1 pad)
     q_tids,       # i32 [B, M] query term ids (-1 padded)
     q_counts,     # f32 [B, M] query term multiplicities
     *,
@@ -464,12 +476,14 @@ def bm25_split_score_core(
     caller provides the jit/shard_map context.
 
     Per-query weights come from matching ``q_tids`` against the batch's
-    head/tail unions ([B, M, H|U] one-hot einsum — tiny). Tail posting
-    lists longer than ``r_cap`` arrive as multiple segments sharing the
-    term id: each segment covers a disjoint row set, the segments share
-    the term's weight, so their matmul contributions sum to exactly the
-    single-column score. This keeps r_cap CONSTANT regardless of how many
-    high-df terms overflow the head budget.
+    head/tail unions ([B, M, H|T] one-hot einsum — tiny). Tail posting
+    lists longer than ``r_cap`` arrive as multiple segments sharing one
+    term COLUMN (``u_cols``): the segments' disjoint row windows
+    scatter-add into that column, reconstructing the term's full tf
+    vector exactly, so the [N, T] tail matrix is sized by the batch's
+    distinct tail terms — not its segment count — and r_cap stays
+    CONSTANT regardless of how many high-df terms overflow the head
+    budget.
     """
     import jax
     import jax.numpy as jnp
@@ -516,26 +530,26 @@ def bm25_split_score_core(
     )                                                         # [U, R]
     r_iota = jnp.arange(r_cap, dtype=jnp.int32)
     valid_u = (u_lens[:, None] > 0) & (r_iota[None, :] < u_lens[:, None])
-    u_iota = jnp.broadcast_to(
-        jnp.arange(u, dtype=jnp.int32)[:, None], (u, r_cap)
-    )
-    tf_tail = jnp.zeros((n, u + 1), jnp.float32).at[
-        jnp.where(valid_u, rows_u, 0),
-        jnp.where(valid_u, u_iota, u),
-    ].add(jnp.where(valid_u, tfs_u.astype(jnp.float32), 0.0))[:, :u]
+    t = t_tids.shape[0]
+    col_u = jnp.broadcast_to(u_cols[:, None], (u, r_cap))
+    col_ok = valid_u & (col_u >= 0)
+    tf_tail = jnp.zeros((n, t + 1), jnp.float32).at[
+        jnp.where(col_ok, rows_u, 0),
+        jnp.where(col_ok, col_u, t),
+    ].add(jnp.where(col_ok, tfs_u.astype(jnp.float32), 0.0))[:, :t]
     sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
-    sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, U]
+    sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, T]
 
-    u_idf = idf[jnp.where(u_tids >= 0, u_tids, vocab_pad)]   # [U]
-    match_u = (
-        (q_tids[:, :, None] == u_tids[None, None, :])
-        & q_valid & (u_tids >= 0)[None, None, :]
+    t_idf = idf[jnp.where(t_tids >= 0, t_tids, vocab_pad)]   # [T]
+    match_t = (
+        (q_tids[:, :, None] == t_tids[None, None, :])
+        & q_valid & (t_tids >= 0)[None, None, :]
     )
     w_tail = jnp.einsum(
-        "bmu,bm->bu", match_u.astype(jnp.float32), q_counts
-    ) * u_idf[None, :]
+        "bmt,bm->bt", match_t.astype(jnp.float32), q_counts
+    ) * t_idf[None, :]
     scores = scores + jnp.einsum(
-        "bu,nu->bn", w_tail, sat_tail,
+        "bt,nt->bn", w_tail, sat_tail,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -555,11 +569,12 @@ def _bm25_split_fns():
       mass): tf prebuilt as a dense [N, C] u8 matrix at index build; a
       batch scores as ``W_head [B, C] @ sat(tf_head, dl) [C, N]``.
     - TAIL terms: term-major postings. Per batch, the *distinct* tail
-      terms (U segment slots; lists longer than r_cap span several slots)
-      materialize as a [N, U] tf matrix — contiguous posting-window reads
+      terms (T of them; lists longer than r_cap arrive as several
+      U-segment windows scattering into the term's one column)
+      materialize as a [N, T] tf matrix — contiguous posting-window reads
       plus one small scatter (≤ U·r_cap elements, r_cap capped at
       TAIL_SEG_CAP) — then score as a second matmul
-      ``W_tail [B, U] @ sat(tf_tail, dl) [U, N]``.
+      ``W_tail [B, T] @ sat(tf_tail, dl) [T, N]``.
 
     Exactly the same Okapi math (idf/ε/avgdl shared with okapi_idf), just
     reorganized around the MXU. Both stages honor the row mask.
@@ -579,7 +594,8 @@ def _bm25_split_fns():
         h_tids,       # i32 [H] — their vocab ids (-1 pad)
         u_starts,     # i32 [U] — posting window start per tail segment
         u_lens,       # i32 [U] window length ≤ r_cap (0 = padding slot)
-        u_tids,       # i32 [U] vocab id per segment (-1 pad)
+        u_cols,       # i32 [U] segment → tail-term column (-1 pad)
+        t_tids,       # i32 [T] distinct tail term ids (-1 pad)
         q_tids,       # i32 [B, M] query term ids (-1 padded)
         q_counts,     # f32 [B, M]
         vocab_pad: int,
@@ -591,7 +607,8 @@ def _bm25_split_fns():
         avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
         return bm25_split_score_core(
             tf_head, post_rows, post_tfs, doc_len, keep, idf, avgdl,
-            h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
+            h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
+            q_tids, q_counts,
             vocab_pad=vocab_pad, r_cap=r_cap,
         )
 

@@ -462,7 +462,7 @@ class IndexStore:
             dev["doc_len"], bias, df,
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
             jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
             jnp.asarray(q_terms), jnp.asarray(q_counts),
             vocab_pad=vpad, r_cap=split["r_cap"], top_k=k_eff,
         )

@@ -169,20 +169,21 @@ def pack_query_arrays(qa, q_terms, q_counts, has_terms):
         np.ascontiguousarray(qa["h_tids"], np.int32),
         np.ascontiguousarray(qa["u_starts"], np.int32),
         np.ascontiguousarray(qa["u_lens"], np.int32),
-        np.ascontiguousarray(qa["u_tids"], np.int32),
+        np.ascontiguousarray(qa["u_cols"], np.int32),
+        np.ascontiguousarray(qa["t_tids"], np.int32),
         np.ascontiguousarray(q_terms, np.int32).ravel(),
         np.ascontiguousarray(q_counts, np.float32).ravel().view(np.int32),
         np.ascontiguousarray(has_terms, bool).ravel().astype(np.int32),
     ]
     statics = {"h": len(qa["h_slots"]), "u": len(qa["u_starts"]),
-               "b": b, "m": m}
+               "t": len(qa["t_tids"]), "b": b, "m": m}
     return np.concatenate(parts), statics
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "h", "u", "b", "m",
+        "h", "u", "t", "b", "m",
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
         "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
     ),
@@ -192,7 +193,7 @@ def hybrid_query_step_split_packed(
     q_vecs,         # [B, d] f32
     packed,         # i32 [L] from pack_query_arrays
     *,
-    h: int, u: int, b: int, m: int,
+    h: int, u: int, t: int, b: int, m: int,
     k_vector: int = 8,
     k_bm25: int = 8,
     top_k: int = 8,
@@ -221,7 +222,8 @@ def hybrid_query_step_split_packed(
     h_tids = take(h)
     u_starts = take(u)
     u_lens = take(u)
-    u_tids = take(u)
+    u_cols = take(u)
+    t_tids = take(t)
     q_tids = take(b * m).reshape(b, m)
     q_counts = jax.lax.bitcast_convert_type(
         take(b * m), jnp.float32
@@ -229,7 +231,7 @@ def hybrid_query_step_split_packed(
     has_terms = (take(b) > 0).reshape(b, 1)
     return hybrid_query_step_split(
         emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias, q_vecs,
-        h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
+        h_slots, h_tids, u_starts, u_lens, u_cols, t_tids, q_tids, q_counts,
         has_terms,
         k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
         vocab_pad=vocab_pad, r_cap=r_cap, use_mmr=use_mmr,
@@ -255,7 +257,9 @@ def hybrid_query_step_split(
     mask_bias,      # [N] f32
     q_vecs,         # [B, d] f32
     h_slots, h_tids,            # batch head-term union [H]
-    u_starts, u_lens, u_tids,   # batch tail SEGMENT table [U]
+    u_starts, u_lens,           # batch tail SEGMENT table [U]
+    u_cols,                     # [U] segment → tail-term column
+    t_tids,                     # [T] batch's distinct tail term ids
     q_tids, q_counts,           # [B, M] query term ids / multiplicities
     has_terms,      # bool [B, 1]: query had ≥1 vocab-known term (host-computed
                     # so zero-posting terms rank zero-score rows, as the
@@ -285,7 +289,8 @@ def hybrid_query_step_split(
     bm25_split_scores, _ = split_fns()
     bm_scores = bm25_split_scores(
         tf_head, post_rows, post_tfs, doc_len, mask_bias, df,
-        h_slots, h_tids, u_starts, u_lens, u_tids, q_tids, q_counts,
+        h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
+        q_tids, q_counts,
         vocab_pad=vocab_pad, r_cap=r_cap,
     )
     bm_rows, bm_vals = _bm25_postprocess(

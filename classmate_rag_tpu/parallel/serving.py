@@ -222,7 +222,8 @@ class ShardedHybridIndex:
             self._place(qa["h_tids"], rep1),
             self._place(u_starts_sh, P("shard", None)),
             self._place(u_lens_sh, P("shard", None)),
-            self._place(qa["u_tids"], rep1),
+            self._place(qa["u_cols"], rep1),
+            self._place(qa["t_tids"], rep1),
             self._place(q_terms, rep2),
             self._place(q_counts, rep2),
             self._place(has_terms, rep2),

@@ -272,7 +272,7 @@ def make_sharded_split_hybrid_fn(
       q_vecs [B, d] f32               replicated
       h_slots [H] · h_tids [H]        replicated (batch head union)
       u_starts_sh [S, U] · u_lens_sh [S, U]        P(shard, ·)
-      u_tids [U] (tail segment table) replicated
+      u_cols [U] (segment → tail-term column) · t_tids [T] replicated
       q_tids [B, M] · q_counts [B, M] replicated
       has_terms [B, 1] bool           replicated
 
@@ -285,7 +285,8 @@ def make_sharded_split_hybrid_fn(
     def body(emb, term_ids, tfs, tf_head, post_rows_sh, post_tfs_sh,
              doc_len, mask_bias, q_vecs,
              h_slots, h_tids,
-             u_starts_sh, u_lens_sh, u_tids, q_tids, q_counts, has_terms):
+             u_starts_sh, u_lens_sh, u_cols, t_tids,
+             q_tids, q_counts, has_terms):
         n_local = emb.shape[0]
         shard = jax.lax.axis_index("shard")
         row_base = (shard * n_local).astype(jnp.int32)
@@ -305,7 +306,8 @@ def make_sharded_split_hybrid_fn(
             tf_head, post_rows_sh[0], post_tfs_sh[0], doc_len, keep,
             idf, avgdl,
             h_slots, h_tids,
-            u_starts_sh[0], u_lens_sh[0], u_tids, q_tids, q_counts,
+            u_starts_sh[0], u_lens_sh[0], u_cols, t_tids,
+            q_tids, q_counts,
             vocab_pad=vocab_pad, r_cap=r_cap,
         )                                                 # [B, N_local]
         bm_rows, bm_vals = _bm25_merge_sharded(
@@ -334,7 +336,8 @@ def make_sharded_split_hybrid_fn(
             P(None), P(None),   # h_slots, h_tids
             P("shard", None),   # u_starts_sh
             P("shard", None),   # u_lens_sh
-            P(None),            # u_tids (segment table)
+            P(None),            # u_cols (segment → term column)
+            P(None),            # t_tids (distinct tail terms)
             P(None, None), P(None, None),   # q_tids, q_counts
             P(None, None),      # has_terms
         ),

@@ -70,7 +70,7 @@ def _scores_both(st, q_tids, q_counts, where):
         dev["doc_len"], bias, df,
         jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
         jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-        jnp.asarray(qa["u_tids"]),
+        jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
         jnp.asarray(q_tids), jnp.asarray(q_counts),
         vocab_pad=st.vocab_pad, r_cap=split["r_cap"],
     ))
@@ -136,7 +136,7 @@ def _split_scores_for_layout(st, layout, q_tids, q_counts, where=None):
         jnp.asarray(layout["post_tfs"]), dev["doc_len"], bias, df,
         jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
         jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-        jnp.asarray(qa["u_tids"]),
+        jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
         jnp.asarray(q_tids), jnp.asarray(q_counts),
         vocab_pad=st.vocab_pad, r_cap=layout["r_cap"],
     )), qa

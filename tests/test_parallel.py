@@ -239,7 +239,7 @@ class TestShardedSplitHybrid:
             jnp.asarray(q_vecs),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
             jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
-            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
             jnp.asarray(q_tids), jnp.asarray(q_counts),
             jnp.asarray(has_terms),
             r_cap=layout["r_cap"], **knobs,
@@ -264,7 +264,7 @@ class TestShardedSplitHybrid:
             jnp.asarray(doc_len), jnp.asarray(bias_np), jnp.asarray(q_vecs),
             jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
             jnp.asarray(u_starts_sh), jnp.asarray(u_lens_sh),
-            jnp.asarray(qa["u_tids"]),
+            jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
             jnp.asarray(q_tids), jnp.asarray(q_counts),
             jnp.asarray(has_terms),
         )

@@ -103,10 +103,12 @@ def main():
     r_cap = split["r_cap"]
     H = len(qa["h_slots"])
     U = len(qa["u_tids"])
+    T = len(qa["t_tids"])
     n_tail_real = int((qa["u_lens"] > 0).sum())
     n_head_real = int((qa["h_slots"] >= 0).sum())
     print(f"vpad={vpad} r_cap={r_cap} H={H} (real {n_head_real}) "
-          f"U={U} (real {n_tail_real}) head_rows={split['tf_head'].shape}")
+          f"U={U} (real {n_tail_real}) T={T} "
+          f"head_rows={split['tf_head'].shape}")
 
     A = {
         "emb": dev["emb"], "bias": bias, "doc_len": dev["doc_len"],
@@ -117,6 +119,8 @@ def main():
         "u_starts": jnp.asarray(qa["u_starts"]),
         "u_lens": jnp.asarray(qa["u_lens"]),
         "u_tids": jnp.asarray(qa["u_tids"]),
+        "u_cols": jnp.asarray(qa["u_cols"]),
+        "t_tids": jnp.asarray(qa["t_tids"]),
         "has_terms": jnp.asarray(has_terms),
         "q_terms": jnp.asarray(q_terms),
         "q_counts": jnp.asarray(q_counts),
@@ -168,7 +172,7 @@ def main():
         s = bm25_split_score_core(
             av["tf_head"], av["post_rows"], av["post_tfs"], av["doc_len"],
             keep, idf, avgdl, h_slots, av["h_tids"],
-            av["u_starts"], u_lens, av["u_tids"],
+            av["u_starts"], u_lens, av["u_cols"], av["t_tids"],
             av["q_terms"], av["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
         return s.sum()
@@ -179,7 +183,7 @@ def main():
         s = bm25_split_score_core(
             av["tf_head"], av["post_rows"], av["post_tfs"], av["doc_len"],
             keep, idf, avgdl, av["h_slots"], av["h_tids"],
-            av["u_starts"], av["u_lens"], av["u_tids"],
+            av["u_starts"], av["u_lens"], av["u_cols"], av["t_tids"],
             av["q_terms"], av["q_counts"], vocab_pad=vpad, r_cap=r_cap,
         )
         v, i = jax.lax.top_k(s + av["bias"][None, :], 8)
@@ -191,7 +195,7 @@ def main():
             av["emb"], av["tf_head"], av["post_rows"], av["post_tfs"],
             av["doc_len"], av["df"], av["bias"], qv,
             av["h_slots"], av["h_tids"],
-            av["u_starts"], av["u_lens"], av["u_tids"],
+            av["u_starts"], av["u_lens"], av["u_cols"], av["t_tids"],
             av["q_terms"], av["q_counts"], av["has_terms"],
             k_vector=8, k_bm25=8, top_k=8, pool=24, vocab_pad=vpad,
             r_cap=r_cap,
