@@ -82,6 +82,20 @@ def main() -> int:
         "w12 w40 w7 what is the rate", "w3 w99 how does w41 relate",
         "w5 w1 w2 compute the measure", "w77 w21 bound of the limit",
     ]
+
+    # Blocking warmup probe: the FIRST ask pays the XLA compile (minutes
+    # through a remote compiler); measuring before it completes counts
+    # nothing but timeouts.
+    probe = http.client.HTTPConnection("127.0.0.1", args.port, timeout=600)
+    probe.request("POST", "/ask", json.dumps({
+        "question": questions[0], "k": args.k,
+    }), {"Content-Type": "application/json"})
+    status = probe.getresponse()
+    status.read()
+    probe.close()
+    if status.status != 200:
+        print(json.dumps({"error": f"warmup probe failed: {status.status}"}))
+        return 1
     stop = threading.Event()
     measuring = threading.Event()
     counts = [0] * args.clients
