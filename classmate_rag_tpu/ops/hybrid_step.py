@@ -40,15 +40,30 @@ class HybridBatchResult(NamedTuple):
     bm25_score: jnp.ndarray  # [B, top_k] f32 (NaN where bm25 didn't return)
 
 
+# Above this corpus size the dense scan routes through the Pallas
+# per-tile top-k kernel: it skips the [Q, N] f32 score materialization
+# that XLA's einsum+top_k pays (measured 1.18-1.19x at 200k and 1M rows;
+# parity below, where the score buffer is small — and the kernel needs a
+# real TPU, which tiny CPU-mesh tests don't have).
+_PALLAS_SCAN_MIN_ROWS = 150_000
+
+
 def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
                   mmr_lambda):
     """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv]."""
-    scores = jnp.einsum(
-        "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
-        preferred_element_type=jnp.float32,
-    ) + mask_bias[None, :]
     pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
-    d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
+    if emb.shape[0] >= _PALLAS_SCAN_MIN_ROWS:
+        from classmate_rag_tpu.ops.topk import topk_pallas
+
+        d_vals, d_rows = topk_pallas(
+            emb, q_vecs.astype(jnp.float32), mask_bias, pool_eff
+        )
+    else:
+        scores = jnp.einsum(
+            "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+            preferred_element_type=jnp.float32,
+        ) + mask_bias[None, :]
+        d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
     d_rows = d_rows.astype(jnp.int32)
     d_alive = d_vals > NEG_INF / 2
 

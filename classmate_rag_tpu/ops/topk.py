@@ -90,30 +90,45 @@ def _select_topk_into(cat_vals, cat_idx, k, vals_ref, idx_ref):
         # -1 slots are already -inf so masking them together is harmless).
         cat_v = jnp.where(cat_idx == sel_idx, NEG_INF, cat_v)
 
-    vals_ref[:] = jnp.concatenate(val_cols, axis=1)
-    idx_ref[:] = jnp.concatenate(idx_cols, axis=1)
+    vals = jnp.concatenate(val_cols, axis=1)
+    idx = jnp.concatenate(idx_cols, axis=1)
+    # Output refs may be lane-padded (TPU blocks want 128-wide lanes).
+    w = vals_ref.shape[1]
+    if w > k:
+        q = vals.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((q, w - k), NEG_INF, vals.dtype)], axis=1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.full((q, w - k), -1, idx.dtype)], axis=1
+        )
+    vals_ref[:] = vals
+    idx_ref[:] = idx
 
 
 def _topk_kernel(
     q_ref,       # [Q, d] VMEM
     emb_ref,     # [TILE_N, d] VMEM (current tile)
-    bias_ref,    # [TILE_ROWS, 128] VMEM (current tile of mask bias)
-    vals_out,    # [Q, K_PAD] VMEM
-    idx_out,     # [Q, K_PAD] VMEM
-    run_vals,    # scratch [Q, K_PAD] f32
-    run_idx,     # scratch [Q, K_PAD] i32
+    bias_ref,    # [1, TILE_N] VMEM (current tile of mask bias)
+    vals_out,    # [Q, 128] VMEM — THIS tile's top-k (cols ≥ k_pad padded)
+    idx_out,     # [Q, 128] VMEM
     *,
     tile_n: int,
     k_pad: int,
 ):
-    step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
+    """Per-tile exact top-k with NO cross-step state.
 
-    @pl.when(step == 0)
-    def _init():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, -1)
-
+    The previous formulation kept a running [Q, k] merge in scratch,
+    gated per tile on "can this tile displace the k-th best". That gate
+    READS the scratch the previous grid step WROTE — a strict sequential
+    dependency that stops Mosaic from running step i+1's matmul while
+    step i merges, and capped the whole pipeline at ~51 GB/s while the
+    same loop without the dependency streams 217 GB/s (measured, 1M×768).
+    Instead every tile unconditionally selects its own top-k into its own
+    128-wide output block (k VPU argmax rounds, ~µs against the tile DMA)
+    and a trivial XLA ``top_k`` over the [Q, n_tiles·k] partials finishes
+    the job outside the kernel.
+    """
     q = q_ref[:]
     tile = emb_ref[:]
     scores = jax.lax.dot_general(
@@ -123,47 +138,28 @@ def _topk_kernel(
     )  # [Q, TILE_N]
     scores = scores + bias_ref[:]  # [1, TILE_N] broadcast over queries
 
-    base = step * tile_n
-    tile_idx = base + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1
-    )
-
-    # Merge only when this tile can displace something: its per-query max
-    # must beat the current k-th best. After the first few tiles most tiles
-    # fail this test and cost only the matmul + one VPU reduction.
-    tile_max = jnp.max(scores, axis=1)          # [Q]
-    kth = run_vals[:, k_pad - 1]                # [Q] (sorted descending)
-    needed = jnp.logical_or(step == 0, jnp.any(tile_max > kth))
-
-    @pl.when(needed)
-    def _merge():
-        cat_vals = jnp.concatenate([run_vals[:], scores], axis=1)
-        cat_idx = jnp.concatenate([run_idx[:], tile_idx], axis=1)
-        _select_topk_into(cat_vals, cat_idx, k_pad, run_vals, run_idx)
-
-    @pl.when(step == n_steps - 1)
-    def _finalize():
-        vals_out[:] = run_vals[:]
-        idx_out[:] = run_idx[:]
+    base = pl.program_id(0) * tile_n
+    tile_idx = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    _select_topk_into(scores, tile_idx, k_pad, vals_out, idx_out)
 
 
 def _auto_tile_n(q: int, d: int, dtype_bytes: int) -> int:
     """Largest power-of-two corpus tile whose VMEM working set (queries
-    f32 + emb tile + f32 score tile + merge scratch) fits a ~12 MB budget
-    of the 16 MB scoped VMEM."""
+    f32 + double-buffered emb tile + f32 score tile + the argmax-round
+    temps, which are [Q, tile]-shaped) fits a ~13 MB budget of the 16 MB
+    scoped VMEM."""
     budget = 13 << 20
     fixed = q * d * 4
-    # Input tiles are double-buffered by the pipeline; the merge keeps
-    # ~5 [Q, tile]-shaped f32/i32 temps live (scores, iota, concat
-    # values/indices, selection masks).
-    per_row = 2 * d * dtype_bytes + 5 * q * 4 + 8
+    per_row = 2 * d * dtype_bytes + 4 * q * 4  # emb ×2 + scores + temps
     tile = 512
-    while tile * 2 * per_row + fixed < budget and tile < 8192:
+    while tile * 2 * per_row + fixed < budget and tile < 16384:
         tile *= 2
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
+)
 def topk_pallas(
     emb: jnp.ndarray,        # [N, d]
     queries: jnp.ndarray,    # [Q, d]
@@ -176,7 +172,6 @@ def topk_pallas(
     q = queries.shape[0]
     if not tile_n:
         tile_n = _auto_tile_n(q, d, emb.dtype.itemsize)
-    k_pad = k  # scratch width == k: fewer argmax rounds in the merge
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         emb = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
@@ -186,9 +181,13 @@ def topk_pallas(
     # Bias as a [1, N] row: the tile block [1, tile_n] broadcasts over the
     # query dimension with no cross-sublane relayout.
     bias2d = mask_bias.reshape(1, n_pad)
-    grid = (n_pad // tile_n,)
+    n_tiles = n_pad // tile_n
+    grid = (n_tiles,)
+    # Per-tile output block: 128 lanes (TPU block width), top-k in the
+    # first k columns, NEG_INF/-1 in the rest.
+    w = _round_up(max(k, 1), 128)
 
-    kernel = functools.partial(_topk_kernel, tile_n=tile_n, k_pad=k_pad)
+    kernel = functools.partial(_topk_kernel, tile_n=tile_n, k_pad=k)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -198,16 +197,12 @@ def topk_pallas(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, w), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, w), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((q, k_pad), jnp.float32),
-            pltpu.VMEM((q, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((q, n_tiles * w), jnp.float32),
+            jax.ShapeDtypeStruct((q, n_tiles * w), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n_pad * d,
@@ -216,7 +211,17 @@ def topk_pallas(
         ),
         interpret=interpret,
     )(queries.astype(jnp.float32), emb, bias2d)
-    return vals[:, :k], idx[:, :k]
+
+    # Final merge: top-k over the per-tile partials [Q, n_tiles·k] —
+    # tiny next to the scan. Slice away the lane padding first. Ties on
+    # value resolve to the lowest global index (indices ascend with tile
+    # order and -1 pads carry NEG_INF, so a stable sort is not needed —
+    # lax.top_k keeps the earlier column, which holds the lower index).
+    part_vals = vals.reshape(q, n_tiles, w)[:, :, :k].reshape(q, n_tiles * k)
+    part_idx = idx.reshape(q, n_tiles, w)[:, :, :k].reshape(q, n_tiles * k)
+    best_vals, best_pos = jax.lax.top_k(part_vals, k)
+    best_idx = jnp.take_along_axis(part_idx, best_pos, axis=1)
+    return best_vals, best_idx.astype(jnp.int32)
 
 
 def masked_topk(
@@ -230,23 +235,32 @@ def masked_topk(
     """Dispatch between the two implementations.
 
     Measured on TPU v5e through this rig's device link
-    (tools/bench_scan.py, N=200k, d=768, Q=256, K=24):
+    (tools/bench_scan.py, d=768, Q=256, K=24):
 
-      raw matmul bf16      6.0 ms   (51 GB/s effective)
-      raw matmul int8      5.9 ms   (1.01x — NO speedup)
-      topk_xla            10.7 ms
-      topk_int8_rescore   22.5 ms   (0.48x, recall 0.995 vs exact)
-      topk_pallas         10.4 ms   (1.03x vs XLA)
+                           N=200k         N=1M
+      raw matmul bf16      6.0 ms         8.6 ms (174-179 GB/s)
+      raw matmul int8      5.9 ms         7.0 ms (no win that survives
+                                                  the score+topk cost)
+      topk_xla            10.6 ms        30.5 ms
+      topk_int8_rescore   22.7 ms        86.8 ms (0.35x, recall 0.995)
+      topk_pallas          9.0 ms        25.6 ms (1.18-1.19x vs XLA)
 
-    Verdict on the int8-scan + bf16-rescore plan: not realizable here.
-    The scan at these shapes is NOT matrix-byte-bound — the [Q, N] f32
-    score materialization + top_k limit it to ~51 GB/s effective, far
-    below the ~360 GB/s this rig reads at — so halving matrix bytes buys
-    nothing, and the rescore stage's quantize/gather overhead makes the
-    two-stage path 2x slower with recall < 1. int8 stays opt-in
-    (ops/quant.py) for memory-constrained corpora. The Pallas kernel
-    (auto-VMEM-sized tiles) matches XLA within noise and remains the
-    substrate for regimes XLA can't fuse; XLA stays the default.
+    History: the first kernel kept a running [Q, k] merge in scratch
+    gated per tile — that gate reads what the previous grid step wrote,
+    a sequential dependency that capped the pipeline at ~51 GB/s (the
+    same loop with no cross-step state streams 217 GB/s). The current
+    kernel does unconditional per-tile top-k into per-tile output blocks
+    (no cross-step state) + one tiny XLA top_k over the partials; the
+    remaining gap to the 217 GB/s ceiling is the k serial argmax rounds
+    per tile (latency-, not throughput-bound).
+
+    Verdict on the int8-scan + bf16-rescore plan: not realizable here —
+    halving matrix bytes does not touch the score-materialization/topk
+    cost that dominates, and the rescore's quantize/gather overhead makes
+    it 3x slower with recall < 1. int8 stays opt-in (ops/quant.py) for
+    memory-constrained corpora. The fused hybrid step routes its dense
+    branch through topk_pallas at ≥150k rows (ops/hybrid_step.py);
+    XLA remains the default below.
     """
     if use_pallas:
         return topk_pallas(emb, queries, mask_bias, k)
