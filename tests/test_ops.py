@@ -42,6 +42,39 @@ class TestMaskedTopk:
         assert np.array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
 
+    def test_pallas_cross_tile_ties_pick_lowest_index(self):
+        """Duplicated rows land in DIFFERENT tiles; equal scores must
+        resolve to the smallest global index both within a tile's top-k
+        and in the cross-tile partial merge (the exactness contract the
+        fused hybrid step relies on at >=150k rows)."""
+        E = _rand(512, 64)
+        # Rows 300..307 are exact copies of rows 10..17 (tiles of 256:
+        # originals in tile 0, copies in tile 1).
+        E[300:308] = E[10:18]
+        q = E[10:12] + 0.0
+        bias = np.zeros(512, np.float32)
+        v1, i1 = topk_xla(jnp.asarray(E), jnp.asarray(q),
+                          jnp.asarray(bias), 12)
+        v2, i2 = topk_pallas(jnp.asarray(E), jnp.asarray(q),
+                             jnp.asarray(bias), 12, tile_n=256,
+                             interpret=True)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+    def test_pallas_multi_tile_partial_merge(self):
+        """k larger than any single tile's share: the final XLA merge over
+        per-tile partials must reproduce the global order exactly."""
+        E = _rand(1024, 64, seed=5)
+        q = _rand(3, 64, seed=6)
+        bias = np.zeros(1024, np.float32)
+        bias[100:400] = NEG_INF
+        v1, i1 = topk_xla(jnp.asarray(E), jnp.asarray(q),
+                          jnp.asarray(bias), 24)
+        v2, i2 = topk_pallas(jnp.asarray(E), jnp.asarray(q),
+                             jnp.asarray(bias), 24, tile_n=128,
+                             interpret=True)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
     def test_all_masked_returns_negative_inf(self):
         E = _rand(100, 32)
         q = _rand(1, 32)
