@@ -112,6 +112,10 @@ class Config:
     weight_bm25: float = 1.0
     use_hybrid: bool = True
     use_mmr: bool = True
+    # Hand encoder output to retrieval on device (skips the host fetch
+    # between the two dispatches). Costs query-cache WRITES on miss;
+    # disable for cache-heavy repeat-query workloads.
+    device_query_encode: bool = True
     mmr_lambda: float = 0.5
     mmr_max_pool: int = 24
 
@@ -202,6 +206,7 @@ def load_config(reload: bool = False) -> Config:
         weight_bm25=g.float("WEIGHT_BM25", 1.0),
         use_hybrid=g.bool("USE_HYBRID", True),
         use_mmr=g.bool("USE_MMR", True),
+        device_query_encode=g.bool("DEVICE_QUERY_ENCODE", True),
         mmr_lambda=g.float("MMR_LAMBDA", 0.5),
         mmr_max_pool=g.int("MMR_MAX_POOL", 24),
         enable_neighbor_expansion=g.bool("ENABLE_NEIGHBOR_EXPANSION", True),

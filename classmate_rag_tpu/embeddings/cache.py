@@ -90,18 +90,34 @@ class CachingEmbedder:
         return self._encode_with_cache("passage", texts)
 
     def _encode_queries_device(self, texts: Sequence[str]):
-        """Device-resident query encoding, bypassing the disk cache.
+        """Device-resident query encoding.
 
-        The retrieval hot path consumes query vectors on device in the
-        next dispatch; a disk-cache round (host fetch + .npy write) would
-        re-introduce exactly the host↔device sync this path removes.
-        Queries are unique in serving, so the cache buys nothing there;
-        the cached host path remains for everything else. Installed as
+        Disk-cache READS are honored: when every query is already cached
+        (repeat questions, classifier prototypes, reference-shared
+        caches) the stacked host vectors return directly — the caller
+        uploads them with the batch either way. On any miss the whole
+        batch encodes on device WITHOUT cache writes: writing would
+        require fetching the vectors to host, re-introducing exactly the
+        round trip this path exists to remove. Installed as
         ``encode_queries_device`` only when the wrapped encoder has a
         device path (the hashing fallback has none), so callers' getattr
         probe stays truthful.
         """
-        return self.base.encode_queries_device(list(texts))
+        texts = list(texts)
+        if texts:
+            cached = []
+            for t in texts:
+                fp = self._path_for("query", t)
+                try:
+                    cached.append(
+                        np.load(fp).astype(np.float32, copy=False)
+                        if fp.exists() else None
+                    )
+                except Exception:
+                    cached.append(None)  # corrupted -> miss
+            if all(v is not None for v in cached):
+                return np.stack(cached)
+        return self.base.encode_queries_device(texts)
 
     def __getattr__(self, name: str):
         if name == "encode_queries_device" and hasattr(

@@ -88,28 +88,22 @@ class E5Encoder:
     def _forward_bucket(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         return np.asarray(self._dispatch_bucket(ids, mask), dtype=np.float32)
 
-    def _encode_texts(self, texts: Sequence[str], prefix: str) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.dim), dtype=np.float32)
+    def _dispatch_groups(self, texts: Sequence[str], prefix: str):
+        """Tokenize, bucket, and ENQUEUE one forward per padded batch.
+
+        Yields ``(group_indices, device_vecs)`` pairs where device_vecs
+        is the un-fetched device array sliced to the group. This is the
+        single source of truth for the bounded-shape dispatch policy —
+        the host and device encode paths must produce IDENTICAL
+        dispatches (same buckets, same padded batch shapes), differing
+        only in how they consume the results.
+        """
         prefixed = [f"{prefix}{t or ''}" for t in texts]
         encoded = self.tokenizer.encode_batch(prefixed, self.max_length)
 
-        # Group indices by bucket; process each bucket in padded batches.
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
         by_bucket: dict[int, List[int]] = {}
         for i, ids in enumerate(encoded):
             by_bucket.setdefault(bucket_length(len(ids)), []).append(i)
-
-        # Pipelined dispatch (depth 3): on a remote-attached device each
-        # synchronous batch pays the link round trip; keeping a few
-        # forwards in flight overlaps transfer/compute across batches —
-        # the bulk-ingest hot loop.
-        in_flight: List[tuple] = []
-
-        def drain_one():
-            group, dev = in_flight.pop(0)
-            vecs = np.asarray(dev, dtype=np.float32)
-            out[np.asarray(group)] = vecs[: len(group)]
 
         for bucket, indices in sorted(by_bucket.items()):
             max_batch = max(8, _TOKENS_PER_STEP // bucket)
@@ -128,11 +122,28 @@ class E5Encoder:
                         batch_size = min(candidate, max_batch)
                         break
                 n_pad = batch_size - len(rows)
-                rows_padded = rows + [[0]] * n_pad
-                ids_arr, mask_arr = pad_to_bucket(rows_padded, bucket)
-                in_flight.append((group, self._dispatch_bucket(ids_arr, mask_arr)))
-                if len(in_flight) >= self.PIPELINE_DEPTH:
-                    drain_one()
+                ids_arr, mask_arr = pad_to_bucket(rows + [[0]] * n_pad, bucket)
+                yield group, self._dispatch_bucket(ids_arr, mask_arr)[: len(group)]
+
+    def _encode_texts(self, texts: Sequence[str], prefix: str) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+
+        # Pipelined dispatch (depth 3): on a remote-attached device each
+        # synchronous batch pays the link round trip; keeping a few
+        # forwards in flight overlaps transfer/compute across batches —
+        # the bulk-ingest hot loop.
+        in_flight: List[tuple] = []
+
+        def drain_one():
+            group, dev = in_flight.pop(0)
+            out[np.asarray(group)] = np.asarray(dev, dtype=np.float32)
+
+        for group, dev in self._dispatch_groups(texts, prefix):
+            in_flight.append((group, dev))
+            if len(in_flight) >= self.PIPELINE_DEPTH:
+                drain_one()
         while in_flight:
             drain_one()
         return out
@@ -151,31 +162,11 @@ class E5Encoder:
 
         if not texts:
             return jnp.zeros((0, self.dim), dtype=jnp.float32)
-        prefixed = [f"{prefix}{t or ''}" for t in texts]
-        encoded = self.tokenizer.encode_batch(prefixed, self.max_length)
-
-        by_bucket: dict[int, List[int]] = {}
-        for i, ids in enumerate(encoded):
-            by_bucket.setdefault(bucket_length(len(ids)), []).append(i)
-
         groups: List[List[int]] = []
         devs: List = []
-        for bucket, indices in sorted(by_bucket.items()):
-            max_batch = max(8, _TOKENS_PER_STEP // bucket)
-            max_batch = 2 ** int(math.ceil(math.log2(max_batch)))
-            for start in range(0, len(indices), max_batch):
-                group = indices[start : start + max_batch]
-                rows = [encoded[i] for i in group]
-                for candidate in (8, 64, max_batch):
-                    if len(rows) <= candidate:
-                        batch_size = min(candidate, max_batch)
-                        break
-                n_pad = batch_size - len(rows)
-                ids_arr, mask_arr = pad_to_bucket(rows + [[0]] * n_pad, bucket)
-                groups.append(group)
-                devs.append(
-                    self._dispatch_bucket(ids_arr, mask_arr)[: len(group)]
-                )
+        for group, dev in self._dispatch_groups(texts, prefix):
+            groups.append(group)
+            devs.append(dev)
         if len(devs) == 1 and groups[0] == list(range(len(texts))):
             return devs[0]
         flat = np.concatenate([np.asarray(g, np.int64) for g in groups])

@@ -43,16 +43,36 @@ class HybridBatchResult(NamedTuple):
 # Above this corpus size the dense scan routes through the Pallas
 # per-tile top-k kernel: it skips the [Q, N] f32 score materialization
 # that XLA's einsum+top_k pays (measured 1.18-1.19x at 200k and 1M rows;
-# parity below, where the score buffer is small — and the kernel needs a
-# real TPU, which tiny CPU-mesh tests don't have).
+# parity below, where the score buffer is small).
 _PALLAS_SCAN_MIN_ROWS = 150_000
 
 
+def use_pallas_scan(n_rows: int) -> bool:
+    """Default dense-scorer choice: Pallas on a real TPU at large N.
+
+    Exposed so the sharded SPMD path can make the SAME choice from the
+    GLOBAL corpus size: per-row scores are identical only when both
+    topologies run the same scorer (the Pallas per-tile dot and XLA's
+    whole-matrix einsum accumulate f32 partials in different orders,
+    which can flip near-tie top-k picks) — this is what keeps the
+    sharded-vs-single bit-identity invariant true at serving scale,
+    not just at test sizes.
+    """
+    import jax
+
+    return (
+        n_rows >= _PALLAS_SCAN_MIN_ROWS
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
-                  mmr_lambda):
+                  mmr_lambda, use_pallas=None):
     """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv]."""
     pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
-    if emb.shape[0] >= _PALLAS_SCAN_MIN_ROWS:
+    if use_pallas is None:
+        use_pallas = use_pallas_scan(emb.shape[0])
+    if use_pallas:
         from classmate_rag_tpu.ops.topk import topk_pallas
 
         d_vals, d_rows = topk_pallas(

@@ -8,12 +8,14 @@ construction, so the "index" is just an HBM-resident [N, d] bf16 matrix.
 Two implementations with identical semantics:
 
 - ``topk_xla``: one einsum + additive mask + ``lax.top_k``. XLA fuses the
-  mask into the matmul epilogue; fine for small N or CPU tests.
-- ``topk_pallas``: a Pallas kernel that tiles the corpus over a 1-D grid,
-  keeps a running [Q, k] top-k in VMEM scratch, and never materializes the
-  full [Q, N] score matrix in HBM — the score tile lives only in VMEM.
-  The merge is ``lax.top_k`` over [running ++ tile], so earlier (lower)
-  indices win ties.
+  mask into the matmul epilogue; the default for small N and CPU tests.
+- ``topk_pallas``: a Pallas kernel that tiles the corpus over a 1-D grid;
+  each tile unconditionally selects ITS OWN top-k (k argmax rounds in
+  VMEM, lowest-index tie-break) into a per-tile output block — no state
+  crosses grid steps, so the pipeline streams freely — and one tiny XLA
+  ``top_k`` over the [Q, n_tiles·k] partials finishes the job. The full
+  [Q, N] f32 score matrix is never materialized; HBM sees only the
+  partial blocks (k/tile_n of it).
 
 Scores are cosine similarities (inputs are L2-normalized upstream);
 ``mask_bias`` is 0 for candidate rows and -inf for filtered/tombstoned rows.

@@ -77,19 +77,29 @@ def _merge_ranked(vals, idx, k):
 
 
 def _dense_sharded(emb, mask_bias, q_vecs, row_base, *, k_vector, pool,
-                   use_mmr, mmr_lambda):
+                   use_mmr, mmr_lambda, use_pallas=False):
     """Local dense scan → allgather → merged (vec_rows, vec_dist) [B, kv].
 
     Runs inside shard_map over the "shard" axis; the MMR reorder is
     replicated on the merged pool (with candidate embeddings recovered
-    from the gathered per-shard pools by id match)."""
+    from the gathered per-shard pools by id match). ``use_pallas`` must
+    mirror the single-device step's choice for the GLOBAL corpus size
+    (ops/hybrid_step.use_pallas_scan) so both topologies score every row
+    through the same kernel — the bit-identity contract."""
     n_local = emb.shape[0]
-    scores = jnp.einsum(
-        "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
-        preferred_element_type=jnp.float32,
-    ) + mask_bias[None, :]
     pool_eff = min(pool if use_mmr else k_vector, n_local)
-    lv, li = jax.lax.top_k(scores, pool_eff)
+    if use_pallas:
+        from classmate_rag_tpu.ops.topk import topk_pallas
+
+        lv, li = topk_pallas(
+            emb, q_vecs.astype(jnp.float32), mask_bias, pool_eff
+        )
+    else:
+        scores = jnp.einsum(
+            "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+            preferred_element_type=jnp.float32,
+        ) + mask_bias[None, :]
+        lv, li = jax.lax.top_k(scores, pool_eff)
     li = li.astype(jnp.int32)
     cand_emb = emb[jnp.maximum(li, 0)].astype(jnp.float32)  # [B, p, d]
     gi = jnp.where(lv > NEG_INF / 2, li + row_base, jnp.int32(2**30))
@@ -184,6 +194,7 @@ def make_sharded_hybrid_fn(
     rrf_k: int = 60,
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
+    use_pallas: bool | None = None,
 ):
     """Build the jitted SPMD hybrid query step for ``mesh`` (gather-pass
     BM25 formulation — the parity/reference path).
@@ -199,10 +210,18 @@ def make_sharded_hybrid_fn(
         row_base = (shard * n_local).astype(jnp.int32)
         keep = mask_bias == 0.0
 
+        # Same dense scorer as the single-device step would pick for the
+        # GLOBAL corpus (bit-identity contract; see _dense_sharded).
+        from classmate_rag_tpu.ops.hybrid_step import use_pallas_scan
+
+        pallas = (
+            use_pallas if use_pallas is not None
+            else use_pallas_scan(n_local * mesh.shape["shard"])
+        )
         vec_rows, vec_dist = _dense_sharded(
             emb, mask_bias, q_vecs, row_base,
             k_vector=k_vector, pool=pool, use_mmr=use_mmr,
-            mmr_lambda=mmr_lambda,
+            mmr_lambda=mmr_lambda, use_pallas=pallas,
         )
 
         df, n_sub, avgdl = _subset_stats_sharded(
@@ -256,6 +275,7 @@ def make_sharded_split_hybrid_fn(
     rrf_k: int = 60,
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
+    use_pallas: bool | None = None,
 ):
     """SPMD hybrid step with SPLIT-FREQUENCY BM25 — the serving-scale
     formulation (head matmul + tail postings) on every shard.
@@ -292,10 +312,18 @@ def make_sharded_split_hybrid_fn(
         row_base = (shard * n_local).astype(jnp.int32)
         keep = mask_bias == 0.0
 
+        # Same dense scorer as the single-device step would pick for the
+        # GLOBAL corpus (bit-identity contract; see _dense_sharded).
+        from classmate_rag_tpu.ops.hybrid_step import use_pallas_scan
+
+        pallas = (
+            use_pallas if use_pallas is not None
+            else use_pallas_scan(n_local * mesh.shape["shard"])
+        )
         vec_rows, vec_dist = _dense_sharded(
             emb, mask_bias, q_vecs, row_base,
             k_vector=k_vector, pool=pool, use_mmr=use_mmr,
-            mmr_lambda=mmr_lambda,
+            mmr_lambda=mmr_lambda, use_pallas=pallas,
         )
 
         df, n_sub, avgdl = _subset_stats_sharded(

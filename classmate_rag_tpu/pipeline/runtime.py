@@ -98,6 +98,7 @@ def get_runtime(reload: bool = False) -> Runtime:
         use_mmr=cfg.use_mmr,
         mmr_lambda=cfg.mmr_lambda,
         mmr_max_pool=cfg.mmr_max_pool,
+        use_device_encode=cfg.device_query_encode,
     )
     _RUNTIME = Runtime(
         cfg=cfg, catalog=catalog, store=store,

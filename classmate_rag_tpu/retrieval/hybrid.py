@@ -46,6 +46,9 @@ class HybridRetriever:
     use_mmr: bool = True
     mmr_lambda: float = 0.5
     mmr_max_pool: int = 24
+    # Device-resident encode→retrieve handoff (cfg.device_query_encode);
+    # False forces the cached host encode path.
+    use_device_encode: bool = True
 
     def _dense_branch(
         self, query: str, where: Optional[Mapping[str, Any]], k: int
@@ -160,7 +163,10 @@ class HybridRetriever:
         # (each fetch through the remote device link is a full round trip).
         import jax.numpy as jnp
 
-        encode_device = getattr(self.embedder, "encode_queries_device", None)
+        encode_device = (
+            getattr(self.embedder, "encode_queries_device", None)
+            if self.use_device_encode else None
+        )
         if encode_device is not None:
             q_vecs = encode_device([q for _i, q in live])
         else:

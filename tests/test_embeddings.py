@@ -124,6 +124,33 @@ def test_caching_embedder_device_path_gated(tmp_path):
     assert getattr(hash_cached, "encode_queries_device", None) is None
 
 
+def test_caching_embedder_device_path_honors_cache_reads(tmp_path):
+    """When every query is already in the disk cache, the device path
+    must serve the CACHED vectors (repeat-question workloads keep their
+    cache benefit) without touching the encoder."""
+    from classmate_rag_tpu.embeddings.cache import CachingEmbedder
+    from classmate_rag_tpu.embeddings.encoder import E5Encoder
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    enc = E5Encoder(model_name="test-tiny", config=EncoderConfig.small_test())
+    cached = CachingEmbedder(enc, cache_dir=str(tmp_path))
+    warm = cached.encode_queries(["alpha beta", "gamma"])  # fills the cache
+
+    calls = []
+    orig = enc.encode_queries_device
+    enc.encode_queries_device = lambda texts: calls.append(texts) or orig(texts)
+    out = np.asarray(cached.encode_queries_device(["alpha beta", "gamma"]))
+    assert calls == []  # all-hit: never reached the encoder
+    np.testing.assert_allclose(out, warm, atol=1e-6)
+
+    # A miss in the batch falls through to the device encoder.
+    out2 = cached.encode_queries_device(["alpha beta", "NEW question"])
+    assert len(calls) == 1
+    np.testing.assert_allclose(
+        np.asarray(out2)[0], warm[0], atol=1e-5
+    )
+
+
 def test_caching_embedder_roundtrip(tmp_path):
     base = HashingEmbedder(dim=64)
     calls = {"n": 0}

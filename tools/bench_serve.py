@@ -131,7 +131,8 @@ def main() -> int:
                     with lat_lock:
                         latencies.append(dt * 1000.0)
                 else:
-                    errors[0] += 1
+                    with lat_lock:  # += on a shared cell is not atomic
+                        errors[0] += 1
         conn.close()
 
     threads = [

@@ -81,9 +81,15 @@ def main() -> int:
         return 1
 
     # Held-out eval slice: the LAST eval_batches*batch pairs (mining is
-    # deterministic, so the split is stable across runs).
+    # deterministic, so the split is stable across runs). When the corpus
+    # is too small to hold anything out, report NaN eval metrics rather
+    # than silently evaluating on the training set (pairs[-0:] would be
+    # the WHOLE list).
     n_eval = min(args.eval_batches * args.batch, len(pairs) // 4)
-    train_pairs, eval_pairs = pairs[:-n_eval] or pairs, pairs[-n_eval:]
+    if n_eval > 0:
+        train_pairs, eval_pairs = pairs[:-n_eval], pairs[-n_eval:]
+    else:
+        train_pairs, eval_pairs = pairs, []
 
     mesh = training_mesh()
     tokenizer = load_tokenizer(
