@@ -350,6 +350,102 @@ def test_rrf_merge_differential(ref_fusion):
 
 
 # ---------------------------------------------------------------------------
+# Routing cascade (forced → query-confident → metadata → default,
+# translation-intent guard)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_router():
+    """Load the reference router AS part of a synthetic 'rag.routing'
+    package (it uses relative imports), with the torch-backed classifier
+    module stubbed and types/prototypes loaded live."""
+    pkg_rag = types.ModuleType("rag")
+    pkg_routing = types.ModuleType("rag.routing")
+    pkg_routing.__path__ = [str(REF_ROOT / "rag" / "routing")]
+    clf = types.ModuleType("rag.routing.classifier")
+    clf.SubjectClassifier = object
+    inserted = []
+    for name, mod in [("rag", pkg_rag), ("rag.routing", pkg_routing),
+                      ("rag.routing.classifier", clf)]:
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
+    loaded = []
+    try:
+        for sub in ("types", "prototypes", "router"):
+            name = f"rag.routing.{sub}"
+            spec = importlib.util.spec_from_file_location(
+                name, REF_ROOT / "rag" / "routing" / f"{sub}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            loaded.append(name)
+            spec.loader.exec_module(mod)
+        yield sys.modules["rag.routing.router"]
+    finally:
+        for n in inserted + loaded:
+            sys.modules.pop(n, None)
+
+
+class _StubClassifier:
+    def __init__(self, scores):
+        self.scores = scores
+
+    def score_query(self, question):
+        return dict(self.scores)
+
+
+def test_router_cascade_differential(ref_router):
+    from classmate_rag_tpu.routing.router import HybridRouter
+
+    ref_proto = sys.modules["rag.routing.prototypes"]
+    intent_words = list(ref_proto.TRANSLATION_INTENT_KEYWORDS)[:4]
+    routes = ["math", "code", "translation", "default"]
+    rng = random.Random(17)
+    questions = [
+        "solve the integral of x squared",
+        f"please {intent_words[0]} this text",
+        f"{intent_words[1]} in italiano",
+        "какой-то вопрос",  # no intent keyword
+        "",
+    ]
+    for trial in range(150):
+        scores = {r: round(rng.uniform(0, 1), 3) for r in routes}
+        scores["default"] = 0.0  # both sides score default by elimination
+        metas = []
+        for _ in range(rng.randint(0, 6)):
+            metas.append(
+                {"subject": rng.choice(routes + [None, "other"])}
+                if rng.random() < 0.9 else {}
+            )
+        q = rng.choice(questions)
+        forced = rng.choice([None, None, None, "math", "bogus"])
+        margin = rng.choice([0.10, 0.30])
+        thresh = rng.choice([0.60, 0.40])
+        req_intent = rng.random() < 0.8
+
+        ref = ref_router.HybridRouter(
+            classifier=_StubClassifier(scores),
+            query_margin=margin, metadata_threshold=thresh,
+            translation_requires_intent=req_intent,
+        ).decide(q, metas, forced_subject=forced)
+        got = HybridRouter(
+            classifier=_StubClassifier(scores),
+            query_margin=margin, metadata_threshold=thresh,
+            translation_requires_intent=req_intent,
+        ).decide(q, metas, forced_subject=forced)
+        assert got.route == ref.route, (
+            f"trial {trial}: {got.route} vs {ref.route} "
+            f"(scores={scores}, q={q!r}, forced={forced})"
+        )
+        assert got.reason == ref.reason, (
+            f"trial {trial}: {got.reason} vs {ref.reason}"
+        )
+        assert abs(got.margin - ref.margin) < 1e-9
+        assert got.meta_scores == ref.meta_scores
+
+
+# ---------------------------------------------------------------------------
 # Neighbor expansion + per-doc diversity
 # ---------------------------------------------------------------------------
 
