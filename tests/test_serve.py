@@ -296,6 +296,63 @@ def test_concurrent_retrievals_overlap(tmp_index_env, tmp_path):
     reset_runtime()
 
 
+def test_mutation_under_query_load(server):
+    """Interleave /add mutations with concurrent /ask load: every ask must
+    return a consistent answer (no crashes, no partially-visible rows),
+    and the final stats must reflect every add — the RW device-lock
+    discipline under its intended workload."""
+    base, tmp_path = server
+    stop = threading.Event()
+    failures = []
+
+    def asker(i):
+        n = 0
+        while not stop.is_set() and n < 40:
+            n += 1
+            try:
+                status, body = _post(f"{base}/ask", {
+                    "question": "how does backpropagation compute gradients",
+                    "k": 4,
+                })
+                if status != 200 or not isinstance(body.get("answer"), str):
+                    failures.append((status, body))
+            except Exception as exc:
+                failures.append(("exc", repr(exc)))
+
+    threads = [threading.Thread(target=asker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    added = 0
+    try:
+        for d in range(4):
+            doc = tmp_path / f"new{d}.md"
+            doc.write_text(
+                f"Gradient descent update number {d} subtracts the "
+                f"learning rate times the gradient from weight {d}."
+            )
+            status, body = _post(f"{base}/add", {
+                "path": str(doc), "course": "ml",
+            })
+            assert status == 200, body
+            added += body.get("total_chunks", 0)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not failures, failures[:3]
+    assert added >= 4
+    status, stats = _get(f"{base}/stats")
+    assert status == 200
+    # 1 fixture chunk + every added chunk, all visible to queries.
+    assert stats["bm25"] == 1 + added
+    status, body = _post(f"{base}/ask", {
+        "question": "gradient descent update learning rate", "k": 6,
+    })
+    assert status == 200
+    assert any("new" in (r.get("metadata") or {}).get("source_path", "")
+               for r in body["retrieved"])
+
+
 def test_error_paths(server):
     base, _ = server
     code, body = _post(base + "/ask", {})
