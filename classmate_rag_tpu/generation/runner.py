@@ -231,6 +231,10 @@ class TPUDecodeRunner:
         self.tokenizer = load_tokenizer(
             model_dir, max_length=max_seq, vocab_size=self.config.vocab_size
         )
+        # The KV cache and RoPE run to max_seq; don't exceed what the
+        # checkpoint was trained for.
+        max_seq = min(max_seq, self.config.max_seq)
+        max_new_tokens = min(max_new_tokens, max(max_seq - 64, 16))
         self.max_new = max_new_tokens
         self.max_seq = max_seq
         self._mesh = mesh
@@ -366,9 +370,16 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
             if backend == "llama_cpp":
                 raise
     if backend in ("tpu", "auto"):
+        # Reference context-window parity: llama.cpp ran with n_ctx=4096
+        # and max_tokens=768 (rag/generation/llama_cpp_runner.py:33,65);
+        # the TPU runner's old 1024-token default silently truncated the
+        # 3500-char context budget.
+        kw = dict(
+            max_seq=cfg.llm_n_ctx, max_new_tokens=cfg.llm_max_tokens,
+        )
         model_dir = os.getenv("TPU_DECODER_MODEL_DIR")
         if model_dir and Path(model_dir).exists():
-            return TPUDecodeRunner(model_dir=model_dir)
+            return TPUDecodeRunner(model_dir=model_dir, **kw)
         if backend == "tpu":
-            return TPUDecodeRunner()
+            return TPUDecodeRunner(**kw)
     return ExtractiveRunner()

@@ -168,6 +168,21 @@ class TestBatchedDecode:
         batched = runner.chat_batch(convs, temperature=0.0)
         assert batched == singles
 
+    def test_runner_clamps_window_to_model_max_seq(self):
+        """A configured n_ctx beyond the checkpoint's trained positions
+        must clamp (KV cache + RoPE run to max_seq), and get_runner must
+        pass the configured window through (reference n_ctx parity — the
+        old 1024 default truncated the 3500-char context budget)."""
+        from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+        from classmate_rag_tpu.models.decoder import DecoderConfig
+
+        cfg = DecoderConfig.tiny_test()  # max_seq=128
+        runner = TPUDecodeRunner(
+            config=cfg, max_new_tokens=768, max_seq=4096,
+        )
+        assert runner.max_seq == cfg.max_seq == 128
+        assert runner.max_new <= runner.max_seq - 16
+
     def test_generate_ids_batch_pads_to_pow2(self):
         from classmate_rag_tpu.generation.runner import TPUDecodeRunner
         from classmate_rag_tpu.models.decoder import DecoderConfig
