@@ -89,6 +89,24 @@ def test_train_encoder_end_to_end(tmp_index_env, tmp_path, capsys,
     assert lines[-1]["steps"] == 4
 
 
+def test_bench_embed_tiny(capsys, monkeypatch):
+    res = _run_tool(
+        "bench_embed",
+        ["--tiny", "--batch", "8", "--seq", "32", "--iters", "2"],
+        capsys, monkeypatch,
+    )
+    assert res["chunks_per_sec"] > 0 and res["mfu"] >= 0
+
+
+def test_bench_decode_tiny(capsys, monkeypatch):
+    res = _run_tool(
+        "bench_decode",
+        ["--batch", "2", "--prompt", "8", "--new", "4", "--hidden", "64"],
+        capsys, monkeypatch,
+    )
+    assert res["decode_tokens_per_sec"] > 0
+
+
 def test_bench_serve_http_load(tmp_index_env, capsys, monkeypatch):
     """tools/bench_serve.py end to end: synthetic corpus → HTTP daemon →
     concurrent /ask clients → QPS/latency JSON with zero errors."""

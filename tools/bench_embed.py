@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--large", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="small_test config (CPU smoke)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,10 @@ def main() -> int:
     )
     from classmate_rag_tpu.utils.profiling import Throughput
 
-    config = EncoderConfig.large() if args.large else EncoderConfig.base()
+    if args.tiny:
+        config = EncoderConfig.small_test()
+    else:
+        config = EncoderConfig.large() if args.large else EncoderConfig.base()
     params = init_params(config, "bench-embed")
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
