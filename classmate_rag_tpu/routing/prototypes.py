@@ -3,7 +3,12 @@
 Same mechanism as the reference (rag/routing/prototypes.py:18-73): each
 route's seeds are embedded as queries, averaged, and L2-normalized into a
 prototype vector; the "default" route deliberately has none and wins by
-elimination. Phrases are tuning data — edit freely.
+elimination.
+
+The seed phrases are BEHAVIORAL CONSTANTS, kept byte-equal to the
+reference's (like the BM25 stopword sets): with real E5 weights a
+paraphrase produces a different prototype vector and therefore different
+routing decisions — the classifier differential fuzz enforces equality.
 """
 
 from __future__ import annotations
@@ -14,34 +19,35 @@ from classmate_rag_tpu.routing.types import Route
 
 SUBJECT_PROTOTYPES: Dict[Route, List[str]] = {
     "math": [
-        "compute the derivative and the integral of this function",
-        "prove the theorem by induction on n",
-        "find the eigenvalues of this matrix",
-        "solve the system of linear equations",
-        "what is the probability distribution and its variance",
-        "factor the quadratic polynomial",
-        "evaluate the limit of the sequence",
-        "solve the differential equation with initial conditions",
+        "solve this equation step by step",
+        "calculus derivative integral limit",
+        "linear algebra matrix vector eigenvalue",
+        "prove this theorem using induction",
+        "probability statistics distribution variance",
+        "algebra polynomial factor quadratic",
+        "geometry trigonometry sine cosine",
+        "differential equation solution",
     ],
     "code": [
-        "fix the bug in this Python function",
-        "write a C++ implementation of the algorithm",
-        "add unit tests covering the edge cases",
-        "explain what this stack trace means",
-        "refactor the class to be more readable",
-        "traverse a binary tree with a linked list queue",
-        "analyze the big O time complexity",
-        "write a regex to parse this string in JavaScript",
+        "debug this Python function",
+        "implement an algorithm in C++",
+        "write unit tests for this code",
+        "refactor this class for readability",
+        "explain this stack trace",
+        "data structure linked list binary tree",
+        "time complexity big O analysis",
+        "regex parse string javascript typescript",
     ],
     "translation": [
-        "translate this text from English to Italian",
-        "traduci questa frase in inglese",
-        "what does this Italian expression mean in English",
-        "come si dice questa parola in italiano",
-        "provide a faithful translation of the paragraph",
-        "translate the following sentences",
-        "conjugate the Italian verb in the right tense",
+        "translate this from English to Italian",
+        "traduci questo testo in inglese",
+        "what does this Italian phrase mean in English",
+        "come si dice in italiano",
+        "translation of this paragraph",
+        "translate the following sentence",
+        "italian grammar conjugation tense",
     ],
+    # No prototype: chosen by elimination when nothing else is confident.
     "default": [],
 }
 

@@ -395,6 +395,114 @@ class _StubClassifier:
         return dict(self.scores)
 
 
+@pytest.fixture(scope="module")
+def ref_classifier():
+    """Load the reference classifier with rag.embeddings stubbed (its E5
+    wrapper imports torch) and types/prototypes live."""
+    pkg_rag = types.ModuleType("rag")
+    pkg_routing = types.ModuleType("rag.routing")
+    pkg_routing.__path__ = [str(REF_ROOT / "rag" / "routing")]
+    emb = types.ModuleType("rag.embeddings")
+    emb.E5MultilingualEmbedder = object
+    inserted = []
+    for name, mod in [("rag", pkg_rag), ("rag.routing", pkg_routing),
+                      ("rag.embeddings", emb)]:
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
+    loaded = []
+    try:
+        for sub in ("types", "prototypes", "classifier"):
+            name = f"rag.routing.{sub}"
+            spec = importlib.util.spec_from_file_location(
+                name, REF_ROOT / "rag" / "routing" / f"{sub}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            loaded.append(name)
+            spec.loader.exec_module(mod)
+        yield sys.modules["rag.routing.classifier"]
+    finally:
+        for n in inserted + loaded:
+            sys.modules.pop(n, None)
+
+
+class _FakeEmbedder:
+    """Deterministic per-(prefix, text) unit vectors — identical on both
+    sides, so prototype construction/cosines/margins are comparable."""
+
+    def _vec(self, prefix, text):
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.blake2b(f"{prefix}|{text}".encode(),
+                            digest_size=4).digest(), "little"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(32).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    def encode_queries(self, texts):
+        return np.stack([self._vec("q", t) for t in texts])
+
+    def encode_passages(self, texts):
+        return np.stack([self._vec("p", t) for t in texts])
+
+
+def test_prototype_seed_phrases_byte_equal(ref_classifier):
+    """The seed phrases are behavioral constants (a paraphrase changes
+    the E5 prototype vector and therefore routing decisions)."""
+    ref_proto = sys.modules["rag.routing.prototypes"]
+    from classmate_rag_tpu.routing.prototypes import (
+        SUBJECT_PROTOTYPES, TRANSLATION_INTENT_KEYWORDS,
+    )
+
+    assert SUBJECT_PROTOTYPES == ref_proto.SUBJECT_PROTOTYPES
+    assert tuple(TRANSLATION_INTENT_KEYWORDS) == tuple(
+        ref_proto.TRANSLATION_INTENT_KEYWORDS
+    )
+
+
+def test_classifier_differential(ref_classifier):
+    """Prototype means, cosine scoring, margin fallback, and the
+    evenly-spaced chunk sampling must match the reference exactly."""
+    from classmate_rag_tpu.routing.classifier import SubjectClassifier
+
+    ref = ref_classifier.SubjectClassifier(embedder=_FakeEmbedder())
+    ours = SubjectClassifier(_FakeEmbedder())
+
+    rng = random.Random(29)
+    words = ("integral matrix compile translate codice equazione "
+             "ricetta train loop parse derivative").split()
+
+    def rand_text():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(1, 9)))
+
+    for _ in range(40):
+        q = rand_text() if rng.random() < 0.9 else "   "
+        assert ours.score_query(q) == pytest.approx(ref.score_query(q),
+                                                    abs=1e-6)
+        t = rand_text()
+        assert ours.score_passage(t) == pytest.approx(
+            ref.score_passage(t), abs=1e-6
+        )
+        for margin in (0.05, 0.3):
+            a = ours.classify_text(t, min_margin=margin)
+            b = ref.classify_text(t, min_margin=margin)
+            assert a.subject == b.subject
+            assert a.margin == pytest.approx(b.margin, abs=1e-6)
+
+    for n_chunks in (0, 1, 5, 8, 9, 23, 40):
+        chunks = [rand_text() for _ in range(n_chunks)]
+        if chunks and rng.random() < 0.5:
+            chunks[rng.randrange(len(chunks))] = ""  # blanks are skipped
+        a = ours.classify_chunks(chunks)
+        b = ref.classify_chunks(chunks)
+        assert a.subject == b.subject, f"n={n_chunks}"
+        assert a.scores == pytest.approx(b.scores, abs=1e-6)
+        assert a.margin == pytest.approx(b.margin, abs=1e-6)
+
+
 def test_router_cascade_differential(ref_router):
     from classmate_rag_tpu.routing.router import HybridRouter
 

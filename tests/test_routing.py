@@ -33,7 +33,9 @@ def test_classify_ambiguous_falls_to_default(classifier):
 
 
 def test_classify_chunks_samples_evenly(classifier):
-    chunks = ["compute the derivative and the integral"] * 30
+    # Lexical overlap with the math seed phrases (the hashing test
+    # embedder approximates similarity by shared tokens).
+    chunks = ["calculus derivative integral limit equation"] * 30
     res = classifier.classify_chunks(chunks)
     assert res.subject == "math"
 
