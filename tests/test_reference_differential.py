@@ -463,6 +463,42 @@ def test_prototype_seed_phrases_byte_equal(ref_classifier):
     )
 
 
+def test_route_prompts_byte_equal():
+    """The per-route prompt contracts are behavioral constants: the
+    routed models answer against these exact strings and the unknown
+    detector keys off the exact 'I don't know'/'Non lo so' phrasing."""
+    pkg_rag = types.ModuleType("rag")
+    pkg_routing = types.ModuleType("rag.routing")
+    pkg_routing.__path__ = [str(REF_ROOT / "rag" / "routing")]
+    inserted = []
+    for name, mod in [("rag", pkg_rag), ("rag.routing", pkg_routing)]:
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
+    loaded = []
+    try:
+        for sub in ("types", "prompts"):
+            name = f"rag.routing.{sub}"
+            spec = importlib.util.spec_from_file_location(
+                name, REF_ROOT / "rag" / "routing" / f"{sub}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            loaded.append(name)
+            spec.loader.exec_module(mod)
+        ref = sys.modules["rag.routing.prompts"]
+        from classmate_rag_tpu.routing.prompts import system_prompt_for
+
+        for route in ("math", "code", "translation", "default"):
+            for lang in ("en", "it", None, "xx"):
+                assert system_prompt_for(route, language=lang or "en") == \
+                    ref.system_prompt_for(route, language=lang), \
+                    f"{route}/{lang}"
+    finally:
+        for n in inserted + loaded:
+            sys.modules.pop(n, None)
+
+
 def test_classifier_differential(ref_classifier):
     """Prototype means, cosine scoring, margin fallback, and the
     evenly-spaced chunk sampling must match the reference exactly."""
