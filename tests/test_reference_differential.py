@@ -36,6 +36,11 @@ def _load_ref(relpath: str, name: str, stubs: dict | None = None):
     inserted = []
     for mod_name, attrs in (stubs or {}).items():
         if mod_name in sys.modules:
+            # Another fixture's stub is live (module-scoped teardown):
+            # graft the attrs it lacks onto it instead of skipping.
+            for k, v in attrs.items():
+                if not hasattr(sys.modules[mod_name], k):
+                    setattr(sys.modules[mod_name], k, v)
             continue
         mod = types.ModuleType(mod_name)
         for k, v in attrs.items():
@@ -347,6 +352,114 @@ def test_rrf_merge_differential(ref_fusion):
         assert rows == want_rows, f"trial {trial}: {rows} vs {want_rows}"
         for pos, i in enumerate(rows):
             assert abs(float(np.asarray(got_fused)[pos]) - by_id[i]["fused"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# BM25 tokenizer semantics (regex, stopwords, 1-char drop)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_bm25():
+    """Load the reference BM25 module with rank_bm25 + the langdetect-
+    backed lang module stubbed (only the tokenizer path is exercised)."""
+    stubs = {
+        "rank_bm25": {"BM25Okapi": object},
+        "rag": {},
+        "rag.utils": {},
+        "rag.utils.lang_detect": {"detect_lang_tag": lambda t: "en"},
+    }
+    mod, names = _load_ref("rag/retrieval/bm25.py", "_ref_bm25", stubs)
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+def test_bm25_tokenizer_differential(ref_bm25):
+    from classmate_rag_tpu.index.lexical import tokenize
+
+    rng = random.Random(13)
+    pieces = [
+        "The derivative of f(x)=x^2", "perché è così", "l'aquila",
+        "naïve café", "x+y=z", "ÀÖØö è 123 abc", "CaPiTaLs",
+        "a an the and but", "un uno una gli", "", "   ", "e-mail",
+        "don't", "中文 текст abc", "perche quando dove",
+    ]
+    for trial in range(120):
+        text = " ".join(rng.choice(pieces)
+                        for _ in range(rng.randint(0, 8)))
+        for lang in ("en", "it", "EN", "It", None, "de"):
+            want = ref_bm25._tokenize(text, lang)
+            got = tokenize(text, lang)
+            assert got == want, f"trial {trial} lang={lang}: {text!r}"
+
+
+def test_stopword_sets_byte_equal(ref_bm25):
+    from classmate_rag_tpu.index.lexical import STOPWORDS_EN, STOPWORDS_IT
+
+    assert set(STOPWORDS_EN) == set(ref_bm25._STOP_EN)
+    assert set(STOPWORDS_IT) == set(ref_bm25._STOP_IT)
+
+
+# ---------------------------------------------------------------------------
+# Metadata schema: subject aliases + sentinel stripping
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_schema():
+    mod, names = _load_ref("rag/metadata/schema.py", "_ref_schema")
+    yield mod
+    for n in names:
+        sys.modules.pop(n, None)
+
+
+def test_normalize_cli_metadata_differential(ref_schema):
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+
+    rng = random.Random(37)
+    subjects = [None, "", "math", "Matematica", "MATHS", "informatica",
+                "coding", "programming", "translation", "traduzione",
+                "geometry", "algebra ", " Analisi", "other", "bogus"]
+    langs = [None, "en", "it", "auto", "EN"]
+    dts = [None, "pdf", "epub", "other", "auto"]
+    for trial in range(150):
+        kwargs = dict(
+            course=rng.choice([None, "", "cs101", " CS101 "]),
+            unit=rng.choice([None, "u1", ""]),
+            language=rng.choice(langs),
+            doc_type=rng.choice(dts),
+            author=rng.choice([None, "Ada", ""]),
+            semester=rng.choice([None, "2024F"]),
+            tags=rng.choice([None, [], ["Week 1", "week-1"],
+                             ["A B", "a_b", "x!"]]),
+            subject=rng.choice(subjects),
+        )
+        try:
+            want = ref_schema.normalize_cli_metadata(**kwargs)
+            want_err = None
+        except Exception as exc:
+            want, want_err = None, type(exc).__name__
+        try:
+            got = normalize_cli_metadata(**kwargs)
+            got_err = None
+        except Exception as exc:
+            got, got_err = None, type(exc).__name__
+        assert got_err == want_err, f"trial {trial}: {kwargs}"
+        if want is not None:
+            # Representation differs by design (ours strips None keys and
+            # flattens enums — the sentinel invariant); compare EFFECTIVE
+            # content: key -> flattened value for populated fields.
+            def effective(d):
+                out = {}
+                for k, v in d.items():
+                    if v in (None, "", []):
+                        continue
+                    v = getattr(v, "value", v)
+                    out[k] = [str(x) for x in v] if isinstance(v, list) \
+                        else str(v)
+                return out
+
+            assert effective(got.to_dict()) == effective(want.to_dict()), \
+                f"trial {trial}: {kwargs}\n{got.to_dict()}\nvs\n{want.to_dict()}"
 
 
 # ---------------------------------------------------------------------------
