@@ -225,10 +225,15 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
             results = [f.result() for f in futures]
         return results, time.perf_counter() - t0
 
-    # Best of two passes: the device link's load varies run to run.
-    tpu_results, t_a = timed_pass()
-    _, t_b = timed_pass()
-    tpu_time = min(t_a, t_b)
+    # Best of several passes: the device link's load varies ~2x moment to
+    # moment, and a timed pass (~0.2 s) is nearly free next to the corpus
+    # build + compile + oracle, so a few extra passes buy a much more
+    # stable recorded number.
+    n_passes = int(os.getenv("BENCH_PASSES", "4"))
+    tpu_results, tpu_time = timed_pass()
+    for _ in range(max(n_passes - 1, 0)):
+        _, t = timed_pass()
+        tpu_time = min(tpu_time, t)
     qps_tpu = N_QUERIES / tpu_time
 
     # ---- CPU oracle --------------------------------------------------
