@@ -15,26 +15,44 @@ from classmate_rag_tpu.pipeline.runtime import Runtime, get_runtime
 
 
 def _matches_simple(meta: Mapping[str, Any], where: Optional[Mapping[str, Any]]) -> bool:
-    """Equality on simple fields + all-tags-present; importable standalone
-    (the reference keeps this testable in a slim env)."""
+    """Equality + tag_* flag checks, reference semantics
+    (rag/admin/manage.py:75-95, enforced by the differential fuzz):
+    tags match against persisted ``tag_<slug>`` flags (comma strings and
+    lists both accepted, lowercased); every other key compares as
+    whitespace-stripped strings — an unknown filter key matches nothing;
+    None values are skipped. ``$and`` composition is kept for the BM25
+    filter shape. Importable standalone (slim tier)."""
     if not where:
         return True
     if "$and" in where:
         return all(_matches_simple(meta, w) for w in where["$and"])
-    tags = where.get("tags")
-    if tags is not None:
-        if isinstance(tags, Mapping) and "$contains" in tags:
-            tags = tags["$contains"]
-        want = {tags} if isinstance(tags, str) else set(tags or [])
-        if not want.issubset(set(meta.get("tags") or [])):
-            return False
-    for f in ("course", "unit", "language", "doc_type", "author", "semester"):
-        if f in where and where[f] is not None and meta.get(f) != where[f]:
+    for k, v in where.items():
+        if v is None:
+            continue
+        if k == "tags":
+            if isinstance(v, Mapping) and "$contains" in v:
+                v = v["$contains"]
+            if isinstance(v, (list, tuple)):
+                tags = [str(x).strip().lower() for x in v if str(x).strip()]
+            else:
+                tags = [p.strip().lower() for p in str(v).split(",")
+                        if p.strip()]
+            # Legacy catalogs (pre-flag-alignment) carry a tags LIST —
+            # accept those slugs too (a shape the reference never writes,
+            # so this only widens matches for our own old indexes).
+            legacy = {str(x).strip().lower() for x in meta.get("tags") or []}
+            for t in tags:
+                if not meta.get(f"tag_{t}", False) and t not in legacy:
+                    return False
+            continue
+        if str(meta.get(k, "")).strip() != str(v).strip():
             return False
     return True
 
 
 def _summary(entry) -> Dict[str, Any]:
+    from classmate_rag_tpu.metadata.validation import tags_from_meta
+
     meta = entry.metadata
     return {
         "id": entry.id,
@@ -45,7 +63,7 @@ def _summary(entry) -> Dict[str, Any]:
         "unit": meta.get("unit"),
         "language": meta.get("language"),
         "doc_type": meta.get("doc_type"),
-        "tags": meta.get("tags"),
+        "tags": tags_from_meta(meta) or None,
         "subject": meta.get("subject"),
     }
 
@@ -140,8 +158,10 @@ def list_source_paths(runtime: Optional[Runtime] = None) -> List[str]:
 
 
 def _consolidate_metadata(entries) -> Dict[str, Any]:
-    """First non-empty value per field; tags are the union (insertion
-    order), matching rag/admin/manage.py:201-258."""
+    """First non-empty value per field; tags are the union of tag_*
+    flags (insertion order), matching rag/admin/manage.py:201-258."""
+    from classmate_rag_tpu.metadata.validation import tags_from_meta
+
     fields = ("course", "unit", "language", "doc_type", "author", "semester",
               "subject")
     merged: Dict[str, Any] = {}
@@ -152,7 +172,7 @@ def _consolidate_metadata(entries) -> Dict[str, Any]:
         for f in fields:
             if f not in merged and meta.get(f):
                 merged[f] = meta[f]
-        for t in meta.get("tags") or []:
+        for t in tags_from_meta(meta):
             if t not in tag_set:
                 tag_set.add(t)
                 tags.append(t)

@@ -202,10 +202,11 @@ class IndexStore:
                     str(v) if v is not None else None
                 )
             bits = np.zeros(TAG_WORDS, dtype=np.uint32)
-            for tag in meta.get("tags") or []:
-                slug = slug_tag(str(tag))
-                if not slug:
-                    continue
+            # tags_from_meta reads the reference-shaped tag_<slug> flags
+            # AND legacy tags lists (pre-alignment catalogs).
+            from classmate_rag_tpu.metadata.validation import tags_from_meta
+
+            for slug in tags_from_meta(meta):
                 slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
                 if slot < TAG_WORDS * 32:
                     bits[slot // 32] |= np.uint32(1 << (slot % 32))
@@ -705,12 +706,14 @@ class IndexStore:
                         str(v) if v is not None else None
                     )
                 bits = np.zeros(TAG_WORDS, dtype=np.uint32)
-                for tag in meta.get("tags") or []:
-                    slug = slug_tag(str(tag))
-                    if slug:
-                        slot = store.tag_slots.setdefault(slug, len(store.tag_slots))
-                        if slot < TAG_WORDS * 32:
-                            bits[slot // 32] |= np.uint32(1 << (slot % 32))
+                from classmate_rag_tpu.metadata.validation import (
+                    tags_from_meta,
+                )
+
+                for slug in tags_from_meta(meta):
+                    slot = store.tag_slots.setdefault(slug, len(store.tag_slots))
+                    if slot < TAG_WORDS * 32:
+                        bits[slot // 32] |= np.uint32(1 << (slot % 32))
                 store.tag_bits[row] = bits
             store.valid[row] = alive
         store._dirty = True

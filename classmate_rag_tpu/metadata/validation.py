@@ -60,6 +60,40 @@ def slug_tag(tag: str) -> str:
     return s.strip("_")
 
 
+def expand_tag_flags(tags: Any) -> Dict[str, bool]:
+    """Tags (list or comma string) → ``{"tag_<slug>": True, ...}``.
+
+    The reference persists tags this way in BOTH stores (its thin Chroma
+    client only accepts scalar metadata values — rag/pipeline/rag.py:
+    180-202) and its admin filters match on the flags, so interop with
+    reference-written catalogs requires the same shape on disk.
+    """
+    flags: Dict[str, bool] = {}
+    for t in _split_tags(tags) or []:
+        slug = slug_tag(t)
+        if slug:
+            flags[f"tag_{slug}"] = True
+    return flags
+
+
+def tags_from_meta(meta: Any) -> List[str]:
+    """Tag slugs from persisted metadata, accepting both shapes: the
+    reference's ``tag_<slug>: True`` flags and a legacy ``tags`` list
+    (catalogs written before the flag alignment)."""
+    out: List[str] = []
+    seen = set()
+    for k, v in (meta or {}).items():
+        if k.startswith("tag_") and v and k[4:] and k[4:] not in seen:
+            seen.add(k[4:])
+            out.append(k[4:])
+    for t in (meta or {}).get("tags") or []:
+        slug = slug_tag(str(t))
+        if slug and slug not in seen:
+            seen.add(slug)
+            out.append(slug)
+    return out
+
+
 def _split_tags(v: Any) -> Optional[List[str]]:
     if v is None:
         return None

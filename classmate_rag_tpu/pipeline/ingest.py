@@ -87,10 +87,21 @@ def _folder_subject_hint(path: Path) -> Optional[str]:
 
 
 def _sanitize_metadata(raw: Dict[str, object]) -> Dict[str, object]:
-    """Drop Nones/empties; keep ints as ints and tags as a list."""
+    """Drop Nones/empties; keep ints as ints; expand tags to tag_* flags.
+
+    Tag flags (not a list) are what the reference persists in both stores
+    (rag/pipeline/rag.py:180-216 — its Chroma client takes only scalar
+    values), and its admin filters match on them, so a catalog written
+    here must carry the same shape to stay reference-interoperable.
+    """
+    from classmate_rag_tpu.metadata.validation import expand_tag_flags
+
     out: Dict[str, object] = {}
     for key, val in raw.items():
         if val is None:
+            continue
+        if key == "tags":
+            out.update(expand_tag_flags(val))
             continue
         if isinstance(val, str) and not val.strip():
             continue

@@ -4,11 +4,14 @@ tests/test_manage_matches_simple.py — importable in a slim env)."""
 from classmate_rag_tpu.admin.manage import _matches_simple
 
 
+# Persisted metadata carries tag_<slug> flags (reference shape,
+# rag/pipeline/rag.py:180-202) — not a tags list.
 META = {
     "course": "cs101",
     "unit": "week1",
     "language": "en",
-    "tags": ["exam", "lab"],
+    "tag_exam": True,
+    "tag_lab": True,
 }
 
 
@@ -41,3 +44,18 @@ def test_and_clauses():
 
 def test_none_valued_filters_ignored():
     assert _matches_simple(META, {"course": None, "unit": "week1"})
+
+
+def test_tags_comma_string_and_case():
+    assert _matches_simple(META, {"tags": "Exam, LAB"})
+    assert not _matches_simple(META, {"tags": "exam, quiz"})
+
+
+def test_unknown_key_matches_nothing():
+    # Reference semantics: any unknown filter key compares as strings
+    # against missing-field "" — it excludes rather than being ignored.
+    assert not _matches_simple(META, {"bogus_field": "x"})
+
+
+def test_whitespace_stripped_equality():
+    assert _matches_simple(META, {"course": " cs101 "})

@@ -463,6 +463,49 @@ def test_normalize_cli_metadata_differential(ref_schema):
 
 
 # ---------------------------------------------------------------------------
+# Admin filter matching (_matches_simple: equality + tag_* flags)
+# ---------------------------------------------------------------------------
+
+def test_matches_simple_differential(ref_schema):
+    stubs = {
+        "rag": {},
+        "rag.metadata": {
+            "DocumentMetadata": ref_schema.DocumentMetadata,
+        },
+    }
+    mod, names = _load_ref("rag/admin/manage.py", "_ref_manage", stubs)
+    try:
+        from classmate_rag_tpu.admin.manage import _matches_simple
+
+        rng = random.Random(53)
+        metas = []
+        for _ in range(20):
+            m = {}
+            if rng.random() < 0.8:
+                m["course"] = rng.choice(["cs101", "CS101 ", "", "math"])
+            if rng.random() < 0.5:
+                m["language"] = rng.choice(["en", "it"])
+            for t in ("week1", "lab", "a_b"):
+                if rng.random() < 0.4:
+                    m[f"tag_{t}"] = True
+            metas.append(m)
+        wheres = [
+            {}, {"course": "cs101"}, {"course": " cs101 "},
+            {"course": None}, {"language": "en", "course": "cs101"},
+            {"tags": "week1"}, {"tags": ["week1", "lab"]},
+            {"tags": "Week1, LAB"}, {"tags": []},
+            {"missing_field": "x"}, {"course": ""},
+        ]
+        for meta in metas:
+            for where in wheres:
+                assert _matches_simple(meta, where) == \
+                    mod._matches_simple(meta, where), f"{meta} vs {where}"
+    finally:
+        for n in names:
+            sys.modules.pop(n, None)
+
+
+# ---------------------------------------------------------------------------
 # Routing cascade (forced → query-confident → metadata → default,
 # translation-intent guard)
 # ---------------------------------------------------------------------------
