@@ -30,19 +30,28 @@ def _matches_simple(meta: Mapping[str, Any], where: Optional[Mapping[str, Any]])
         if v is None:
             continue
         if k == "tags":
+            from classmate_rag_tpu.metadata.validation import (
+                slug_tag, tags_from_meta,
+            )
+
             if isinstance(v, Mapping) and "$contains" in v:
                 v = v["$contains"]
             if isinstance(v, (list, tuple)):
-                tags = [str(x).strip().lower() for x in v if str(x).strip()]
+                raw = [str(x) for x in v if str(x).strip()]
             else:
-                tags = [p.strip().lower() for p in str(v).split(",")
-                        if p.strip()]
-            # Legacy catalogs (pre-flag-alignment) carry a tags LIST —
-            # accept those slugs too (a shape the reference never writes,
-            # so this only widens matches for our own old indexes).
-            legacy = {str(x).strip().lower() for x in meta.get("tags") or []}
-            for t in tags:
-                if not meta.get(f"tag_{t}", False) and t not in legacy:
+                raw = [p for p in str(v).split(",") if p.strip()]
+            # ⊕ filter tags are SLUGGED before the flag lookup. The
+            # reference's _matches_simple checks tag_<verbatim-lowered>
+            # while its own ingestion persists tag_<slug> — so
+            # `--tags week-1` matches nothing there (ingest wrote
+            # tag_week_1). Slugging mirrors what its retrieval-side
+            # filter does (vector_chroma.py:72) and what our ask path
+            # does (store.compile_filter). tags_from_meta also accepts
+            # legacy pre-flag catalogs (tags lists).
+            have = set(tags_from_meta(meta))
+            for t in raw:
+                slug = slug_tag(t)
+                if slug and slug not in have:
                     return False
             continue
         if str(meta.get(k, "")).strip() != str(v).strip():

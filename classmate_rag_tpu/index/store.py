@@ -36,7 +36,7 @@ from classmate_rag_tpu.index.filters import (
     mask_bias_device,
 )
 from classmate_rag_tpu.index.lexical import device_fns, pack_tokens
-from classmate_rag_tpu.metadata.validation import slug_tag
+from classmate_rag_tpu.metadata.validation import slug_tag, tags_from_meta
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -204,8 +204,6 @@ class IndexStore:
             bits = np.zeros(TAG_WORDS, dtype=np.uint32)
             # tags_from_meta reads the reference-shaped tag_<slug> flags
             # AND legacy tags lists (pre-alignment catalogs).
-            from classmate_rag_tpu.metadata.validation import tags_from_meta
-
             for slug in tags_from_meta(meta):
                 slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
                 if slot < TAG_WORDS * 32:
@@ -706,10 +704,6 @@ class IndexStore:
                         str(v) if v is not None else None
                     )
                 bits = np.zeros(TAG_WORDS, dtype=np.uint32)
-                from classmate_rag_tpu.metadata.validation import (
-                    tags_from_meta,
-                )
-
                 for slug in tags_from_meta(meta):
                     slot = store.tag_slots.setdefault(slug, len(store.tag_slots))
                     if slot < TAG_WORDS * 32:

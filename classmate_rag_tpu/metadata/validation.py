@@ -86,8 +86,10 @@ def tags_from_meta(meta: Any) -> List[str]:
         if k.startswith("tag_") and v and k[4:] and k[4:] not in seen:
             seen.add(k[4:])
             out.append(k[4:])
-    for t in (meta or {}).get("tags") or []:
-        slug = slug_tag(str(t))
+    # _split_tags, not raw iteration: a legacy tags value may be a comma
+    # string, which would otherwise be iterated character by character.
+    for t in _split_tags((meta or {}).get("tags")) or []:
+        slug = slug_tag(t)
         if slug and slug not in seen:
             seen.add(slug)
             out.append(slug)
