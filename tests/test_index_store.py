@@ -60,6 +60,28 @@ def test_delete_is_real_and_compact_reclaims(tmp_path):
     assert len(store) == 5
 
 
+def test_reference_shaped_tag_flags_filter(tmp_path):
+    """Metadata carrying tag_<slug>: True flags — the shape the
+    reference persists and our ingest now writes — must drive the tag
+    bitmask and match tag filters (and a legacy tags list still works)."""
+    metas = [
+        {"course": "calc", "tag_week1": True, "tag_exam": True},
+        {"course": "calc", "tag_week2": True},
+        {"course": "calc", "tags": ["week1"]},  # legacy list shape
+        {"course": "calc"},
+        {"course": "calc"},
+        {"course": "calc"},
+    ]
+    store, _, ids, embs, _ = _mk_store(tmp_path, DOCS, metas)
+    q = embs[0][None, :]
+    _, rows = store.dense_topk(q, {"tags": ["week1"]}, 6)
+    got = {store.ids[r] for r in rows[0] if r >= 0}
+    assert got == {ids[0], ids[2]}
+    _, rows = store.dense_topk(q, {"tags": ["week1", "exam"]}, 6)
+    got = {store.ids[r] for r in rows[0] if r >= 0}
+    assert got == {ids[0]}
+
+
 def test_dense_topk_matches_oracle(tmp_path):
     store, _, ids, embs, _ = _mk_store(tmp_path, DOCS)
     q = embs[0][None, :]  # query = first doc's embedding
