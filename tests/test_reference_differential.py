@@ -463,6 +463,36 @@ def test_normalize_cli_metadata_differential(ref_schema):
 
 
 # ---------------------------------------------------------------------------
+# Loader doc-type inference
+# ---------------------------------------------------------------------------
+
+def test_infer_doc_type_differential():
+    # Loading __init__.py by path makes "_ref_loaders" a package, so its
+    # RELATIVE imports resolve as "_ref_loaders.<sub>" — stub those names.
+    stubs = {
+        "_ref_loaders.html_readable": {"load_html_readable": lambda *a: []},
+        "_ref_loaders.csv_bullets": {"load_csv_bullets": lambda *a: []},
+        "_ref_loaders.epub_loader": {"load_epub": lambda *a: []},
+    }
+    mod, names = _load_ref("rag/loaders/__init__.py", "_ref_loaders", stubs)
+    try:
+        from classmate_rag_tpu.loaders import infer_doc_type_from_path
+
+        cases = [
+            "a.pdf", "b.PDF", "notes.markdown", "x.md", "y.TXT", "z.text",
+            "p.pptx", "q.ppt", "d.docx", "w.htm", "w.HTML", "t.csv",
+            "e.epub", "noext", "weird.xyz", "dir.name/file.tar.gz",
+            "u.doc",
+        ]
+        for p in cases:
+            assert infer_doc_type_from_path(p) == \
+                mod.infer_doc_type_from_path(p), p
+    finally:
+        for n in names:
+            sys.modules.pop(n, None)
+
+
+# ---------------------------------------------------------------------------
 # Admin filter matching (_matches_simple: equality + tag_* flags)
 # ---------------------------------------------------------------------------
 
