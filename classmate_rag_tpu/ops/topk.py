@@ -28,8 +28,9 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+# Pallas pulls ~1s of jaxlib MLIR dialect imports — deferred into the
+# functions that lower kernels so catalog-only CLI verbs never pay it.
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -140,6 +141,8 @@ def _topk_kernel(
     )  # [Q, TILE_N]
     scores = scores + bias_ref[:]  # [1, TILE_N] broadcast over queries
 
+    from jax.experimental import pallas as pl
+
     base = pl.program_id(0) * tile_n
     tile_idx = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     _select_topk_into(scores, tile_idx, k_pad, vals_out, idx_out)
@@ -170,6 +173,9 @@ def topk_pallas(
     tile_n: int = 0,         # 0 = auto-size to the VMEM budget
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     n, d = emb.shape
     q = queries.shape[0]
     if not tile_n:
