@@ -139,6 +139,12 @@ class Config:
     llm_backend: str = "auto"
     llm_model_path: str = "./models/Llama-3.1-8B-Instruct.Q4_K_M.gguf"
     llm_n_ctx: int = 4096
+    # Auto-download coordinates + llama.cpp GPU offload (reference
+    # config.py fields llm_repo_id/llm_filename/route_n_gpu_layers;
+    # previously stray env reads in the runner).
+    llm_repo_id: str = ""
+    llm_filename: str = ""
+    llama_gpu_layers: int = 0
     llm_seed: int = 42
     llm_max_tokens: int = 768
     llm_temperature: float = 0.2
@@ -221,6 +227,9 @@ def load_config(reload: bool = False) -> Config:
         llm_backend=g.str("LLM_BACKEND", "auto"),
         llm_model_path=g.str("LLM_MODEL_PATH", "./models/Llama-3.1-8B-Instruct.Q4_K_M.gguf"),
         llm_n_ctx=g.int("LLM_N_CTX", 4096),
+        llm_repo_id=g.str("LLM_REPO_ID", ""),
+        llm_filename=g.str("LLM_FILENAME", ""),
+        llama_gpu_layers=g.int("LLAMA_GPU_LAYERS", 0),
         llm_seed=g.int("LLM_SEED", 42),
         llm_max_tokens=g.int("LLM_MAX_TOKENS", 768),
         llm_temperature=g.float("LLM_TEMPERATURE", 0.2),

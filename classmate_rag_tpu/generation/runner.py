@@ -140,15 +140,15 @@ class LlamaCppRunner:
 
             path = ensure_llama_model_available(
                 path,
-                repo_id=os.getenv("LLM_REPO_ID"),
-                filename=os.getenv("LLM_FILENAME"),
+                repo_id=cfg.llm_repo_id or None,
+                filename=cfg.llm_filename or None,
             )
         self.model_name = path.name
         self._llama = Llama(
             model_path=str(path),
             n_ctx=int(n_ctx or cfg.llm_n_ctx),
             seed=int(seed if seed is not None else cfg.llm_seed),
-            n_gpu_layers=int(os.getenv("LLAMA_GPU_LAYERS", "0")),
+            n_gpu_layers=cfg.llama_gpu_layers,
             verbose=False,
         )
 
