@@ -373,9 +373,12 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
         # Reference context-window parity: llama.cpp ran with n_ctx=4096
         # and max_tokens=768 (rag/generation/llama_cpp_runner.py:33,65);
         # the TPU runner's old 1024-token default silently truncated the
-        # 3500-char context budget.
+        # 3500-char context budget. TPU_DECODE_MAX_SEQ overrides when the
+        # 4096-wide KV cache (per-row bytes scale with max_seq) would push
+        # a single chip's HBM over the edge.
         kw = dict(
-            max_seq=cfg.llm_n_ctx, max_new_tokens=cfg.llm_max_tokens,
+            max_seq=int(os.getenv("TPU_DECODE_MAX_SEQ") or cfg.llm_n_ctx),
+            max_new_tokens=cfg.llm_max_tokens,
         )
         model_dir = os.getenv("TPU_DECODER_MODEL_DIR")
         if model_dir and Path(model_dir).exists():

@@ -15,7 +15,9 @@ Two implementations with identical semantics:
   crosses grid steps, so the pipeline streams freely — and one tiny XLA
   ``top_k`` over the [Q, n_tiles·k] partials finishes the job. The full
   [Q, N] f32 score matrix is never materialized; HBM sees only the
-  partial blocks (k/tile_n of it).
+  partial blocks — w/tile_n of it per array, where w = round_up(k, 128)
+  is the lane-padded block width (the last dim must be a multiple of the
+  128-lane width, so k=24 still writes 128 columns per tile).
 
 Scores are cosine similarities (inputs are L2-normalized upstream);
 ``mask_bias`` is 0 for candidate rows and -inf for filtered/tombstoned rows.

@@ -92,11 +92,25 @@ def auto_mesh_for(config: DecoderConfig, devices=None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
     tp = 1
-    for cand in (8, 4, 2):
-        if n % cand == 0 and config.kv_heads % cand == 0 \
-                and config.ffn % cand == 0:
+    # Any divisor of the device count works as a TP degree as long as it
+    # also divides kv_heads and ffn — e.g. tp=3 or 6 on a 6-device mesh
+    # with kv_heads=6 (powers of two alone would silently fall to tp=1).
+    for cand in sorted(
+        (c for c in range(2, min(n, 8) + 1) if n % c == 0), reverse=True
+    ):
+        if config.kv_heads % cand == 0 and config.ffn % cand == 0:
             tp = cand
             break
+    if tp == 1 and n > 1:
+        import logging
+
+        # Replicated fallback defeats the HBM-fit purpose of TP; say so,
+        # so an OOM on a multi-chip mesh is attributable.
+        logging.getLogger(__name__).warning(
+            "auto_mesh_for: no tp degree dividing %d devices also divides "
+            "kv_heads=%d and ffn=%d — model will be REPLICATED (tp=1)",
+            n, config.kv_heads, config.ffn,
+        )
     arr = np.array(devs).reshape(n // tp, tp)
     return Mesh(arr, ("data", "model"))
 
