@@ -95,6 +95,10 @@ class Config:
     embedding_model_dir: Optional[str] = None
     embedding_batch_size: int = 128
     emb_cache_dir: str = "./indexes/emb_cache"
+    # Batch data parallelism for bulk encode (ingest/rebuild/dump):
+    # 0 = auto (shard padded batches over all local devices), 1 = off,
+    # >1 = clamp to that many devices. Clamped to a power of two ≤ 8.
+    encode_data_parallel: int = 0
 
     # --- Index locations ----------------------------------------------
     index_dir: str = "./indexes"
@@ -199,6 +203,7 @@ def load_config(reload: bool = False) -> Config:
         embedding_model_dir=g.str("EMBEDDING_MODEL_DIR"),
         embedding_batch_size=g.int("EMBEDDING_BATCH_SIZE", 128),
         emb_cache_dir=g.str("EMB_CACHE_DIR", "./indexes/emb_cache"),
+        encode_data_parallel=g.int("ENCODE_DATA_PARALLEL", 0),
         index_dir=g.str("INDEX_DIR", "./indexes"),
         dense_dir=g.str("DENSE_DIR", "./indexes/dense"),
         bm25_dir=g.str("BM25_DIR", "./indexes/bm25"),

@@ -65,7 +65,10 @@ def get_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None)
         # tokenizer-only model_dir must still supply the real tokenizer.
         if cfg.embedding_model_dir and Path(cfg.embedding_model_dir).exists():
             model_dir = cfg.embedding_model_dir
-    return E5Encoder(model_name=name, model_dir=model_dir)
+    return E5Encoder(
+        model_name=name, model_dir=model_dir,
+        data_parallel=cfg.encode_data_parallel,
+    )
 
 
 def get_caching_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):

@@ -54,6 +54,7 @@ class E5Encoder:
         config: Optional[EncoderConfig] = None,
         max_length: int = 512,
         params: Optional[Params] = None,
+        data_parallel: int = 1,
     ) -> None:
         self.model_name = model_name
         self.config = config or EncoderConfig.for_model_name(model_name)
@@ -77,11 +78,54 @@ class E5Encoder:
 
         self._jit_encode = jax.jit(partial(encode, config=self.config))
         self.last_flops = 0.0
+        # Batch data parallelism over a ("data",) mesh — the SURVEY §2.3
+        # note made real: bulk encode (ingest/rebuild/dump, the
+        # reference's #1 hot loop, rag/pipeline/rag.py:410) shards its
+        # padded batches across chips; params replicate once. Per-row
+        # math is batch-independent, so outputs are IDENTICAL to the
+        # single-device path. dp clamps to the largest power of two ≤
+        # min(devices, 8) so every padded batch size (8/64/2^k) divides.
+        self._dp = 1
+        self._jit_encode_dp = None
+        self._params_dp = None
+        if data_parallel != 1:
+            avail = len(jax.devices())
+            want = avail if data_parallel <= 0 else min(data_parallel, avail)
+            dp = 1 << (min(want, 8).bit_length() - 1) if want > 1 else 1
+            if dp > 1:
+                self._init_data_parallel(dp)
+
+    def _init_data_parallel(self, dp: int) -> None:
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(_np.array(jax.devices()[:dp]), ("data",))
+        rep = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P("data", None))
+        self._dp = dp
+        self._mesh = mesh
+        self._params_dp = jax.device_put(
+            self.params, jax.tree.map(lambda _: rep, self.params)
+        )
+        self._jit_encode_dp = jax.jit(
+            partial(encode, config=self.config),
+            in_shardings=(
+                jax.tree.map(lambda _: rep, self.params), batch, batch,
+            ),
+            out_shardings=batch,
+        )
 
     # ------------------------------------------------------------------
     def _dispatch_bucket(self, ids: np.ndarray, mask: np.ndarray):
         """Enqueue one forward; returns the device array (not fetched)."""
-        out = self._jit_encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        if self._jit_encode_dp is not None and ids.shape[0] % self._dp == 0:
+            out = self._jit_encode_dp(
+                self._params_dp, jnp.asarray(ids), jnp.asarray(mask)
+            )
+        else:
+            out = self._jit_encode(
+                self.params, jnp.asarray(ids), jnp.asarray(mask)
+            )
         self.last_flops += encoder_flops(self.config, ids.shape[0], ids.shape[1])
         return out
 

@@ -198,6 +198,11 @@ def build_split_layout(
     head_candidates = np.argsort(-df, kind="stable")
     head_terms = head_candidates[:max_head]
     head_terms = head_terms[df[head_terms] > head_df_threshold]
+    # Slot order is arbitrary for scoring; sorting by TERM ID (not df
+    # rank) keeps the lut stable across small df drifts, which lets the
+    # sharded serving wrapper COLUMN-scatter head-matrix updates instead
+    # of re-placing [C, N] whenever ingest reorders term frequencies.
+    head_terms = np.sort(head_terms)
     n_overflow = int((df > head_df_threshold).sum()) - len(head_terms)
     c_pad = max(128, _round_up(len(head_terms), 128))
     lut = np.full(n_vocab, -1, dtype=np.int32)

@@ -86,6 +86,15 @@ class IndexStore:
         self._nofilter_bias = None
         self._split: Optional[Dict[str, Any]] = None
         self._dirty = True
+        # Mutation journal for the sharded serving wrapper
+        # (parallel/serving.py): per-row dirty sets since the last drain,
+        # so a wrapped store can re-place O(delta) instead of O(corpus).
+        # epoch bumps on structural changes (capacity growth, compaction)
+        # that force a full re-place. Single-consumer semantics.
+        self._epoch = 0
+        self._j_emb: set = set()
+        self._j_lex: set = set()
+        self._j_meta: set = set()
         # Native batch packer (C++ interner); created lazily. Once the
         # Python fallback interns anything the native side doesn't know,
         # native packing disables permanently for this store (the two
@@ -114,6 +123,7 @@ class IndexStore:
         # Geometric growth (≥2x) so a large ingest costs O(N) copying, not
         # O(N²/slab); still slab-aligned for stable device shapes.
         new_cap = _round_up(max(rows, 2 * self.capacity), self.slab_rows)
+        self._epoch += 1  # shape change: sharded wrappers must re-place
 
         def grow(arr: np.ndarray, fill=0) -> np.ndarray:
             shape = (new_cap,) + arr.shape[1:]
@@ -190,17 +200,33 @@ class IndexStore:
             raise ValueError("ids/embeddings/tokens/metadatas length mismatch")
         t_ids_b, t_tfs_b, dl_b = self._pack_rows(tokens_list)
         for i, cid in enumerate(ids):
+            fresh = cid not in self.id_to_row
             row = self._row_for(cid)
-            self.emb[row] = embeddings[i].astype(np.float16)
+            emb_new = embeddings[i].astype(np.float16)
+            # Journal what actually changed (fresh rows change everything;
+            # idempotent re-upserts of identical content journal nothing)
+            # so a sharded wrapper re-places only the delta.
+            if fresh or not np.array_equal(self.emb[row], emb_new):
+                self._j_emb.add(row)
+            if fresh or not (
+                np.array_equal(self.term_ids[row], t_ids_b[i])
+                and np.array_equal(self.tfs[row], t_tfs_b[i])
+                and self.doc_len[row] == dl_b[i]
+            ):
+                self._j_lex.add(row)
+            self.emb[row] = emb_new
             self.term_ids[row] = t_ids_b[i]
             self.tfs[row] = t_tfs_b[i]
             self.doc_len[row] = dl_b[i]
             meta = metadatas[i] or {}
+            meta_changed = fresh or not self.valid[row]
             for j, f in enumerate(FILTER_FIELDS):
                 v = meta.get(f)
-                self.field_cols[j, row] = self.interns[f].intern(
+                interned = self.interns[f].intern(
                     str(v) if v is not None else None
                 )
+                meta_changed |= self.field_cols[j, row] != interned
+                self.field_cols[j, row] = interned
             bits = np.zeros(TAG_WORDS, dtype=np.uint32)
             # tags_from_meta reads the reference-shaped tag_<slug> flags
             # AND legacy tags lists (pre-alignment catalogs).
@@ -208,8 +234,11 @@ class IndexStore:
                 slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
                 if slot < TAG_WORDS * 32:
                     bits[slot // 32] |= np.uint32(1 << (slot % 32))
+            meta_changed |= not np.array_equal(self.tag_bits[row], bits)
             self.tag_bits[row] = bits
             self.valid[row] = True
+            if meta_changed:
+                self._j_meta.add(row)
         self._dirty = True
         return len(ids)
 
@@ -220,6 +249,7 @@ class IndexStore:
             row = self.id_to_row.get(cid)
             if row is not None and self.valid[row]:
                 self.valid[row] = False
+                self._j_meta.add(row)
                 n += 1
         if n:
             self._dirty = True
@@ -255,7 +285,22 @@ class IndexStore:
             new_fields[:, : len(sel)] = self.field_cols[:, sel]
         self.field_cols = new_fields
         self._dirty = True
+        # Row identities moved: incremental deltas are meaningless now.
+        self._epoch += 1
+        self._j_emb.clear()
+        self._j_lex.clear()
+        self._j_meta.clear()
         return reclaimed
+
+    def drain_journal(self):
+        """Consume the mutation journal: returns (epoch, emb_rows,
+        lex_rows, meta_rows) and clears the dirty sets. Epoch is NOT
+        reset — consumers compare it against the epoch they placed at;
+        a mismatch means structure changed and a full re-place is due.
+        Single-consumer semantics (the sharded serving wrapper)."""
+        out = (self._epoch, self._j_emb, self._j_lex, self._j_meta)
+        self._j_emb, self._j_lex, self._j_meta = set(), set(), set()
+        return out
 
     # ------------------------------------------------------------------
     # Device state

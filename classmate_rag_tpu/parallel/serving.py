@@ -15,13 +15,31 @@ Typical use::
 
     store = IndexStore(...); store.upsert(...)
     sharded = ShardedHybridIndex(store, corpus_mesh())
-    out = sharded.query_batch(q_vecs, q_terms_lists, filters=None, top_k=8)
+    out = sharded.query_batch(q_vecs, q_terms_lists, filters=None)
 
-Re-wrap (cheap: one device_put pass) after mutating the store.
+Mutations: the wrapper consumes the store's journal
+(``IndexStore.drain_journal``) lazily at the next query and re-places
+only what changed:
+
+- metadata/validity edits (deletes, tag changes) → the cached filter
+  bias vectors are invalidated and recomputed per active filter
+  (O(N · 4B) transfer, not the ~GB full re-place);
+- embedding-only updates (``rebuild``) → an SPMD row scatter moves just
+  the changed rows (O(delta · d));
+- lexical content changes (ingest) → changed rows scatter into the
+  row-sharded term arrays; the derived split-BM25 structures rebuild
+  host-side and re-place incrementally where the head layout is stable
+  (head-matrix COLUMN scatter for the changed rows), falling back to a
+  full split re-place when the head term set itself moved;
+- structural changes (capacity growth, compaction) → full re-place.
+
+``bytes_placed_total`` counts every byte moved host→device so tests (and
+operators) can assert the O(delta) property.
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, Mapping, Optional, Sequence
 
 import numpy as np
@@ -40,6 +58,14 @@ from classmate_rag_tpu.index.lexical import (
 )
 from classmate_rag_tpu.index.store import IndexStore
 from classmate_rag_tpu.parallel.sharded import make_sharded_split_hybrid_fn
+
+# Above this fraction of dirty rows a full re-place beats scattering.
+_SCATTER_FRACTION = 0.25
+
+_KNOB_NAMES = (
+    "k_vector", "k_bm25", "top_k", "pool", "use_mmr", "mmr_lambda",
+    "rrf_k", "weight_vector", "weight_bm25",
+)
 
 
 class ShardedHybridIndex:
@@ -64,26 +90,39 @@ class ShardedHybridIndex:
         self.store = store
         self.mesh = mesh
         self.n_shards = int(mesh.shape["shard"])
+        self.max_query_terms = max_query_terms
+        self._defaults = dict(
+            k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
+            use_mmr=use_mmr, mmr_lambda=mmr_lambda, rrf_k=rrf_k,
+            weight_vector=weight_vector, weight_bm25=weight_bm25,
+        )
+        self._fn_cache: Dict[tuple, Any] = {}
+        self._bias_cache: Dict[str, Any] = {}
+        self._scatter_fns: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+        self.bytes_placed_total = 0
+        self.bytes_placed_last_refresh = 0
+        self._build()
+
+    # ------------------------------------------------------------------
+    # Placement
+    # ------------------------------------------------------------------
+
+    def _build(self) -> None:
+        """Full placement of the sharded corpus state (constructor and
+        structural-change path)."""
+        store = self.store
         if store.capacity % self.n_shards:
             raise ValueError(
                 f"store capacity {store.capacity} must divide by the "
                 f"{self.n_shards}-way shard axis (slab_rows controls this)"
             )
-        self.max_query_terms = max_query_terms
-        self._knobs = dict(
-            k_vector=min(k_vector, store.capacity),
-            k_bm25=min(k_bm25, store.capacity),
-            top_k=top_k,
-            pool=min(pool, store.capacity),
-            vocab_pad=store.vocab_pad,
-            use_mmr=use_mmr,
-            mmr_lambda=mmr_lambda,
-            rrf_k=rrf_k,
-            weight_vector=weight_vector,
-            weight_bm25=weight_bm25,
-        )
+        # Consuming the journal here keeps construction and refresh
+        # idempotent: everything below reflects the store as of now.
+        self._epoch = store.drain_journal()[0]
+        self._capacity = store.capacity
+        self._vocab_pad = store.vocab_pad
 
-        # ---- build + place the sharded corpus state -------------------
         layout = build_split_layout(
             store.term_ids, store.tfs, len(store.vocab),
             head_bytes_budget=store.HEAD_BYTES_BUDGET,
@@ -96,6 +135,7 @@ class ShardedHybridIndex:
             self.n_shards, n_local, layout["r_cap"],
         )
         self._offsets_sh = offsets_sh
+        self._host_postings = (post_rows_sh, post_tfs_sh)
 
         self._dev = {
             "emb": self._place(store.emb, P("shard", None)
@@ -107,12 +147,9 @@ class ShardedHybridIndex:
             "post_tfs_sh": self._place(post_tfs_sh, P("shard", None)),
             "doc_len": self._place(store.doc_len, P("shard")),
         }
-        self._fn = make_sharded_split_hybrid_fn(
-            mesh, r_cap=layout["r_cap"], **self._knobs
-        )
-        self._bias_cache: Dict[str, Any] = {}
-
-    # ------------------------------------------------------------------
+        self._bias_cache.clear()
+        self._scatter_fns.clear()
+        self._fn_cache.clear()
 
     def _place(self, arr, spec):
         """Host numpy → global device array with the given layout.
@@ -124,6 +161,8 @@ class ShardedHybridIndex:
         make_array_from_process_local_data carves out this process's
         addressable shards."""
         sharding = NamedSharding(self.mesh, spec)
+        nbytes = getattr(arr, "nbytes", 0)
+        self.bytes_placed_total += int(nbytes)
         if sharding.is_fully_addressable:
             return jax.device_put(arr, sharding)
         arr = np.asarray(arr)
@@ -133,6 +172,186 @@ class ShardedHybridIndex:
         return jax.make_array_from_process_local_data(
             sharding, arr, global_shape=arr.shape
         )
+
+    # ------------------------------------------------------------------
+    # Incremental refresh
+    # ------------------------------------------------------------------
+
+    def ensure_fresh(self) -> None:
+        """Bring the placed state up to date with the store's journal.
+
+        Called at query time (and safe to call concurrently); see module
+        docstring for the per-tier transfer costs."""
+        with self._lock:
+            before = self.bytes_placed_total
+            epoch, j_emb, j_lex, j_meta = self.store.drain_journal()
+            structural = (
+                epoch != self._epoch
+                or self.store.capacity != self._capacity
+            )
+            n_dirty = len(j_emb | j_lex)
+            if structural or n_dirty > self.store.capacity * _SCATTER_FRACTION:
+                self._build()
+                self.bytes_placed_last_refresh = (
+                    self.bytes_placed_total - before
+                )
+                return
+            if j_lex:
+                self._refresh_lexical(sorted(j_lex))
+            if j_emb:
+                rows = sorted(j_emb)
+                # f16 on the wire; the scatter body casts to the placed
+                # bf16 dtype on device (f16→f32→bf16 == f16→bf16).
+                self._scatter_rows(
+                    "emb", np.asarray(rows, np.int32), self.store.emb[rows]
+                )
+            if j_meta:
+                # Filter biases derive from metadata + validity; recompute
+                # lazily per active filter (an [N] f32 each — tiny).
+                self._bias_cache.clear()
+            self.bytes_placed_last_refresh = self.bytes_placed_total - before
+
+    def _refresh_lexical(self, rows) -> None:
+        """Lexical content changed for ``rows``: scatter the row-sharded
+        term arrays, then refresh the derived split-BM25 structures —
+        scattering head-matrix columns when the head layout is stable,
+        re-placing the moved pieces otherwise."""
+        store = self.store
+        r = np.asarray(rows, np.int32)
+        self._scatter_rows("term_ids", r, store.term_ids[rows])
+        self._scatter_rows("tfs", r, store.tfs[rows])
+        self._scatter_rows("doc_len", r, store.doc_len[rows])
+
+        old_layout = self._layout
+        layout = build_split_layout(
+            store.term_ids, store.tfs, len(store.vocab),
+            head_bytes_budget=store.HEAD_BYTES_BUDGET,
+            head_df_threshold=store.HEAD_DF_THRESHOLD,
+        )
+        self._layout = layout
+        self._vocab_pad = store.vocab_pad
+        n_local = store.capacity // self.n_shards
+        post_rows_sh, post_tfs_sh, offsets_sh = shard_postings(
+            layout["post_rows"], layout["post_tfs"], layout["offsets"],
+            self.n_shards, n_local, layout["r_cap"],
+        )
+        self._offsets_sh = offsets_sh
+
+        head_stable = (
+            layout["r_cap"] == old_layout["r_cap"]
+            and layout["tf_head"].shape == old_layout["tf_head"].shape
+            and len(layout["lut"]) >= len(old_layout["lut"])
+            and np.array_equal(
+                layout["lut"][: len(old_layout["lut"])], old_layout["lut"]
+            )
+            and not (layout["lut"][len(old_layout["lut"]):] >= 0).any()
+        )
+        if head_stable:
+            # Head term set unchanged → tf_head differs only in the
+            # changed rows' columns.
+            self._scatter_cols("tf_head", r, layout["tf_head"][:, rows])
+        else:
+            self._dev["tf_head"] = self._place(
+                layout["tf_head"], P(None, "shard")
+            )
+
+        old_rows, old_tfs = self._host_postings
+        self._host_postings = (post_rows_sh, post_tfs_sh)
+        if (
+            post_rows_sh.shape == old_rows.shape
+            and np.array_equal(post_rows_sh, old_rows)
+            and np.array_equal(post_tfs_sh, old_tfs)
+        ):
+            pass  # postings untouched (e.g. head-only content change)
+        else:
+            self._dev["post_rows_sh"] = self._place(
+                post_rows_sh, P("shard", None)
+            )
+            self._dev["post_tfs_sh"] = self._place(
+                post_tfs_sh, P("shard", None)
+            )
+
+    # -- SPMD scatters ---------------------------------------------------
+
+    def _pad_updates(self, idx: np.ndarray, vals: np.ndarray):
+        """Pad (idx, vals) to a power-of-two count so every distinct
+        delta size doesn't cost a fresh XLA compile. Duplicate padding
+        entries repeat (idx[0], vals[0]) — scatter order between equal
+        values is irrelevant."""
+        n = len(idx)
+        n2 = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+        if n2 > n:
+            idx = np.concatenate([idx, np.repeat(idx[:1], n2 - n)])
+            vals = np.concatenate(
+                [vals, np.repeat(vals[:1], n2 - n, axis=0)]
+            )
+        return idx, vals
+
+    def _scatter_rows(self, name: str, rows: np.ndarray,
+                      vals: np.ndarray) -> None:
+        """SPMD row scatter into a P("shard", ...) array: each shard
+        applies only the updates that land in its local row range
+        (out-of-range updates drop), so host→device moves O(delta)."""
+        rows, vals = self._pad_updates(rows, vals)
+        arr = self._dev[name]
+        fn = self._scatter_fns.get(name)
+        if fn is None:
+            nd = arr.ndim
+            tail = (None,) * (nd - 1)
+
+            def body(a, r, v):
+                n_local = a.shape[0]
+                shard = jax.lax.axis_index("shard")
+                local = r - shard * n_local
+                oob = jnp.where(
+                    (local >= 0) & (local < n_local), local, n_local
+                )
+                return a.at[oob].set(v.astype(a.dtype), mode="drop")
+
+            fn = jax.jit(
+                jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(P("shard", *tail), P(None), P(None, *tail)),
+                    out_specs=P("shard", *tail),
+                ),
+                donate_argnums=(0,),
+            )
+            self._scatter_fns[name] = fn
+        self.bytes_placed_total += int(vals.nbytes) + int(rows.nbytes)
+        self._dev[name] = fn(arr, jnp.asarray(rows), jnp.asarray(vals))
+
+    def _scatter_cols(self, name: str, cols: np.ndarray,
+                      vals: np.ndarray) -> None:
+        """SPMD column scatter into a P(None, "shard") matrix (the
+        term-major head matrix): vals is [C, delta]."""
+        cols, vals_t = self._pad_updates(cols, np.ascontiguousarray(vals.T))
+        vals = np.ascontiguousarray(vals_t.T)
+        arr = self._dev[name]
+        fn = self._scatter_fns.get(name)
+        if fn is None:
+
+            def body(a, c, v):
+                n_local = a.shape[1]
+                shard = jax.lax.axis_index("shard")
+                local = c - shard * n_local
+                oob = jnp.where(
+                    (local >= 0) & (local < n_local), local, n_local
+                )
+                return a.at[:, oob].set(v.astype(a.dtype), mode="drop")
+
+            fn = jax.jit(
+                jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(P(None, "shard"), P(None), P(None, None)),
+                    out_specs=P(None, "shard"),
+                ),
+                donate_argnums=(0,),
+            )
+            self._scatter_fns[name] = fn
+        self.bytes_placed_total += int(vals.nbytes) + int(cols.nbytes)
+        self._dev[name] = fn(arr, jnp.asarray(cols), jnp.asarray(vals))
+
+    # ------------------------------------------------------------------
 
     def _mask_bias_sharded(self, where: Optional[Mapping[str, Any]]):
         """Filter mask as a shard-placed bias vector (cached per filter).
@@ -155,6 +374,20 @@ class ShardedHybridIndex:
         self._bias_cache[key] = placed
         return placed
 
+    def _fn_for(self, knobs: Dict[str, Any]):
+        key = (
+            self._layout["r_cap"], self._vocab_pad,
+            tuple(knobs[k] for k in _KNOB_NAMES),
+        )
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = make_sharded_split_hybrid_fn(
+                self.mesh, r_cap=self._layout["r_cap"],
+                vocab_pad=self._vocab_pad, **knobs,
+            )
+            self._fn_cache[key] = fn
+        return fn
+
     def stats(self) -> Dict[str, Any]:
         """Shard-occupancy observability: live rows, head-matrix columns,
         and tail postings per shard (imbalance here means one chip does
@@ -175,27 +408,55 @@ class ShardedHybridIndex:
             "head_terms": int((self._layout["lut"] >= 0).sum()),
             "r_cap": int(self._layout["r_cap"]),
             "capacity_per_shard": n_local,
+            "bytes_placed_total": self.bytes_placed_total,
         }
 
     def query_batch(
         self,
-        query_vecs: np.ndarray,                    # [B, d] f32
+        query_vecs,                                # [B, d] f32 (np or jax)
         query_terms_list: Sequence[Sequence[str]],
         where: Optional[Mapping[str, Any]] = None,
+        **knob_overrides: Any,
     ):
         """One SPMD dispatch for the whole batch → HybridBatchResult-shaped
         ShardedHybridResult (rows/fused/vec_dist/bm25_score, replicated;
-        trailing rows past the true batch are padding)."""
+        trailing rows past the true batch are padding).
+
+        ``knob_overrides`` (top_k, k_vector, pool, ...) override the
+        constructor defaults per call — the product path passes its
+        per-request k's through here; each distinct knob set compiles
+        once and is cached."""
         store = self.store
+        knobs = dict(self._defaults)
+        for k, v in knob_overrides.items():
+            if k not in self._defaults:
+                raise TypeError(f"unknown query knob {k!r}")
+            if v is not None:
+                knobs[k] = v
+        for k in ("k_vector", "k_bm25", "pool"):
+            knobs[k] = min(knobs[k], store.capacity)
+
         bq = len(query_terms_list)
         # Pad the batch to a power of two: every distinct B is a fresh
         # (expensive, multi-device) XLA compile.
         b_pad = 1 << (bq - 1).bit_length() if bq > 1 else 1
-        q_vecs = np.asarray(query_vecs, np.float32)
-        if b_pad > bq:
-            q_vecs = np.concatenate(
-                [q_vecs, np.zeros((b_pad - bq, q_vecs.shape[1]), np.float32)]
-            )
+        if isinstance(query_vecs, jnp.ndarray):
+            # Device-resident handoff from the encoder: keep it on device
+            # (replicating from the source chip is a device-to-device
+            # broadcast, no host round trip).
+            q_vecs = query_vecs.astype(jnp.float32)
+            if b_pad > bq:
+                q_vecs = jnp.concatenate([
+                    q_vecs,
+                    jnp.zeros((b_pad - bq, q_vecs.shape[1]), jnp.float32),
+                ])
+        else:
+            q_vecs = np.asarray(query_vecs, np.float32)
+            if b_pad > bq:
+                q_vecs = np.concatenate([
+                    q_vecs,
+                    np.zeros((b_pad - bq, q_vecs.shape[1]), np.float32),
+                ])
         term_lists = list(query_terms_list) + [[]] * (b_pad - bq)
         q_terms, q_counts = pack_query_terms(
             store.vocab, term_lists, self.max_query_terms
@@ -214,7 +475,7 @@ class ShardedHybridIndex:
         d = self._dev
         rep1 = P(None)
         rep2 = P(None, None)
-        out = self._fn(
+        out = self._fn_for(knobs)(
             d["emb"], d["term_ids"], d["tfs"], d["tf_head"],
             d["post_rows_sh"], d["post_tfs_sh"], d["doc_len"], bias,
             self._place(q_vecs, rep2),

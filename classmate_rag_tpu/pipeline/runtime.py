@@ -26,6 +26,12 @@ class Runtime:
     store: IndexStore
     embedder: Any
     retriever: HybridRetriever
+    # The SPMD serving engine when >1 device is available (None on a
+    # single chip): every product query the retriever makes dispatches
+    # through it — the store the product actually queries, like the
+    # reference's Chroma collection (rag/pipeline/rag.py:531-549), but
+    # sharded over the corpus mesh.
+    sharded: Any = None
     _classifier: Any = field(default=None, repr=False)
     _router: Any = field(default=None, repr=False)
     _loader: Any = field(default=None, repr=False)
@@ -66,6 +72,46 @@ class Runtime:
         self.store.save(catalog_fingerprint=self.catalog.fingerprint())
 
 
+def _pick_n_shards(cfg: Config, slab_rows: int) -> int:
+    """Shard count for the product path: ``N_SHARDS`` 0 = auto (one per
+    local device), 1 = force single-device, >1 = exactly that many. The
+    count is clamped to the device count and walked down to a divisor of
+    ``slab_rows`` (store capacity is always a slab multiple, so a divisor
+    of the slab divides every capacity)."""
+    n = cfg.n_shards
+    if n == 1:
+        return 1
+    import jax
+
+    avail = len(jax.devices())
+    n = avail if n <= 0 else min(n, avail)
+    while n > 1 and slab_rows % n:
+        n -= 1
+    return n
+
+
+def build_sharded_index(cfg: Config, store: IndexStore):
+    """Construct the SPMD serving engine when the process has >1 device
+    (or config forces it); returns None on a single chip."""
+    n_sh = _pick_n_shards(cfg, store.slab_rows)
+    if n_sh < 2:
+        return None
+    from classmate_rag_tpu.parallel import corpus_mesh
+    from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+    return ShardedHybridIndex(
+        store, corpus_mesh(n_sh),
+        k_vector=cfg.k_vector,
+        k_bm25=cfg.k_bm25,
+        rrf_k=cfg.rrf_k,
+        weight_vector=cfg.weight_vector,
+        weight_bm25=cfg.weight_bm25,
+        use_mmr=cfg.use_mmr,
+        mmr_lambda=cfg.mmr_lambda,
+        pool=cfg.mmr_max_pool,
+    )
+
+
 _RUNTIME: Optional[Runtime] = None
 
 
@@ -86,6 +132,7 @@ def get_runtime(reload: bool = False) -> Runtime:
         slab_rows=cfg.dense_slab_rows,
         terms_per_chunk=min(cfg.bm25_terms_per_chunk, 512),
     )
+    sharded = build_sharded_index(cfg, store)
     retriever = HybridRetriever(
         store=store,
         catalog=catalog,
@@ -99,10 +146,11 @@ def get_runtime(reload: bool = False) -> Runtime:
         mmr_lambda=cfg.mmr_lambda,
         mmr_max_pool=cfg.mmr_max_pool,
         use_device_encode=cfg.device_query_encode,
+        sharded=sharded,
     )
     _RUNTIME = Runtime(
         cfg=cfg, catalog=catalog, store=store,
-        embedder=embedder, retriever=retriever,
+        embedder=embedder, retriever=retriever, sharded=sharded,
     )
     return _RUNTIME
 

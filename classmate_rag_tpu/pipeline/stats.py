@@ -36,7 +36,7 @@ def index_stats(runtime: Optional[Runtime] = None) -> Dict[str, object]:
         bm25 = -1
     from classmate_rag_tpu.utils.metrics import metrics
 
-    return {
+    out = {
         "vectors": vectors,
         "bm25": bm25,
         "tombstones": rt.store.n_rows - max(vectors, 0),
@@ -46,3 +46,7 @@ def index_stats(runtime: Optional[Runtime] = None) -> Dict[str, object]:
         "emb_cache_bytes": _disk_usage(Path(cfg.emb_cache_dir)),
         "metrics": metrics.snapshot(),
     }
+    if rt.sharded is not None:
+        # Shard-occupancy observability for the SPMD serving engine.
+        out["sharded"] = rt.sharded.stats()
+    return out

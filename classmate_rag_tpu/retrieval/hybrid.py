@@ -49,6 +49,11 @@ class HybridRetriever:
     # Device-resident encode→retrieve handoff (cfg.device_query_encode);
     # False forces the cached host encode path.
     use_device_encode: bool = True
+    # SPMD serving engine (parallel/serving.ShardedHybridIndex) — when
+    # set, every batched retrieval dispatches through the corpus mesh
+    # instead of the single-device store (bit-identical results; see
+    # pipeline/runtime.build_sharded_index).
+    sharded: Any = None
 
     def _dense_branch(
         self, query: str, where: Optional[Mapping[str, Any]], k: int
@@ -192,8 +197,7 @@ class HybridRetriever:
         # Same knobs as the per-query path: dense-only widens k_vector to
         # top_k; empty term lists disable the bm25 branch via has_terms.
         kv = self.k_vector if hybrid else max(top_k, self.k_vector)
-        result = self.store.hybrid_topk_batch(
-            q_vecs, q_terms, where,
+        knobs = dict(
             k_vector=kv,
             k_bm25=self.k_bm25,
             top_k=top_k,
@@ -204,6 +208,14 @@ class HybridRetriever:
             weight_vector=self.weight_vector if hybrid else 1.0,
             weight_bm25=self.weight_bm25,
         )
+        if self.sharded is not None:
+            # Product multi-chip path: ONE SPMD dispatch over the corpus
+            # mesh; the wrapper first drains the store's mutation journal
+            # (O(delta) re-place) so admin mutations are visible.
+            self.sharded.ensure_fresh()
+            result = self.sharded.query_batch(q_vecs, q_terms, where, **knobs)
+        else:
+            result = self.store.hybrid_topk_batch(q_vecs, q_terms, where, **knobs)
         import jax
 
         # One batched transfer for all four [B, k] outputs (per-array
