@@ -134,6 +134,21 @@ def vacuum_indexes(runtime: Optional[Runtime] = None) -> Dict[str, str]:
     }
 
 
+def _looks_like_checkpoint(path_str: str) -> bool:
+    """True when the 'model name' is actually a fine-tune checkpoint dir
+    (tools/train_encoder.py output: step_N subdirs / encoder_config.json)."""
+    p = Path(path_str).expanduser()
+    if not p.is_dir():
+        return False
+    if (p / "encoder_config.json").exists():
+        return True
+    if p.name.startswith("step_") and (p.parent / "encoder_config.json").exists():
+        return True
+    return any(
+        c.is_dir() and c.name.startswith("step_") for c in p.iterdir()
+    )
+
+
 def rebuild_embeddings(
     new_model_name: str,
     *,
@@ -144,6 +159,8 @@ def rebuild_embeddings(
 
     Rebuilds the dense store at the new model's dimensionality; the lexical
     side is untouched (parity: BM25 kept as-is, rag/admin/backup.py:205-236).
+    ``new_model_name`` may also be a fine-tune checkpoint directory — the
+    migration path for this framework's own training output.
     """
     from classmate_rag_tpu.embeddings import get_caching_embedder
     from classmate_rag_tpu.index.store import IndexStore
@@ -153,7 +170,10 @@ def rebuild_embeddings(
     if not entries:
         return {"updated": 0, "model": new_model_name}
 
-    embedder = get_caching_embedder(rt.cfg, model_name=new_model_name)
+    if _looks_like_checkpoint(new_model_name):
+        embedder = get_caching_embedder(rt.cfg, checkpoint=new_model_name)
+    else:
+        embedder = get_caching_embedder(rt.cfg, model_name=new_model_name)
     new_dim = embedder.dim or rt.store.dim
     new_store = IndexStore(
         dim=new_dim, directory=rt.store.directory,
@@ -171,9 +191,16 @@ def rebuild_embeddings(
         updated += len(batch)
     rt.catalog.save()
     new_store.save(catalog_fingerprint=rt.catalog.fingerprint())
-    # Swap the runtime onto the new store/embedder.
+    # Swap the runtime onto the new store/embedder — including the SPMD
+    # serving engine, which wraps a specific store instance and would
+    # otherwise keep serving the PRE-rebuild embeddings.
     rt.store = new_store
     rt.embedder = embedder
     rt.retriever.store = new_store
     rt.retriever.embedder = embedder
+    if rt.sharded is not None:
+        from classmate_rag_tpu.pipeline.runtime import build_sharded_index
+
+        rt.sharded = build_sharded_index(rt.cfg, new_store)
+        rt.retriever.sharded = rt.sharded
     return {"updated": updated, "model": new_model_name}

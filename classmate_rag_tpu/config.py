@@ -93,6 +93,10 @@ class Config:
     embedding_backend: str = "auto"
     # Optional local directory with HF-format E5 weights (safetensors/bin).
     embedding_model_dir: Optional[str] = None
+    # Fine-tuned encoder checkpoint (tools/train_encoder.py output root or
+    # a step_N dir): when set, the product embedder serves THESE weights —
+    # the training subsystem's output feeding ingest/ask/rebuild.
+    encoder_checkpoint: Optional[str] = None
     embedding_batch_size: int = 128
     emb_cache_dir: str = "./indexes/emb_cache"
     # Batch data parallelism for bulk encode (ingest/rebuild/dump):
@@ -201,6 +205,7 @@ def load_config(reload: bool = False) -> Config:
         embedding_model_name=g.str("EMBEDDING_MODEL_NAME", "intfloat/multilingual-e5-base"),
         embedding_backend=g.str("EMBEDDING_BACKEND", "auto"),
         embedding_model_dir=g.str("EMBEDDING_MODEL_DIR"),
+        encoder_checkpoint=g.str("ENCODER_CHECKPOINT"),
         embedding_batch_size=g.int("EMBEDDING_BATCH_SIZE", 128),
         emb_cache_dir=g.str("EMB_CACHE_DIR", "./indexes/emb_cache"),
         encode_data_parallel=g.int("ENCODE_DATA_PARALLEL", 0),

@@ -44,11 +44,41 @@ def _find_local_snapshot(model_name: str, model_dir: Optional[str]) -> Optional[
     return None
 
 
-def get_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):
-    """Build the configured embedding backend (uncached)."""
+def get_embedder(
+    cfg: Optional[Config] = None,
+    model_name: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+):
+    """Build the configured embedding backend (uncached).
+
+    ``checkpoint`` (or cfg.encoder_checkpoint) loads fine-tuned params
+    from a training checkpoint — the train → serve loop: the embedder
+    that answers queries is the one tools/train_encoder.py produced.
+    """
     cfg = cfg or load_config()
     name = model_name or cfg.embedding_model_name
     backend = cfg.embedding_backend.lower()
+
+    ckpt = checkpoint or cfg.encoder_checkpoint
+    if ckpt and backend != "hash":
+        from classmate_rag_tpu.embeddings.encoder import E5Encoder
+        from classmate_rag_tpu.training.checkpoint import (
+            load_encoder_checkpoint,
+        )
+
+        params, enc_config, tag = load_encoder_checkpoint(ckpt)
+        snapshot = _find_local_snapshot(name, cfg.embedding_model_dir)
+        enc = E5Encoder(
+            model_name=f"{name.split('/')[-1]}@{tag}",
+            model_dir=snapshot,          # tokenizer source when present
+            config=enc_config,
+            params=params,
+            data_parallel=cfg.encode_data_parallel,
+        )
+        # Fine-tuned weights are trained weights: the embedding cache
+        # must key them as such (and per-tag), never as random-init.
+        enc.has_pretrained_weights = True
+        return enc
 
     if backend == "hash":
         return HashingEmbedder(model_name=f"hash-{name.split('/')[-1]}")
@@ -71,9 +101,15 @@ def get_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None)
     )
 
 
-def get_caching_embedder(cfg: Optional[Config] = None, model_name: Optional[str] = None):
+def get_caching_embedder(
+    cfg: Optional[Config] = None,
+    model_name: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+):
     cfg = cfg or load_config()
-    return CachingEmbedder(get_embedder(cfg, model_name), cache_dir=cfg.emb_cache_dir)
+    return CachingEmbedder(
+        get_embedder(cfg, model_name, checkpoint), cache_dir=cfg.emb_cache_dir
+    )
 
 
 __all__ = [

@@ -9,24 +9,63 @@ Orbax handles sharded arrays transparently, so a state saved from a
 
 from __future__ import annotations
 
+import dataclasses
+import json
+from hashlib import blake2b
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 
 from classmate_rag_tpu.training.contrastive import TrainState
 
+_CONFIG_FILE = "encoder_config.json"
 
-def save_train_state(state: TrainState, directory: str | Path) -> str:
-    """Write a checkpoint; returns the checkpoint path."""
+
+def _write_config(directory: Path, config) -> None:
+    import jax.numpy as jnp
+
+    d = dataclasses.asdict(config)
+    d["compute_dtype"] = jnp.dtype(config.compute_dtype).name
+    (directory / _CONFIG_FILE).write_text(
+        json.dumps(d, indent=1), encoding="utf-8"
+    )
+
+
+def _read_config(directory: Path):
+    """EncoderConfig from encoder_config.json in ``directory`` (or its
+    parent, for a step_N path); None when absent."""
+    import jax.numpy as jnp
+
+    from classmate_rag_tpu.embeddings.model import EncoderConfig
+
+    for cand in (directory / _CONFIG_FILE, directory.parent / _CONFIG_FILE):
+        if cand.exists():
+            d = json.loads(cand.read_text(encoding="utf-8"))
+            d["compute_dtype"] = jnp.dtype(d.get("compute_dtype", "bfloat16"))
+            known = {f.name for f in dataclasses.fields(EncoderConfig)}
+            return EncoderConfig(**{k: v for k, v in d.items() if k in known})
+    return None
+
+
+def save_train_state(
+    state: TrainState, directory: str | Path, config=None
+) -> str:
+    """Write a checkpoint; returns the checkpoint path. With ``config``
+    the EncoderConfig is persisted alongside (encoder_config.json), which
+    makes the checkpoint self-describing — the product embedder can load
+    it via ENCODER_CHECKPOINT without knowing the architecture."""
     import orbax.checkpoint as ocp
 
-    path = Path(directory).resolve() / f"step_{int(state.step)}"
+    root = Path(directory).resolve()
+    path = root / f"step_{int(state.step)}"
     checkpointer = ocp.StandardCheckpointer()
     checkpointer.save(path, dict(
         params=state.params, opt_state=state.opt_state, step=state.step,
     ), force=True)
     checkpointer.wait_until_finished()
+    if config is not None:
+        _write_config(root, config)
     return str(path)
 
 
@@ -80,3 +119,50 @@ def restore_train_state(
         opt_state=placed["opt_state"],
         step=placed["step"],
     )
+
+
+def load_encoder_checkpoint(path: str | Path) -> Tuple[dict, object, str]:
+    """Load fine-tuned encoder PARAMS for product consumption.
+
+    ``path`` is a training checkpoint root (latest ``step_N`` picked) or
+    a specific ``step_N`` directory, written by ``save_train_state`` with
+    a config. Returns ``(params, EncoderConfig, tag)`` where ``tag`` is a
+    short digest keying the embedding cache — vectors from different
+    fine-tunes must never share cache entries.
+
+    Reference analog: ``rebuild_embeddings(new_model)`` model-swap
+    migration (/root/reference/rag/admin/backup.py:205-236) — here the
+    "new model" can be this framework's own training output, closing the
+    train → serve loop the reference never had.
+    """
+    import orbax.checkpoint as ocp
+
+    root = Path(path).expanduser().resolve()
+    if root.name.startswith("step_") and root.is_dir():
+        ckpt = root
+    else:
+        ckpt = latest_checkpoint(root)
+        if ckpt is None:
+            raise FileNotFoundError(
+                f"no step_N checkpoint under {root} (train with "
+                f"tools/train_encoder.py --checkpoint-dir)"
+            )
+    config = _read_config(ckpt)
+    if config is None:
+        raise ValueError(
+            f"{ckpt} has no {_CONFIG_FILE}; re-save the checkpoint with "
+            f"save_train_state(..., config=...) so it is self-describing"
+        )
+    # Template-free restore: returns the saved tree as host arrays; only
+    # the params subtree is needed (opt_state stays on disk unread where
+    # the checkpointer supports partial restore).
+    checkpointer = ocp.StandardCheckpointer()
+    try:
+        restored = checkpointer.restore(ckpt)
+    except BaseException:
+        restored = ocp.PyTreeCheckpointer().restore(str(ckpt))
+    params = restored["params"]
+    tag = blake2b(
+        f"{ckpt}".encode("utf-8"), digest_size=6
+    ).hexdigest()
+    return params, config, f"ckpt-{ckpt.name}-{tag}"

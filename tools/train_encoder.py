@@ -162,12 +162,12 @@ def main() -> int:
                     save_train_state,
                 )
 
-                save_train_state(state, ckpt_dir)
+                save_train_state(state, ckpt_dir, config=config)
 
     if ckpt_dir:
         from classmate_rag_tpu.training.checkpoint import save_train_state
 
-        final_path = save_train_state(state, ckpt_dir)
+        final_path = save_train_state(state, ckpt_dir, config=config)
     else:
         final_path = None
     ev_loss, ev_acc = run_eval(state.params)
