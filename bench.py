@@ -39,10 +39,17 @@ import os
 N_CHUNKS = int(os.getenv("BENCH_CHUNKS", "50000"))
 # Second corpus scale recorded in the same JSON line (0 disables).
 SCALE2_CHUNKS = int(os.getenv("BENCH_SCALE2", "200000"))
+# Third, serving-scale corpus (TPU only; 0 disables). The scale that
+# justifies the hardware: bf16 rescore active, ≥64 oracle queries.
+SCALE3_CHUNKS = int(os.getenv("BENCH_SCALE3", "1000000"))
 DIM = 768
 N_QUERIES = int(os.getenv("BENCH_QUERIES", "1024"))
 TPU_BATCH = int(os.getenv("BENCH_BATCH", "256"))
 N_ORACLE = int(os.getenv("BENCH_ORACLE", "128"))
+# Minimum seconds of measured work per timed pass: passes much shorter
+# than the device link's load swings (~seconds) record link weather, not
+# engine throughput.
+MIN_PASS_S = float(os.getenv("BENCH_MIN_PASS_S", "2.0"))
 K = 8
 POOL = 24
 RRF_K = 60
@@ -129,6 +136,61 @@ class OracleBM25:
         return score
 
 
+class FastOracleBM25:
+    """The same Okapi math as :class:`OracleBM25` (identical idf/eps
+    rule), vectorized over CSR postings so the oracle stays runnable at
+    1M chunks with ≥64 queries (the dict-per-doc variant needs minutes
+    per query there). Still a CPU oracle — and still strictly STRONGER
+    than the reference stack, which rebuilds BM25Okapi per query."""
+
+    K1, B, EPS = 1.5, 0.75, 0.25
+
+    def __init__(self, corpus_tokens):
+        self.n_docs = len(corpus_tokens)
+        self.doc_len = np.array([len(d) for d in corpus_tokens], np.float32)
+        self.avgdl = float(self.doc_len.mean())
+        vocab = {}
+        rows, tids, tfs = [], [], []
+        for di, doc in enumerate(corpus_tokens):
+            freqs = {}
+            for t in doc:
+                freqs[t] = freqs.get(t, 0) + 1
+            for t, f in freqs.items():
+                tid = vocab.setdefault(t, len(vocab))
+                rows.append(di)
+                tids.append(tid)
+                tfs.append(f)
+        self.vocab = vocab
+        tids = np.asarray(tids, np.int64)
+        order = np.argsort(tids, kind="stable")
+        self.post_rows = np.asarray(rows, np.int64)[order]
+        self.post_tfs = np.asarray(tfs, np.float32)[order]
+        df = np.bincount(tids, minlength=len(vocab)).astype(np.float64)
+        self.offsets = np.zeros(len(vocab) + 1, np.int64)
+        np.cumsum(df.astype(np.int64), out=self.offsets[1:])
+        idf = np.log(self.n_docs - df + 0.5) - np.log(df + 0.5)
+        avg = idf.mean() if len(idf) else 0.0
+        idf[idf < 0] = self.EPS * avg
+        self.idf = idf.astype(np.float32)
+        self._denom = self.K1 * (
+            1 - self.B + self.B * self.doc_len / self.avgdl
+        )
+
+    def get_scores(self, query):
+        score = np.zeros(self.n_docs, np.float32)
+        for q in query:
+            tid = self.vocab.get(q)
+            if tid is None:
+                continue
+            s, e = self.offsets[tid], self.offsets[tid + 1]
+            r = self.post_rows[s:e]
+            f = self.post_tfs[s:e]
+            score[r] += self.idf[tid] * (
+                f * (self.K1 + 1) / (f + self._denom[r])
+            )
+        return score
+
+
 def oracle_mmr(qv, cand_vecs, k, lam=0.5):
     sims_q = cand_vecs @ qv
     sims_cc = cand_vecs @ cand_vecs.T
@@ -146,8 +208,9 @@ def oracle_mmr(qv, cand_vecs, k, lam=0.5):
     return selected
 
 
-def oracle_query(qv, terms, emb, bm25, k=K):
-    sims = emb @ qv
+def oracle_query(qv, terms, emb, bm25, k=K, sims=None):
+    if sims is None:
+        sims = emb @ qv
     pool_idx = np.argpartition(-sims, POOL)[:POOL]
     pool_idx = pool_idx[np.argsort(-sims[pool_idx], kind="stable")]
     order = oracle_mmr(qv, emb[pool_idx], k)
@@ -202,8 +265,18 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         )
         return np.asarray(out.rows)  # host fetch = honest sync
 
-    # Warmup (compile).
+    # Warmup (compile), then a post-compile batch timing for the repeat
+    # count (the first call's wall time is dominated by XLA compile).
     run_tpu_batch(queries[:TPU_BATCH])
+    t0 = time.perf_counter()
+    run_tpu_batch(queries[:TPU_BATCH])
+    t_one_batch = time.perf_counter() - t0
+    batch_starts = list(range(0, N_QUERIES, TPU_BATCH))
+    # Each timed pass must hold ≥ MIN_PASS_S of work: sub-second passes
+    # record the link's moment-to-moment load swings, not throughput.
+    repeats = max(
+        1, int(math.ceil(MIN_PASS_S / max(t_one_batch * len(batch_starts), 1e-3)))
+    )
 
     def timed_pass():
         """Throughput with concurrent batch dispatch (a small thread pool,
@@ -220,30 +293,55 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         with ThreadPoolExecutor(workers) as ex:
             futures = [
                 ex.submit(run_tpu_batch, queries[s : s + TPU_BATCH])
-                for s in range(0, N_QUERIES, TPU_BATCH)
+                for _ in range(repeats)
+                for s in batch_starts
             ]
             results = [f.result() for f in futures]
-        return results, time.perf_counter() - t0
+        return results[: len(batch_starts)], time.perf_counter() - t0
 
-    # Best of several passes: the device link's load varies ~2x moment to
-    # moment, and a timed pass (~0.2 s) is nearly free next to the corpus
-    # build + compile + oracle, so a few extra passes buy a much more
-    # stable recorded number.
+    # Best of several passes on top of the ≥2 s floor: the recorded
+    # number should reflect the engine, not one pass's link weather.
     n_passes = int(os.getenv("BENCH_PASSES", "4"))
     tpu_results, tpu_time = timed_pass()
     for _ in range(max(n_passes - 1, 0)):
         _, t = timed_pass()
         tpu_time = min(tpu_time, t)
-    qps_tpu = N_QUERIES / tpu_time
+    qps_tpu = repeats * N_QUERIES / tpu_time
+
+    # Device-limited ceiling: chained-scan device time for one batch
+    # (one host fetch closes the timing), independent of link weather.
+    # wall ≪ ceiling in the artifact = the link, not the engine, bounded
+    # the wall number that run.
+    dev_s = store.device_seconds_per_batch(
+        np.stack([q for (q, _t) in queries[:TPU_BATCH]]),
+        [t for (_q, t) in queries[:TPU_BATCH]],
+        iters=max(4, int(math.ceil(MIN_PASS_S / max(t_one_batch, 1e-3)))),
+        k_vector=K, k_bm25=K, top_k=K, pool=POOL,
+    )
+    qps_device_ceiling = TPU_BATCH / dev_s
 
     # ---- CPU oracle --------------------------------------------------
-    bm25 = OracleBM25(docs)
+    # Timing: per-query, like the reference serves queries. The sparse
+    # FastOracle keeps 1M-scale oracles tractable; at small scale the
+    # dict-per-doc OracleBM25 (bit-faithful rank_bm25 shape) is used.
+    bm25 = (FastOracleBM25 if n_chunks > 100_000 else OracleBM25)(docs)
+    n_timed = min(n_oracle, 16 if n_chunks > 100_000 else n_oracle)
     t0 = time.perf_counter()
     oracle_results = [
-        oracle_query(q, t, emb, bm25) for (q, t) in queries[:n_oracle]
+        oracle_query(q, t, emb, bm25) for (q, t) in queries[:n_timed]
     ]
     oracle_time = time.perf_counter() - t0
-    qps_cpu = n_oracle / oracle_time
+    qps_cpu = n_timed / oracle_time
+    if n_timed < n_oracle:
+        # Recall needs more oracle answers than the timing loop ran; the
+        # dense scan batches across the remaining queries (results
+        # identical, just not naively timed).
+        rest = queries[n_timed:n_oracle]
+        sims_all = emb @ np.stack([q for (q, _t) in rest]).T  # [N, R]
+        oracle_results += [
+            oracle_query(q, t, emb, bm25, sims=sims_all[:, j])
+            for j, (q, t) in enumerate(rest)
+        ]
 
     # ---- recall: TPU top-k vs oracle top-k overlap --------------------
     overlaps = []
@@ -258,9 +356,12 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         "value": round(qps_tpu, 2),
         "vs_baseline": round(qps_tpu / qps_cpu, 2),
         "baseline_qps": round(qps_cpu, 3),
+        "device_ceiling_qps": round(qps_device_ceiling, 2),
         "recall_vs_oracle@8": round(recall, 4),
         "n_oracle_queries": n_oracle,
         "corpus_chunks": n_chunks,
+        "rescore": store.rescore_enabled,
+        "timed_pass_s": round(tpu_time, 3),
     }
 
 
@@ -285,6 +386,13 @@ def main() -> None:
         # Fewer oracle queries at the large scale: the numpy oracle costs
         # ~0.4 s/query at 200k chunks.
         out["scale2"] = run_scale(SCALE2_CHUNKS, n_oracle=max(N_ORACLE // 2, 8))
+    if SCALE3_CHUNKS and backend == "tpu":
+        # Serving scale (1M): f16 rescore active, ≥64-query oracle. TPU
+        # only — the exact CPU scan at this size would take hours.
+        gc.collect()
+        out["scale3"] = run_scale(
+            SCALE3_CHUNKS, n_oracle=max(min(N_ORACLE, 64), 64)
+        )
     print(json.dumps(out))
 
 

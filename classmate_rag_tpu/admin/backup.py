@@ -178,6 +178,7 @@ def rebuild_embeddings(
     new_store = IndexStore(
         dim=new_dim, directory=rt.store.directory,
         slab_rows=rt.store.slab_rows, terms_per_chunk=rt.store.term_width,
+        rescore=rt.store.rescore, rescore_pool=rt.store.rescore_pool,
     )
     updated = 0
     for batch in _batched(entries, batch_size):

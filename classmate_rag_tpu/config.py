@@ -185,6 +185,11 @@ class Config:
     bm25_terms_per_chunk: int = 256
     # Compute dtype for the scoring matmul.
     score_dtype: str = "bfloat16"
+    # f16 rescore of the dense top pool: "auto" enables it above
+    # IndexStore.RESCORE_MIN_ROWS (bf16 scan rank flips start costing
+    # recall at scale), "on"/"off" force. Costs one extra [N, d] f16 slab.
+    dense_rescore: str = "auto"
+    dense_rescore_pool: int = 64
 
     # --- Logging ---------------------------------------------------------------
     log_level: str = "INFO"
@@ -264,6 +269,8 @@ def load_config(reload: bool = False) -> Config:
         dense_slab_rows=g.int("DENSE_SLAB_ROWS", 4096),
         bm25_terms_per_chunk=g.int("BM25_TERMS_PER_CHUNK", 256),
         score_dtype=g.str("SCORE_DTYPE", "bfloat16"),
+        dense_rescore=g.str("DENSE_RESCORE", "auto"),
+        dense_rescore_pool=g.int("DENSE_RESCORE_POOL", 64),
         log_level=g.str("LOG_LEVEL", "INFO"),
     )
     _SINGLETON = cfg

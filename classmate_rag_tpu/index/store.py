@@ -55,17 +55,27 @@ class SearchResult:
 class IndexStore:
     """Row-unified dense + lexical + metadata index with device caching."""
 
+    # "auto" rescore threshold: below this many rows the bf16 scan's rank
+    # flips are within the top-k tie noise (measured recall ≥0.998 at
+    # 200k); above it the f16 rescore recovers oracle-level recall for
+    # the cost of one extra [N, d] f16 slab + a tiny per-batch gather.
+    RESCORE_MIN_ROWS = 250_000
+
     def __init__(
         self,
         dim: int,
         directory: str | Path = "./indexes/dense",
         slab_rows: int = 4096,
         terms_per_chunk: int = 192,
+        rescore: str = "auto",          # auto | on | off
+        rescore_pool: int = 64,
     ) -> None:
         self.dim = dim
         self.directory = Path(directory)
         self.slab_rows = slab_rows
         self.term_width = terms_per_chunk
+        self.rescore = rescore
+        self.rescore_pool = rescore_pool
 
         self.ids: List[str] = []
         self.id_to_row: Dict[str, int] = {}
@@ -306,6 +316,15 @@ class IndexStore:
     # Device state
     # ------------------------------------------------------------------
 
+    @property
+    def rescore_enabled(self) -> bool:
+        """f16 rescore of the dense top pool (see RESCORE_MIN_ROWS)."""
+        if self.rescore == "on":
+            return True
+        if self.rescore == "off":
+            return False
+        return self.capacity >= self.RESCORE_MIN_ROWS
+
     def _sync_device(self) -> Dict[str, Any]:
         if not self._dirty and self._device:
             return self._device
@@ -313,6 +332,11 @@ class IndexStore:
 
         self._device = {
             "emb": jnp.asarray(self.emb, dtype=jnp.bfloat16),
+            # f16 storage master on device when rescoring: the bf16 slab
+            # feeds the MXU scan, this one re-scores the top pool exactly.
+            "emb16": (
+                jnp.asarray(self.emb) if self.rescore_enabled else None
+            ),
             "term_ids": jnp.asarray(self.term_ids),
             "tfs": jnp.asarray(self.tfs),
             "doc_len": jnp.asarray(self.doc_len),
@@ -572,6 +596,7 @@ class IndexStore:
             split["post_tfs"], dev["doc_len"], df, bias,
             jnp.asarray(query_vecs, jnp.float32),
             jnp.asarray(packed),
+            dev["emb16"],
             **statics,
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
@@ -584,7 +609,93 @@ class IndexStore:
             rrf_k=rrf_k,
             weight_vector=weight_vector,
             weight_bm25=weight_bm25,
+            rescore_pool=min(self.rescore_pool, self.capacity),
         )
+
+    def device_seconds_per_batch(
+        self,
+        query_vecs: np.ndarray,
+        query_terms_list: Sequence[Sequence[str]],
+        where: Optional[Mapping[str, Any]] = None,
+        *,
+        iters: int = 16,
+        **knobs: Any,
+    ) -> float:
+        """Honest DEVICE seconds per fused batch, measured through a
+        chained ``lax.scan``: each iteration feeds a reduction of its
+        top-k rows back into the next iteration's query vectors, so the
+        device cannot overlap or elide steps, and ONE host fetch closes
+        the timing (the remote-link discipline — naive block_until_ready
+        loops through the relay report impossible numbers). Used by
+        bench.py to report a device-limited QPS ceiling next to wall QPS,
+        making link weather visible in the artifact."""
+        import time
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from classmate_rag_tpu.index.lexical import pack_query_terms
+        from classmate_rag_tpu.ops.hybrid_step import hybrid_query_step_split
+
+        dev = self._sync_device()
+        bias = self._mask_bias(where)
+        subset_df, _ = device_fns()
+        vpad = self.vocab_pad
+        df = subset_df(
+            dev["term_ids"], dev["tfs"],
+            bias == 0.0 if where else jnp.asarray(self.valid), vpad,
+        )
+        q_terms, q_counts = pack_query_terms(
+            self.vocab, query_terms_list, 32
+        )
+        split = self._sync_split()
+        qa = self._split_query_arrays(q_terms, q_counts)
+        has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
+        static = dict(
+            k_vector=min(knobs.get("k_vector", 8), self.capacity),
+            k_bm25=min(knobs.get("k_bm25", 8), self.capacity),
+            top_k=knobs.get("top_k", 8),
+            pool=min(knobs.get("pool", 24), self.capacity),
+            vocab_pad=vpad, r_cap=split["r_cap"],
+            rescore_pool=min(self.rescore_pool, self.capacity),
+        )
+        arrs = (
+            dev["emb"], split["tf_head"], split["post_rows"],
+            split["post_tfs"], dev["doc_len"], df, bias,
+            jnp.asarray(query_vecs, jnp.float32),
+            jnp.asarray(qa["h_slots"]), jnp.asarray(qa["h_tids"]),
+            jnp.asarray(qa["u_starts"]), jnp.asarray(qa["u_lens"]),
+            jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
+            jnp.asarray(q_terms), jnp.asarray(q_counts),
+            jnp.asarray(has_terms), dev["emb16"],
+        )
+
+        @partial(jax.jit, static_argnames=tuple(static))
+        def probe(emb, tf_head, post_rows, post_tfs, doc_len, df, bias,
+                  q_vecs, h_slots, h_tids, u_starts, u_lens, u_cols,
+                  t_tids, q_tids, q_counts, has_terms, emb16, **st):
+            def body(carry, _):
+                out = hybrid_query_step_split(
+                    emb, tf_head, post_rows, post_tfs, doc_len, df, bias,
+                    q_vecs + carry * 1e-12,
+                    h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
+                    q_tids, q_counts, has_terms, emb16, **st,
+                )
+                s = jnp.sum(
+                    jnp.where(out.rows >= 0, out.rows, 0)
+                ).astype(jnp.float32)
+                return s * 1e-9, None
+
+            final, _ = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=iters
+            )
+            return final
+
+        probe(*arrs, **static).block_until_ready()   # compile
+        t0 = time.perf_counter()
+        float(probe(*arrs, **static))                # one fetch = one sync
+        return (time.perf_counter() - t0) / iters
 
     def rows_to_ids(self, rows: Sequence[int]) -> List[Optional[str]]:
         return [
@@ -691,10 +802,13 @@ class IndexStore:
         catalog: Catalog,
         slab_rows: int = 4096,
         terms_per_chunk: int = 192,
+        rescore: str = "auto",
+        rescore_pool: int = 64,
     ) -> "IndexStore":
         """Restore embeddings from disk; rebuild lexical/meta columns from
         the catalog (tokens and metadata live there)."""
-        store = cls(dim, directory, slab_rows, terms_per_chunk)
+        store = cls(dim, directory, slab_rows, terms_per_chunk,
+                    rescore=rescore, rescore_pool=rescore_pool)
         reg_path = Path(directory) / "rows.json"
         emb_path = Path(directory) / "embeddings.npy"
         if not (reg_path.exists() and emb_path.exists()):

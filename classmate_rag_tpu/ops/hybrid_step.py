@@ -66,32 +66,79 @@ def use_pallas_scan(n_rows: int) -> bool:
     )
 
 
+def rescore_candidates(q_vecs, cand16, d_rows, d_vals):
+    """f16-exact rescore of a bf16-selected candidate pool.
+
+    The scan matmul runs in bf16 (7 mantissa bits) for HBM-bandwidth and
+    MXU reasons; at 1M rows its rounding flips enough near-tie ranks to
+    cost measurable recall vs the f32 oracle. The fix is surgical: the
+    tiny top-``R`` pool (R = rescore_pool) gets re-scored from the f16
+    storage master — B·R·d extra FLOPs, invisible next to the B·N·d scan
+    — and re-sorted by (score desc, row asc), the same tie-break the
+    scan's top_k used. Returns (d_rows, d_vals, alive) re-ordered.
+    """
+    rescored = jnp.einsum(
+        "bd,brd->br", q_vecs.astype(jnp.float32),
+        cand16.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    alive = d_vals > NEG_INF / 2
+    vals = jnp.where(alive, rescored, NEG_INF)
+    order = jnp.lexsort((d_rows, -vals))
+    rows = jnp.take_along_axis(d_rows, order, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    return rows, vals, order
+
+
 def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
-                  mmr_lambda, use_pallas=None):
-    """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv]."""
+                  mmr_lambda, use_pallas=None, emb16=None,
+                  rescore_pool=64):
+    """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv].
+
+    With ``emb16`` (the f16 storage master on device) the bf16 scan
+    selects a wider ``rescore_pool`` that is then f16-rescored before
+    MMR/truncation — see :func:`rescore_candidates`.
+    """
     pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
+    sel = pool_eff if emb16 is None else min(
+        max(rescore_pool, pool_eff), emb.shape[0]
+    )
     if use_pallas is None:
         use_pallas = use_pallas_scan(emb.shape[0])
     if use_pallas:
         from classmate_rag_tpu.ops.topk import topk_pallas
 
         d_vals, d_rows = topk_pallas(
-            emb, q_vecs.astype(jnp.float32), mask_bias, pool_eff
+            emb, q_vecs.astype(jnp.float32), mask_bias, sel
         )
     else:
         scores = jnp.einsum(
             "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
             preferred_element_type=jnp.float32,
         ) + mask_bias[None, :]
-        d_vals, d_rows = jax.lax.top_k(scores, pool_eff)
+        d_vals, d_rows = jax.lax.top_k(scores, sel)
     d_rows = d_rows.astype(jnp.int32)
+
+    if emb16 is not None:
+        cand16 = emb16[jnp.maximum(d_rows, 0)]           # [B, sel, d]
+        d_rows, d_vals, order = rescore_candidates(
+            q_vecs, cand16, d_rows, d_vals
+        )
+        d_rows = d_rows[:, :pool_eff]
+        d_vals = d_vals[:, :pool_eff]
+        cand_pool = jnp.take_along_axis(
+            cand16.astype(jnp.float32), order[:, :pool_eff, None], axis=1
+        )
+    else:
+        cand_pool = None
     d_alive = d_vals > NEG_INF / 2
 
     if use_mmr:
-        cand_embs = emb[jnp.maximum(d_rows, 0)]          # [B, pool, d]
+        if cand_pool is None:
+            cand_pool = emb[jnp.maximum(d_rows, 0)].astype(jnp.float32)
         orders = jax.vmap(
             lambda q, c, v: mmr_order(q, c, v, k_vector, mmr_lambda)
-        )(q_vecs, cand_embs.astype(jnp.float32), d_alive)
+        )(q_vecs, cand_pool, d_alive)
         picked_ok = orders >= 0
         safe = jnp.maximum(orders, 0)
         vec_rows = jnp.where(
@@ -221,12 +268,14 @@ def pack_query_arrays(qa, q_terms, q_counts, has_terms):
         "h", "u", "t", "b", "m",
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
         "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
+        "rescore_pool",
     ),
 )
 def hybrid_query_step_split_packed(
     emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias,
     q_vecs,         # [B, d] f32
     packed,         # i32 [L] from pack_query_arrays
+    emb16=None,     # optional [N, d] f16 rescore master
     *,
     h: int, u: int, t: int, b: int, m: int,
     k_vector: int = 8,
@@ -240,6 +289,7 @@ def hybrid_query_step_split_packed(
     rrf_k: int = 60,
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
+    rescore_pool: int = 64,
 ) -> HybridBatchResult:
     """``hybrid_query_step_split`` with the batch metadata in one buffer
     (single host→device transfer per batch — the serving hot path)."""
@@ -267,11 +317,11 @@ def hybrid_query_step_split_packed(
     return hybrid_query_step_split(
         emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias, q_vecs,
         h_slots, h_tids, u_starts, u_lens, u_cols, t_tids, q_tids, q_counts,
-        has_terms,
+        has_terms, emb16,
         k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
         vocab_pad=vocab_pad, r_cap=r_cap, use_mmr=use_mmr,
         mmr_lambda=mmr_lambda, rrf_k=rrf_k, weight_vector=weight_vector,
-        weight_bm25=weight_bm25,
+        weight_bm25=weight_bm25, rescore_pool=rescore_pool,
     )
 
 
@@ -280,6 +330,7 @@ def hybrid_query_step_split_packed(
     static_argnames=(
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
         "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
+        "rescore_pool",
     ),
 )
 def hybrid_query_step_split(
@@ -299,6 +350,7 @@ def hybrid_query_step_split(
     has_terms,      # bool [B, 1]: query had ≥1 vocab-known term (host-computed
                     # so zero-posting terms rank zero-score rows, as the
                     # gather path and the reference do)
+    emb16=None,     # optional [N, d] f16 rescore master (recall at scale)
     *,
     k_vector: int = 8,
     k_bm25: int = 8,
@@ -311,6 +363,7 @@ def hybrid_query_step_split(
     rrf_k: int = 60,
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
+    rescore_pool: int = 64,
 ) -> HybridBatchResult:
     """The fused step with split-frequency BM25 (head matmul + tail
     postings) — same results as ``hybrid_query_step``, much less gather
@@ -320,6 +373,7 @@ def hybrid_query_step_split(
     vec_rows, vec_dist = _dense_branch(
         emb, mask_bias, q_vecs,
         k_vector=k_vector, pool=pool, use_mmr=use_mmr, mmr_lambda=mmr_lambda,
+        emb16=emb16, rescore_pool=rescore_pool,
     )
     bm25_split_scores, _ = split_fns()
     bm_scores = bm25_split_scores(

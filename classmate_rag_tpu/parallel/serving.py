@@ -140,6 +140,12 @@ class ShardedHybridIndex:
         self._dev = {
             "emb": self._place(store.emb, P("shard", None)
                                ).astype(jnp.bfloat16),
+            # f16 rescore master rides the same shard layout; None below
+            # the store's rescore threshold (recall-at-scale knob).
+            "emb16": (
+                self._place(store.emb, P("shard", None))
+                if store.rescore_enabled else None
+            ),
             "term_ids": self._place(store.term_ids, P("shard", None)),
             "tfs": self._place(store.tfs, P("shard", None)),
             "tf_head": self._place(layout["tf_head"], P(None, "shard")),
@@ -205,6 +211,11 @@ class ShardedHybridIndex:
                 self._scatter_rows(
                     "emb", np.asarray(rows, np.int32), self.store.emb[rows]
                 )
+                if self._dev.get("emb16") is not None:
+                    self._scatter_rows(
+                        "emb16", np.asarray(rows, np.int32),
+                        self.store.emb[rows],
+                    )
             if j_meta:
                 # Filter biases derive from metadata + validity; recompute
                 # lazily per active filter (an [N] f32 each — tiny).
@@ -375,15 +386,21 @@ class ShardedHybridIndex:
         return placed
 
     def _fn_for(self, knobs: Dict[str, Any]):
+        rescore = self._dev.get("emb16") is not None
         key = (
-            self._layout["r_cap"], self._vocab_pad,
+            self._layout["r_cap"], self._vocab_pad, rescore,
             tuple(knobs[k] for k in _KNOB_NAMES),
         )
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = make_sharded_split_hybrid_fn(
                 self.mesh, r_cap=self._layout["r_cap"],
-                vocab_pad=self._vocab_pad, **knobs,
+                vocab_pad=self._vocab_pad,
+                with_rescore=rescore,
+                rescore_pool=min(
+                    self.store.rescore_pool, self.store.capacity
+                ),
+                **knobs,
             )
             self._fn_cache[key] = fn
         return fn
@@ -475,7 +492,7 @@ class ShardedHybridIndex:
         d = self._dev
         rep1 = P(None)
         rep2 = P(None, None)
-        out = self._fn_for(knobs)(
+        args = [
             d["emb"], d["term_ids"], d["tfs"], d["tf_head"],
             d["post_rows_sh"], d["post_tfs_sh"], d["doc_len"], bias,
             self._place(q_vecs, rep2),
@@ -488,7 +505,10 @@ class ShardedHybridIndex:
             self._place(q_terms, rep2),
             self._place(q_counts, rep2),
             self._place(has_terms, rep2),
-        )
+        ]
+        if d.get("emb16") is not None:
+            args.append(d["emb16"])
+        out = self._fn_for(knobs)(*args)
         if b_pad == bq:
             return out
         return type(out)(*(a[:bq] for a in out))

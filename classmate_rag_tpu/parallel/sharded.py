@@ -77,7 +77,8 @@ def _merge_ranked(vals, idx, k):
 
 
 def _dense_sharded(emb, mask_bias, q_vecs, row_base, *, k_vector, pool,
-                   use_mmr, mmr_lambda, use_pallas=False):
+                   use_mmr, mmr_lambda, use_pallas=False, emb16=None,
+                   rescore_pool=64):
     """Local dense scan → allgather → merged (vec_rows, vec_dist) [B, kv].
 
     Runs inside shard_map over the "shard" axis; the MMR reorder is
@@ -85,40 +86,66 @@ def _dense_sharded(emb, mask_bias, q_vecs, row_base, *, k_vector, pool,
     from the gathered per-shard pools by id match). ``use_pallas`` must
     mirror the single-device step's choice for the GLOBAL corpus size
     (ops/hybrid_step.use_pallas_scan) so both topologies score every row
-    through the same kernel — the bit-identity contract."""
+    through the same kernel — the bit-identity contract.
+
+    With ``emb16`` (shard-local f16 master) every shard selects a wider
+    ``rescore_pool`` and gathers f16 candidate embeddings; the REPLICATED
+    merge takes the global bf16 top pool — the same candidate set the
+    single-device step rescored — then f16-rescores and re-sorts it, so
+    bit-identity holds at serving precision too."""
     n_local = emb.shape[0]
     pool_eff = min(pool if use_mmr else k_vector, n_local)
+    sel = pool_eff if emb16 is None else min(
+        max(rescore_pool, pool_eff), n_local
+    )
     if use_pallas:
         from classmate_rag_tpu.ops.topk import topk_pallas
 
         lv, li = topk_pallas(
-            emb, q_vecs.astype(jnp.float32), mask_bias, pool_eff
+            emb, q_vecs.astype(jnp.float32), mask_bias, sel
         )
     else:
         scores = jnp.einsum(
             "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
             preferred_element_type=jnp.float32,
         ) + mask_bias[None, :]
-        lv, li = jax.lax.top_k(scores, pool_eff)
+        lv, li = jax.lax.top_k(scores, sel)
     li = li.astype(jnp.int32)
-    cand_emb = emb[jnp.maximum(li, 0)].astype(jnp.float32)  # [B, p, d]
+    src = emb if emb16 is None else emb16
+    cand_emb = src[jnp.maximum(li, 0)].astype(jnp.float32)  # [B, sel, d]
     gi = jnp.where(lv > NEG_INF / 2, li + row_base, jnp.int32(2**30))
 
-    av = jax.lax.all_gather(lv, "shard")          # [S, B, p]
+    av = jax.lax.all_gather(lv, "shard")          # [S, B, sel]
     ai = jax.lax.all_gather(gi, "shard")
-    ae = jax.lax.all_gather(cand_emb, "shard")    # [S, B, p, d]
-    pool_target = min(pool if use_mmr else k_vector,
-                      av.shape[0] * pool_eff)
-    mv, mi = _merge_ranked(av, ai, pool_target)
+    ae = jax.lax.all_gather(cand_emb, "shard")    # [S, B, sel, d]
+    pool_target = min(pool if use_mmr else k_vector, av.shape[0] * sel)
+    merge_k = pool_target if emb16 is None else min(
+        max(rescore_pool, pool_target), av.shape[0] * sel
+    )
+    mv, mi = _merge_ranked(av, ai, merge_k)
     # Recover merged embeddings by matching ids in the gathered pool.
     s = av.shape[0]
     flat_i = jnp.transpose(ai, (1, 0, 2)).reshape(q_vecs.shape[0], -1)
     flat_e = jnp.transpose(ae, (1, 0, 2, 3)).reshape(
-        q_vecs.shape[0], s * pool_eff, -1
+        q_vecs.shape[0], s * sel, -1
     )
-    match = flat_i[:, None, :] == mi[:, :, None]      # [B, pool, S*p]
+    match = flat_i[:, None, :] == mi[:, :, None]      # [B, merge_k, S*sel]
     pos = jnp.argmax(match, axis=2)
     me = jnp.take_along_axis(flat_e, pos[:, :, None], axis=1)
+
+    if emb16 is not None:
+        from classmate_rag_tpu.ops.hybrid_step import rescore_candidates
+
+        safe_mi = jnp.where(mi >= 2**30, 0, mi)
+        mi2, mv2, order = rescore_candidates(q_vecs, me, safe_mi, mv)
+        # rescore_candidates sorted (rows, vals, order) — apply the same
+        # order to the merged ids (with the 2**30 sentinel preserved) and
+        # embeddings, then cut to the MMR pool.
+        mi = jnp.take_along_axis(mi, order, axis=1)[:, :pool_target]
+        mv = mv2[:, :pool_target]
+        me = jnp.take_along_axis(
+            me, order[:, :pool_target, None], axis=1
+        )
     alive = mv > NEG_INF / 2
 
     if use_mmr:
@@ -276,6 +303,8 @@ def make_sharded_split_hybrid_fn(
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
     use_pallas: bool | None = None,
+    with_rescore: bool = False,
+    rescore_pool: int = 64,
 ):
     """SPMD hybrid step with SPLIT-FREQUENCY BM25 — the serving-scale
     formulation (head matmul + tail postings) on every shard.
@@ -306,7 +335,7 @@ def make_sharded_split_hybrid_fn(
              doc_len, mask_bias, q_vecs,
              h_slots, h_tids,
              u_starts_sh, u_lens_sh, u_cols, t_tids,
-             q_tids, q_counts, has_terms):
+             q_tids, q_counts, has_terms, *maybe_emb16):
         n_local = emb.shape[0]
         shard = jax.lax.axis_index("shard")
         row_base = (shard * n_local).astype(jnp.int32)
@@ -324,6 +353,8 @@ def make_sharded_split_hybrid_fn(
             emb, mask_bias, q_vecs, row_base,
             k_vector=k_vector, pool=pool, use_mmr=use_mmr,
             mmr_lambda=mmr_lambda, use_pallas=pallas,
+            emb16=maybe_emb16[0] if with_rescore else None,
+            rescore_pool=rescore_pool,
         )
 
         df, n_sub, avgdl = _subset_stats_sharded(
@@ -348,27 +379,30 @@ def make_sharded_split_hybrid_fn(
             rrf_k=rrf_k, top_k=top_k,
         )
 
+    in_specs = [
+        P("shard", None),   # emb
+        P("shard", None),   # term_ids
+        P("shard", None),   # tfs
+        P(None, "shard"),   # tf_head (term-major: shard columns)
+        P("shard", None),   # post_rows_sh
+        P("shard", None),   # post_tfs_sh
+        P("shard"),         # doc_len
+        P("shard"),         # mask_bias
+        P(None, None),      # q_vecs
+        P(None), P(None),   # h_slots, h_tids
+        P("shard", None),   # u_starts_sh
+        P("shard", None),   # u_lens_sh
+        P(None),            # u_cols (segment → term column)
+        P(None),            # t_tids (distinct tail terms)
+        P(None, None), P(None, None),   # q_tids, q_counts
+        P(None, None),      # has_terms
+    ]
+    if with_rescore:
+        in_specs.append(P("shard", None))   # emb16 (f16 rescore master)
     sharded = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P("shard", None),   # emb
-            P("shard", None),   # term_ids
-            P("shard", None),   # tfs
-            P(None, "shard"),   # tf_head (term-major: shard columns)
-            P("shard", None),   # post_rows_sh
-            P("shard", None),   # post_tfs_sh
-            P("shard"),         # doc_len
-            P("shard"),         # mask_bias
-            P(None, None),      # q_vecs
-            P(None), P(None),   # h_slots, h_tids
-            P("shard", None),   # u_starts_sh
-            P("shard", None),   # u_lens_sh
-            P(None),            # u_cols (segment → term column)
-            P(None),            # t_tids (distinct tail terms)
-            P(None, None), P(None, None),   # q_tids, q_counts
-            P(None, None),      # has_terms
-        ),
+        in_specs=tuple(in_specs),
         out_specs=ShardedHybridResult(
             P(None, None), P(None, None), P(None, None), P(None, None)
         ),

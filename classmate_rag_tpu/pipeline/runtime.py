@@ -131,6 +131,8 @@ def get_runtime(reload: bool = False) -> Runtime:
         catalog=catalog,
         slab_rows=cfg.dense_slab_rows,
         terms_per_chunk=min(cfg.bm25_terms_per_chunk, 512),
+        rescore=cfg.dense_rescore,
+        rescore_pool=cfg.dense_rescore_pool,
     )
     sharded = build_sharded_index(cfg, store)
     retriever = HybridRetriever(
