@@ -30,6 +30,13 @@ from classmate_rag_tpu.metadata import normalize_cli_metadata
 from classmate_rag_tpu.utils.rwlock import ReadWriteLock, read_scope, write_scope
 
 
+class Overloaded(Exception):
+    """Admission control rejection → HTTP 503 with Retry-After. Explicit
+    rejects under overload beat unbounded queueing: the reference had no
+    service at all, and round 2's daemon let 64 clients pile onto a
+    1-core host until p95 hit ~1 s with opaque 500s."""
+
+
 def _meta_from_payload(payload: Dict[str, Any]):
     filters = payload.get("filters") or {}
     return normalize_cli_metadata(
@@ -124,11 +131,21 @@ class MicroBatcher:
                 batch["error"] = exc
             batch["done"].set()
         else:
-            batch["done"].wait(timeout=self.follower_timeout)
+            if not batch["done"].wait(timeout=self.follower_timeout):
+                # Grace re-check: the leader may complete between the
+                # wait expiring and this line — a computed result must
+                # never be discarded over a timer race.
+                batch["done"].wait(timeout=0.05)
         if batch["error"] is not None:
             raise batch["error"]
         if batch["results"] is None:
-            raise TimeoutError("ask batch timed out")
+            # Batch genuinely overran the follower deadline: an explicit
+            # retryable signal (503), not an opaque 500. The leader's own
+            # request still completes and returns normally.
+            raise Overloaded(
+                f"ask batch exceeded follower_timeout="
+                f"{self.follower_timeout}s"
+            )
         return batch["results"][idx]
 
 
@@ -136,6 +153,12 @@ class RagRequestHandler(BaseHTTPRequestHandler):
     server_version = "classmate-rag-tpu/0.1"
     runtime = None          # injected by serve()
     device_lock = ReadWriteLock()
+    # Bounded admission: at most this many query requests in flight;
+    # excess get an immediate 503 + Retry-After instead of queueing into
+    # second-long tails (this host has ONE core — the generation/HTTP
+    # tail saturates long before the device does).
+    admission: threading.Semaphore = threading.Semaphore(32)
+    retry_after_s = 1
 
     # -- plumbing -------------------------------------------------------
     def _send(self, code: int, obj: Any) -> None:
@@ -173,9 +196,25 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": f"no route {self.path}"})
 
+    def _send_overloaded(self, detail: str) -> None:
+        body = json.dumps(
+            {"error": "overloaded", "detail": detail,
+             "retry_after_s": self.retry_after_s}
+        ).encode("utf-8")
+        self.send_response(503)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Retry-After", str(self.retry_after_s))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
         payload = self._read_json()
         if payload is None:
+            return
+        gated = self.path in ("/ask", "/preview")
+        if gated and not self.admission.acquire(blocking=False):
+            self._send_overloaded("admission queue full")
             return
         try:
             if self.path == "/ask":
@@ -186,10 +225,15 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 self._handle_add(payload)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
+        except Overloaded as exc:
+            self._send_overloaded(str(exc))
         except (ValueError, FileNotFoundError) as exc:
             self._send(400, {"error": str(exc)})
         except Exception as exc:  # pragma: no cover - last-resort 500
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+        finally:
+            if gated:
+                self.admission.release()
 
     def _handle_ask(self, payload: Dict[str, Any]) -> None:
         question = str(payload.get("question") or "").strip()
@@ -248,16 +292,33 @@ class RagRequestHandler(BaseHTTPRequestHandler):
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8080,
-                runtime=None) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server with a warm runtime."""
+                runtime=None, max_pending: Optional[int] = None,
+                follower_timeout_s: Optional[float] = None,
+                ) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server with a warm runtime.
+
+    ``max_pending`` bounds in-flight query requests (SERVE_MAX_PENDING
+    env, default 32): excess requests get 503 + Retry-After immediately.
+    """
+    import os
+
     from classmate_rag_tpu.pipeline.runtime import get_runtime
 
     rt = runtime or get_runtime()
     lock = ReadWriteLock()
+    if max_pending is None:
+        max_pending = int(os.getenv("SERVE_MAX_PENDING", "32"))
+    batcher_kw = {}
+    if follower_timeout_s is None:
+        env_t = os.getenv("SERVE_FOLLOWER_TIMEOUT_S")
+        follower_timeout_s = float(env_t) if env_t else None
+    if follower_timeout_s is not None:
+        batcher_kw["follower_timeout_s"] = follower_timeout_s
     handler = type("Handler", (RagRequestHandler,), {
         "runtime": rt,
         "device_lock": lock,
-        "batcher": MicroBatcher(rt, lock),
+        "batcher": MicroBatcher(rt, lock, **batcher_kw),
+        "admission": threading.Semaphore(max(max_pending, 1)),
     })
     return ThreadingHTTPServer((host, port), handler)
 

@@ -184,13 +184,14 @@ def test_generation_overlaps_device_lock(tmp_index_env, tmp_path):
 
 
 def test_follower_timeout_knob(tmp_index_env):
-    """A follower that outlives its deadline raises TimeoutError while the
-    leader still completes."""
+    """A follower that outlives its deadline raises the retryable
+    Overloaded signal (→ 503 at the HTTP layer) while the leader still
+    completes and keeps its own result."""
     import threading
 
     from classmate_rag_tpu.metadata import normalize_cli_metadata
     from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
-    from classmate_rag_tpu.serve import MicroBatcher
+    from classmate_rag_tpu.serve import MicroBatcher, Overloaded
 
     reset_runtime()
     rt = get_runtime(reload=True)
@@ -218,7 +219,7 @@ def test_follower_timeout_knob(tmp_index_env):
     def follower():
         try:
             batcher.ask("second question", meta, 2, True, None)
-        except TimeoutError as exc:
+        except Overloaded as exc:
             follower_err["e"] = exc
 
     ask_mod.retrieve_batch_for_ask = slow_retrieve
@@ -235,7 +236,7 @@ def test_follower_timeout_knob(tmp_index_env):
     finally:
         ask_mod.retrieve_batch_for_ask = orig_retrieve
     assert "r" in leader_res and leader_res["r"].answer is not None
-    assert isinstance(follower_err.get("e"), TimeoutError)
+    assert isinstance(follower_err.get("e"), Overloaded)
     reset_runtime()
 
 
@@ -363,3 +364,70 @@ def test_error_paths(server):
     assert code == 200
     code, body = _post(base + "/nothing", {})
     assert code == 404
+
+
+def test_admission_control_rejects_with_503(tmp_index_env, tmp_path):
+    """With max_pending=2 and slowed retrieval, a burst of 8 concurrent
+    asks yields some 200s, some immediate 503s with Retry-After — and
+    ZERO opaque 500s. Bounded latency for admitted requests, explicit
+    rejects for the rest."""
+    import threading
+    import time as _time
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.serve import make_server
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    doc = tmp_path / "doc.md"
+    doc.write_text("Admission control bounds the in-flight request count.")
+    ingest_file(path=doc, doc_meta=normalize_cli_metadata(), runtime=rt)
+
+    import classmate_rag_tpu.pipeline.ask as ask_mod
+
+    orig = ask_mod.retrieve_batch_for_ask
+
+    def slow_retrieve(**kwargs):
+        _time.sleep(0.3)
+        return orig(**kwargs)
+
+    srv = make_server("127.0.0.1", 0, runtime=rt, max_pending=2)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    ask_mod.retrieve_batch_for_ask = slow_retrieve
+    codes, lat = [], []
+    try:
+        def one(i):
+            t0 = _time.perf_counter()
+            # Distinct k per request → distinct batch keys → no
+            # micro-batch coalescing; each occupies an admission slot.
+            code, body = _post(
+                f"http://127.0.0.1:{port}/ask",
+                {"question": f"q {i}", "k": 2 + (i % 4)},
+            )
+            codes.append(code)
+            lat.append(_time.perf_counter() - t0)
+            if code == 503:
+                assert body["error"] == "overloaded"
+                assert body["retry_after_s"] >= 1
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+    finally:
+        ask_mod.retrieve_batch_for_ask = orig
+        srv.shutdown()
+        srv.server_close()
+        reset_runtime()
+    assert len(codes) == 8
+    assert codes.count(200) >= 2, codes
+    assert codes.count(503) >= 1, codes
+    assert all(c in (200, 503) for c in codes), codes
+    # Rejects are immediate — far under a single slowed retrieval.
+    rejects = [l for c, l in zip(codes, lat) if c == 503]
+    assert rejects and max(rejects) < 0.25, rejects
