@@ -184,6 +184,7 @@ class TPUDecodeRunner:
         max_new_tokens: int = 256,
         max_seq: int = 1024,
         mesh=None,
+        quantize: Optional[bool] = None,
     ) -> None:
         import json
 
@@ -194,6 +195,11 @@ class TPUDecodeRunner:
             load_params_from_hf,
             make_generate_fn,
         )
+
+        if quantize is None:
+            quantize = os.getenv("TPU_DECODE_INT8", "").lower() in (
+                "1", "true", "yes",
+            )
 
         # Config comes from the checkpoint when one is given: a hardcoded
         # default against real 4096-wide tensors would fail shape checks.
@@ -228,6 +234,8 @@ class TPUDecodeRunner:
         self.params = params if params is not None else init_params(
             self.config, self.model_name
         )
+        self.quantized = False
+        self._want_quantize = bool(quantize)
         self.tokenizer = load_tokenizer(
             model_dir, max_length=max_seq, vocab_size=self.config.vocab_size
         )
@@ -264,6 +272,20 @@ class TPUDecodeRunner:
             )
             self._data_axis = int(self._mesh.shape["data"])
         else:
+            if self._want_quantize:
+                # int8 weight-only (W8A8 dynamic): the single-chip fit
+                # for a 7-8B route model (the reference's 8 GB
+                # constraint, rag/routing/loader.py:1-12) — the
+                # alternative to dp×tp sharding. Not combined with TP (a
+                # reference route model never needs both).
+                from classmate_rag_tpu.models.decoder import (
+                    quantize_decoder_params,
+                )
+
+                self.params = quantize_decoder_params(
+                    self.params, self.config
+                )
+                self.quantized = True
             self._generate = make_generate_fn(
                 self.config, max_seq, max_new_tokens
             )

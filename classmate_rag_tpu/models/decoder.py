@@ -28,7 +28,7 @@ import dataclasses
 import math
 from hashlib import blake2b
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +129,106 @@ class DecoderConfig:
 
 
 Params = Dict[str, Any]
+
+
+class QTensor(NamedTuple):
+    """Per-output-channel symmetric int8 weight: ``q * scale`` ≈ w.
+
+    The single-chip answer to the reference's 8 GB-VRAM constraint
+    (rag/routing/loader.py:1-12): a 7-8B route model at bf16 needs dp×tp
+    across chips, at int8 it fits ONE chip — and decode is HBM-bandwidth
+    bound, so reading 1 byte/param instead of 2 is also a throughput
+    lever. Activations quantize dynamically per token (W8A8 symmetric);
+    the MXU runs the int8×int8→int32 dot natively.
+    """
+
+    q: jnp.ndarray        # int8, weight shape
+    scale: jnp.ndarray    # f32, per output channel (last axis of q)
+
+
+jax.tree_util.register_pytree_node(
+    QTensor,
+    lambda t: ((t.q, t.scale), None),
+    lambda _, leaves: QTensor(*leaves),
+)
+
+
+def quantize_tensor(w: jnp.ndarray) -> QTensor:
+    """Symmetric per-out-channel int8 quantization (last axis = out)."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=False)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q, scale)
+
+
+# Weight leaves worth quantizing: every 2-D matmul operand. Norm gains
+# and QKV biases stay f32 (tiny); tok_emb is handled separately (gather).
+_QUANT_LAYER_KEYS = (
+    "q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
+)
+
+
+def quantize_decoder_params(params: Params, config: DecoderConfig) -> Params:
+    """int8-quantize the matmul weights of a decoder param tree.
+
+    Per-layer stacks [L, in, out] quantize per (layer, out) channel so
+    each layer keeps its own scales. ``forward`` dispatches on the
+    QTensor leaf type — generation code is unchanged. Token parity vs
+    the bf16 path is tested (tests/test_quant_decoder.py); small greedy
+    divergence on near-tie logits is inherent and documented there.
+    """
+    layers = dict(params["layers"])
+    for key in _QUANT_LAYER_KEYS:
+        w = jnp.asarray(layers[key], jnp.float32)          # [L, in, out]
+        amax = jnp.max(jnp.abs(w), axis=1)                 # [L, out]
+        scale = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(
+            jnp.round(w / scale[:, None, :]), -127, 127
+        ).astype(jnp.int8)
+        layers[key] = QTensor(q, scale)
+    out = dict(params)
+    out["layers"] = layers
+    out["lm_head"] = quantize_tensor(params["lm_head"])
+    # Token embedding: int8 rows + per-hidden-channel scale; the gather
+    # dequantizes the few looked-up rows only.
+    out["tok_emb"] = quantize_tensor(params["tok_emb"])
+    return out
+
+
+def quantized_param_bytes(params: Params) -> int:
+    return sum(
+        x.nbytes for x in jax.tree.leaves(params)
+    )
+
+
+def _mm(x: jnp.ndarray, w, cdtype) -> jnp.ndarray:
+    """Generic last-dim-contraction matmul: x[..., h] @ w[h, o] → f32.
+
+    bf16 path for dense weights; W8A8 dynamic path for QTensor weights
+    (per-token activation scales, int8×int8→int32 on the MXU, dequant by
+    sx·sw in the f32 epilogue)."""
+    if isinstance(w, QTensor):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w.q,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * sx * w.scale
+    return jnp.einsum(
+        "...h,ho->...o", x, w.astype(cdtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _embed(tok_emb, input_ids: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(tok_emb, QTensor):
+        return tok_emb.q[input_ids].astype(jnp.float32) * tok_emb.scale
+    return tok_emb[input_ids]
 
 
 def init_params(config: DecoderConfig, seed_key: str) -> Params:
@@ -284,19 +384,16 @@ def forward(
     H, KH, D = config.heads, config.kv_heads, config.head_dim
     S = kv_cache[0].shape[2]
 
-    x = params["tok_emb"][input_ids]                      # [B, T, h] f32
+    x = _embed(params["tok_emb"], input_ids)              # [B, T, h] f32
 
     def layer_step(carry, lp_and_cache):
         hidden, = carry
         lp, k_cache_l, v_cache_l = lp_and_cache
 
         normed = _rms_norm(hidden, lp["attn_norm"], config.norm_eps).astype(cdtype)
-        q = jnp.einsum("bth,hd->btd", normed, lp["q_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32)
-        k = jnp.einsum("bth,hd->btd", normed, lp["k_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32)
-        v = jnp.einsum("bth,hd->btd", normed, lp["v_w"].astype(cdtype),
-                       preferred_element_type=jnp.float32)
+        q = _mm(normed, lp["q_w"], cdtype)
+        k = _mm(normed, lp["k_w"], cdtype)
+        v = _mm(normed, lp["v_w"], cdtype)
         if config.qkv_bias:  # Qwen2 family
             q = q + lp["q_b"]
             k = k + lp["k_b"]
@@ -330,20 +427,14 @@ def forward(
             "bhts,bshd->bthd", probs.astype(cdtype), v_full.astype(cdtype),
             preferred_element_type=jnp.float32,
         ).reshape(B, T, H * D)
-        attn_out = jnp.einsum("btd,dh->bth", ctx.astype(cdtype),
-                              lp["o_w"].astype(cdtype),
-                              preferred_element_type=jnp.float32)
+        attn_out = _mm(ctx.astype(cdtype), lp["o_w"], cdtype)
         hidden = hidden + attn_out
 
         normed2 = _rms_norm(hidden, lp["ffn_norm"], config.norm_eps).astype(cdtype)
-        gate = jnp.einsum("bth,hf->btf", normed2, lp["gate_w"].astype(cdtype),
-                          preferred_element_type=jnp.float32)
-        up = jnp.einsum("bth,hf->btf", normed2, lp["up_w"].astype(cdtype),
-                        preferred_element_type=jnp.float32)
+        gate = _mm(normed2, lp["gate_w"], cdtype)
+        up = _mm(normed2, lp["up_w"], cdtype)
         ff = jax.nn.silu(gate) * up
-        down = jnp.einsum("btf,fh->bth", ff.astype(cdtype),
-                          lp["down_w"].astype(cdtype),
-                          preferred_element_type=jnp.float32)
+        down = _mm(ff.astype(cdtype), lp["down_w"], cdtype)
         hidden = hidden + down
         return (hidden,), (k_cache_l, v_cache_l)
 
@@ -351,9 +442,7 @@ def forward(
         layer_step, (x,), (params["layers"], kv_cache[0], kv_cache[1])
     )
     x = _rms_norm(x, params["final_norm"], config.norm_eps)
-    logits = jnp.einsum("bth,hv->btv", x.astype(cdtype),
-                        params["lm_head"].astype(cdtype),
-                        preferred_element_type=jnp.float32)
+    logits = _mm(x.astype(cdtype), params["lm_head"], cdtype)
     return logits, (new_k, new_v)
 
 
