@@ -198,6 +198,29 @@ def _layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float) -> j
     return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
 
 
+def embed_tokens(
+    params: Params,
+    input_ids: jnp.ndarray,   # [B, T] int32
+    attention_mask: jnp.ndarray,
+    config: EncoderConfig,
+) -> jnp.ndarray:
+    """Token + position + type embeddings with the embedding layernorm
+    ([B, T, H] f32). Split out of ``encode`` so instrumentation can time
+    the transformer stack separately from the vocabulary gather (the
+    gather's lowering degrades badly inside chained timing scans —
+    tools/bench_encoder_roofline.py)."""
+    mask = attention_mask.astype(jnp.float32)
+    # RoBERTa position ids: pad_id+1 onwards for real tokens.
+    positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) * attention_mask.astype(jnp.int32)
+    positions = positions + config.pad_id  # pad rows point at pad_id slot
+    x = (
+        params["word_emb"][input_ids]
+        + params["pos_emb"][positions]
+        + params["type_emb"][jnp.zeros_like(input_ids)]
+    )
+    return _layer_norm(x, params["emb_ln_g"], params["emb_ln_b"], config.ln_eps)
+
+
 def encode(
     params: Params,
     input_ids: jnp.ndarray,   # [B, T] int32
@@ -205,20 +228,19 @@ def encode(
     config: EncoderConfig,
 ) -> jnp.ndarray:
     """Full encoder forward → L2-normalized mean-pooled embeddings [B, H]."""
+    x = embed_tokens(params, input_ids, attention_mask, config)
+    return encode_from_embeddings(params, x, attention_mask, config)
+
+
+def encode_from_embeddings(
+    params: Params,
+    x: jnp.ndarray,           # [B, T, H] f32 (embed_tokens output)
+    attention_mask: jnp.ndarray,
+    config: EncoderConfig,
+) -> jnp.ndarray:
+    """Transformer stack + pooling on pre-computed input embeddings."""
     cdtype = config.compute_dtype
     mask = attention_mask.astype(jnp.float32)
-
-    # RoBERTa position ids: pad_id+1 onwards for real tokens.
-    positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) * attention_mask.astype(jnp.int32)
-    positions = positions + config.pad_id  # pad rows point at pad_id slot
-
-    x = (
-        params["word_emb"][input_ids]
-        + params["pos_emb"][positions]
-        + params["type_emb"][jnp.zeros_like(input_ids)]
-    )
-    x = _layer_norm(x, params["emb_ln_g"], params["emb_ln_b"], config.ln_eps)
-
     B, T, H = x.shape
     n_heads = config.heads
     head_dim = H // n_heads
