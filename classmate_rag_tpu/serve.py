@@ -236,6 +236,12 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 self.admission.release()
 
     def _handle_ask(self, payload: Dict[str, Any]) -> None:
+        from classmate_rag_tpu.utils.metrics import metrics
+
+        with metrics.timer("serve_ask"):
+            self._handle_ask_inner(payload)
+
+    def _handle_ask_inner(self, payload: Dict[str, Any]) -> None:
         question = str(payload.get("question") or "").strip()
         if not question:
             raise ValueError("missing 'question'")

@@ -103,6 +103,9 @@ def main() -> int:
     lat_lock = threading.Lock()
     errors = [0]
 
+    rejects = [0]
+    err_statuses: dict = {}
+
     def client(ci: int) -> None:
         conn = http.client.HTTPConnection("127.0.0.1", args.port, timeout=60)
         qi = ci
@@ -112,27 +115,35 @@ def main() -> int:
             })
             qi += 1
             t0 = time.perf_counter()
+            status = 0
             try:
                 conn.request("POST", "/ask", body,
                              {"Content-Type": "application/json"})
                 resp = conn.getresponse()
                 resp.read()
-                ok = resp.status == 200
+                status = resp.status
             except Exception:
-                ok = False
                 conn.close()
                 conn = http.client.HTTPConnection(
                     "127.0.0.1", args.port, timeout=60
                 )
             dt = time.perf_counter() - t0
             if measuring.is_set():
-                if ok:
+                if status == 200:
                     counts[ci] += 1
                     with lat_lock:
                         latencies.append(dt * 1000.0)
+                elif status == 503:
+                    # Backpressure reject: expected under overload, the
+                    # explicit alternative to a second-long queue tail.
+                    with lat_lock:
+                        rejects[0] += 1
                 else:
                     with lat_lock:  # += on a shared cell is not atomic
                         errors[0] += 1
+                        err_statuses[status] = err_statuses.get(status, 0) + 1
+            if status == 503:
+                time.sleep(0.02)  # honor Retry-After in miniature
         conn.close()
 
     threads = [
@@ -149,6 +160,13 @@ def main() -> int:
     stop.set()
     for t in threads:
         t.join(timeout=90)
+    # Server-side handler percentiles: with in-process closed-loop
+    # clients on a 1-core host, client-measured tails include GIL
+    # scheduling starvation of 2x clients threads — the daemon's own
+    # serve_ask timer isolates the server's admission-to-response time.
+    from classmate_rag_tpu.utils.metrics import metrics
+
+    snap = metrics.snapshot()
     server.shutdown()
     server.server_close()
 
@@ -160,9 +178,13 @@ def main() -> int:
         "http_ask_qps": round(total / wall, 1),
         "clients": args.clients,
         "requests": total,
+        "rejects_503": rejects[0],
         "errors": errors[0],
+        "error_statuses": err_statuses,
         "p50_ms": round(p50, 1),
         "p95_ms": round(p95, 1),
+        "server_ask_mean_ms": snap.get("serve_ask_mean_ms"),
+        "server_ask_p95_ms": snap.get("serve_ask_p95_ms"),
         "seconds": round(wall, 2),
     }))
     return 0 if errors[0] == 0 else 1
