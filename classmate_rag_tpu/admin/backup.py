@@ -179,6 +179,7 @@ def rebuild_embeddings(
         dim=new_dim, directory=rt.store.directory,
         slab_rows=rt.store.slab_rows, terms_per_chunk=rt.store.term_width,
         rescore=rt.store.rescore, rescore_pool=rt.store.rescore_pool,
+        select=rt.store.select,
     )
     updated = 0
     for batch in _batched(entries, batch_size):

@@ -190,6 +190,11 @@ class Config:
     # recall at scale), "on"/"off" force. Costs one extra [N, d] f16 slab.
     dense_rescore: str = "auto"
     dense_rescore_pool: int = 64
+    # Pool-selection op: "auto" uses the TPU-native approx_max_k
+    # (PartialReduce) above IndexStore.APPROX_MIN_ROWS when the rescore
+    # is active (10x faster selection, pool then ordered exactly);
+    # "exact"/"approx" force.
+    dense_select: str = "auto"
 
     # --- Logging ---------------------------------------------------------------
     log_level: str = "INFO"
@@ -271,6 +276,7 @@ def load_config(reload: bool = False) -> Config:
         score_dtype=g.str("SCORE_DTYPE", "bfloat16"),
         dense_rescore=g.str("DENSE_RESCORE", "auto"),
         dense_rescore_pool=g.int("DENSE_RESCORE_POOL", 64),
+        dense_select=g.str("DENSE_SELECT", "auto"),
         log_level=g.str("LOG_LEVEL", "INFO"),
     )
     _SINGLETON = cfg

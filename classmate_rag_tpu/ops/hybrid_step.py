@@ -90,33 +90,55 @@ def rescore_candidates(q_vecs, cand16, d_rows, d_vals):
     return rows, vals, order
 
 
+# Per-element recall target for the approx (PartialReduce) selection.
+# Measured at 1M rows / k=128 with bench-realistic queries: top-64
+# containment 1.00000 (the f16 rescore then orders the pool exactly).
+_APPROX_RECALL_TARGET = 0.999
+
+
 def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
                   mmr_lambda, use_pallas=None, emb16=None,
-                  rescore_pool=64):
+                  rescore_pool=64, select="exact"):
     """Batched masked dense scan (+MMR) → (vec_rows, vec_dist) [B, kv].
 
     With ``emb16`` (the f16 storage master on device) the bf16 scan
     selects a wider ``rescore_pool`` that is then f16-rescored before
     MMR/truncation — see :func:`rescore_candidates`.
+
+    ``select="approx"`` routes the pool selection through the TPU's
+    native PartialReduce (``lax.approx_max_k``): 6-10x faster than exact
+    top_k at 1M rows (60 → 6.3 ms measured) with per-element recall
+    ≥0.999 — requires ``emb16`` so the rescore re-sorts the pool with
+    the exact (score desc, row asc) tie-break. On CPU approx_max_k
+    lowers to the exact sort, so tests see identical results.
     """
     pool_eff = min(pool if use_mmr else k_vector, emb.shape[0])
     sel = pool_eff if emb16 is None else min(
         max(rescore_pool, pool_eff), emb.shape[0]
     )
-    if use_pallas is None:
-        use_pallas = use_pallas_scan(emb.shape[0])
-    if use_pallas:
-        from classmate_rag_tpu.ops.topk import topk_pallas
-
-        d_vals, d_rows = topk_pallas(
-            emb, q_vecs.astype(jnp.float32), mask_bias, sel
-        )
-    else:
+    if select == "approx" and emb16 is not None:
         scores = jnp.einsum(
             "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
             preferred_element_type=jnp.float32,
         ) + mask_bias[None, :]
-        d_vals, d_rows = jax.lax.top_k(scores, sel)
+        d_vals, d_rows = jax.lax.approx_max_k(
+            scores, sel, recall_target=_APPROX_RECALL_TARGET
+        )
+    else:
+        if use_pallas is None:
+            use_pallas = use_pallas_scan(emb.shape[0])
+        if use_pallas:
+            from classmate_rag_tpu.ops.topk import topk_pallas
+
+            d_vals, d_rows = topk_pallas(
+                emb, q_vecs.astype(jnp.float32), mask_bias, sel
+            )
+        else:
+            scores = jnp.einsum(
+                "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+                preferred_element_type=jnp.float32,
+            ) + mask_bias[None, :]
+            d_vals, d_rows = jax.lax.top_k(scores, sel)
     d_rows = d_rows.astype(jnp.int32)
 
     if emb16 is not None:
@@ -153,10 +175,27 @@ def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
     return vec_rows, 1.0 - vec_vals
 
 
-def _bm25_postprocess(bm_scores, mask_bias, has_terms, *, k_bm25):
-    """Top-k over BM25 scores with padding/empty-query handling."""
+def _bm25_postprocess(bm_scores, mask_bias, has_terms, *, k_bm25,
+                      select="exact"):
+    """Top-k over BM25 scores with padding/empty-query handling.
+
+    ``select="approx"``: PartialReduce picks a 64-wide candidate pool
+    (per-element recall ≥0.999 at 1M), then an exact (value desc, row
+    asc) re-sort inside the pool reimposes the lowest-index tie-break —
+    BM25 scores tie often, and the boundary ties must resolve exactly as
+    the exact path does."""
+    biased = bm_scores + mask_bias[None, :]
     k_bm_eff = min(k_bm25, bm_scores.shape[1])
-    b_vals, b_rows = jax.lax.top_k(bm_scores + mask_bias[None, :], k_bm_eff)
+    if select == "approx":
+        k_sel = min(max(64, 4 * k_bm_eff), bm_scores.shape[1])
+        p_vals, p_rows = jax.lax.approx_max_k(
+            biased, k_sel, recall_target=_APPROX_RECALL_TARGET
+        )
+        order = jnp.lexsort((p_rows, -p_vals))[:, :k_bm_eff]
+        b_vals = jnp.take_along_axis(p_vals, order, axis=1)
+        b_rows = jnp.take_along_axis(p_rows, order, axis=1)
+    else:
+        b_vals, b_rows = jax.lax.top_k(biased, k_bm_eff)
     b_rows = jnp.where(b_vals > NEG_INF / 2, b_rows.astype(jnp.int32), -1)
     b_vals = jnp.where(b_rows >= 0, b_vals, 0.0)
     b_rows = jnp.where(has_terms, b_rows, -1)
@@ -224,7 +263,7 @@ def hybrid_query_step(
     )(q_terms, q_counts)                                  # [B, N]
     has_terms = jnp.any(q_terms >= 0, axis=1, keepdims=True)
     bm_rows, bm_vals = _bm25_postprocess(
-        bm_scores, mask_bias, has_terms, k_bm25=k_bm25
+        bm_scores, mask_bias, has_terms, k_bm25=k_bm25,
     )
     return _fuse(
         vec_rows, vec_dist, bm_rows, bm_vals,
@@ -268,7 +307,7 @@ def pack_query_arrays(qa, q_terms, q_counts, has_terms):
         "h", "u", "t", "b", "m",
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
         "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
-        "rescore_pool",
+        "rescore_pool", "select",
     ),
 )
 def hybrid_query_step_split_packed(
@@ -290,6 +329,7 @@ def hybrid_query_step_split_packed(
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
     rescore_pool: int = 64,
+    select: str = "exact",
 ) -> HybridBatchResult:
     """``hybrid_query_step_split`` with the batch metadata in one buffer
     (single host→device transfer per batch — the serving hot path)."""
@@ -321,7 +361,7 @@ def hybrid_query_step_split_packed(
         k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
         vocab_pad=vocab_pad, r_cap=r_cap, use_mmr=use_mmr,
         mmr_lambda=mmr_lambda, rrf_k=rrf_k, weight_vector=weight_vector,
-        weight_bm25=weight_bm25, rescore_pool=rescore_pool,
+        weight_bm25=weight_bm25, rescore_pool=rescore_pool, select=select,
     )
 
 
@@ -330,7 +370,7 @@ def hybrid_query_step_split_packed(
     static_argnames=(
         "k_vector", "k_bm25", "top_k", "pool", "vocab_pad", "r_cap",
         "use_mmr", "mmr_lambda", "rrf_k", "weight_vector", "weight_bm25",
-        "rescore_pool",
+        "rescore_pool", "select",
     ),
 )
 def hybrid_query_step_split(
@@ -364,6 +404,7 @@ def hybrid_query_step_split(
     weight_vector: float = 1.0,
     weight_bm25: float = 1.0,
     rescore_pool: int = 64,
+    select: str = "exact",
 ) -> HybridBatchResult:
     """The fused step with split-frequency BM25 (head matmul + tail
     postings) — same results as ``hybrid_query_step``, much less gather
@@ -373,7 +414,7 @@ def hybrid_query_step_split(
     vec_rows, vec_dist = _dense_branch(
         emb, mask_bias, q_vecs,
         k_vector=k_vector, pool=pool, use_mmr=use_mmr, mmr_lambda=mmr_lambda,
-        emb16=emb16, rescore_pool=rescore_pool,
+        emb16=emb16, rescore_pool=rescore_pool, select=select,
     )
     bm25_split_scores, _ = split_fns()
     bm_scores = bm25_split_scores(
@@ -383,7 +424,7 @@ def hybrid_query_step_split(
         vocab_pad=vocab_pad, r_cap=r_cap,
     )
     bm_rows, bm_vals = _bm25_postprocess(
-        bm_scores, mask_bias, has_terms, k_bm25=k_bm25
+        bm_scores, mask_bias, has_terms, k_bm25=k_bm25, select=select,
     )
     return _fuse(
         vec_rows, vec_dist, bm_rows, bm_vals,

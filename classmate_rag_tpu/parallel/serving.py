@@ -387,8 +387,9 @@ class ShardedHybridIndex:
 
     def _fn_for(self, knobs: Dict[str, Any]):
         rescore = self._dev.get("emb16") is not None
+        select = self.store.select_mode
         key = (
-            self._layout["r_cap"], self._vocab_pad, rescore,
+            self._layout["r_cap"], self._vocab_pad, rescore, select,
             tuple(knobs[k] for k in _KNOB_NAMES),
         )
         fn = self._fn_cache.get(key)
@@ -400,6 +401,7 @@ class ShardedHybridIndex:
                 rescore_pool=min(
                     self.store.rescore_pool, self.store.capacity
                 ),
+                select=select,
                 **knobs,
             )
             self._fn_cache[key] = fn

@@ -78,7 +78,7 @@ def _merge_ranked(vals, idx, k):
 
 def _dense_sharded(emb, mask_bias, q_vecs, row_base, *, k_vector, pool,
                    use_mmr, mmr_lambda, use_pallas=False, emb16=None,
-                   rescore_pool=64):
+                   rescore_pool=64, select="exact"):
     """Local dense scan → allgather → merged (vec_rows, vec_dist) [B, kv].
 
     Runs inside shard_map over the "shard" axis; the MMR reorder is
@@ -98,7 +98,22 @@ def _dense_sharded(emb, mask_bias, q_vecs, row_base, *, k_vector, pool,
     sel = pool_eff if emb16 is None else min(
         max(rescore_pool, pool_eff), n_local
     )
-    if use_pallas:
+    if select == "approx" and emb16 is not None:
+        # Shard-local PartialReduce selection (see ops/hybrid_step): the
+        # merged pool then rescores/re-sorts exactly. In approx mode the
+        # sharded pool may differ from a single-device run's at the pool
+        # BOUNDARY (per-shard vs global reductions); the exact mode keeps
+        # the bit-identity contract.
+        scores = jnp.einsum(
+            "qd,nd->qn", q_vecs.astype(emb.dtype), emb,
+            preferred_element_type=jnp.float32,
+        ) + mask_bias[None, :]
+        from classmate_rag_tpu.ops.hybrid_step import _APPROX_RECALL_TARGET
+
+        lv, li = jax.lax.approx_max_k(
+            scores, sel, recall_target=_APPROX_RECALL_TARGET
+        )
+    elif use_pallas:
         from classmate_rag_tpu.ops.topk import topk_pallas
 
         lv, li = topk_pallas(
@@ -180,11 +195,24 @@ def _subset_stats_sharded(term_ids, tfs, doc_len, keep, vocab_pad):
     return df, n_sub, dl_sum / n_sub
 
 
-def _bm25_merge_sharded(bm, mask_bias, row_base, has_terms, *, k_bm25):
+def _bm25_merge_sharded(bm, mask_bias, row_base, has_terms, *, k_bm25,
+                        select="exact"):
     """Local BM25 scores [B, N_local] → merged (bm_rows, bm_vals)."""
     n_local = bm.shape[1]
     k_bm_eff = min(k_bm25, n_local)
-    bv, bi = jax.lax.top_k(bm + mask_bias[None, :], k_bm_eff)
+    biased = bm + mask_bias[None, :]
+    if select == "approx":
+        from classmate_rag_tpu.ops.hybrid_step import _APPROX_RECALL_TARGET
+
+        k_sel = min(max(64, 4 * k_bm_eff), n_local)
+        pv, pi = jax.lax.approx_max_k(
+            biased, k_sel, recall_target=_APPROX_RECALL_TARGET
+        )
+        order = jnp.lexsort((pi, -pv))[:, :k_bm_eff]
+        bv = jnp.take_along_axis(pv, order, axis=1)
+        bi = jnp.take_along_axis(pi, order, axis=1)
+    else:
+        bv, bi = jax.lax.top_k(biased, k_bm_eff)
     bgi = jnp.where(bv > NEG_INF / 2, bi.astype(jnp.int32) + row_base,
                     jnp.int32(2**30))
     abv = jax.lax.all_gather(bv, "shard")
@@ -305,6 +333,7 @@ def make_sharded_split_hybrid_fn(
     use_pallas: bool | None = None,
     with_rescore: bool = False,
     rescore_pool: int = 64,
+    select: str = "exact",
 ):
     """SPMD hybrid step with SPLIT-FREQUENCY BM25 — the serving-scale
     formulation (head matmul + tail postings) on every shard.
@@ -354,7 +383,7 @@ def make_sharded_split_hybrid_fn(
             k_vector=k_vector, pool=pool, use_mmr=use_mmr,
             mmr_lambda=mmr_lambda, use_pallas=pallas,
             emb16=maybe_emb16[0] if with_rescore else None,
-            rescore_pool=rescore_pool,
+            rescore_pool=rescore_pool, select=select,
         )
 
         df, n_sub, avgdl = _subset_stats_sharded(
@@ -370,7 +399,8 @@ def make_sharded_split_hybrid_fn(
             vocab_pad=vocab_pad, r_cap=r_cap,
         )                                                 # [B, N_local]
         bm_rows, bm_vals = _bm25_merge_sharded(
-            bm, mask_bias, row_base, has_terms, k_bm25=k_bm25
+            bm, mask_bias, row_base, has_terms, k_bm25=k_bm25,
+            select=select,
         )
 
         return _fuse_replicated(

@@ -133,6 +133,7 @@ def get_runtime(reload: bool = False) -> Runtime:
         terms_per_chunk=min(cfg.bm25_terms_per_chunk, 512),
         rescore=cfg.dense_rescore,
         rescore_pool=cfg.dense_rescore_pool,
+        select=cfg.dense_select,
     )
     sharded = build_sharded_index(cfg, store)
     retriever = HybridRetriever(

@@ -104,3 +104,34 @@ def test_rescore_respects_filters(near_tie_store):
     rows = [int(r) for r in np.asarray(out.rows)[0]]
     assert true_top8[0] not in rows
     assert rows == true_top8[1:5]
+
+
+def test_select_mode_gating(tmp_path):
+    """Approx selection requires the rescore (pool re-sort restores exact
+    tie-breaks); auto gates on serving scale."""
+    s = IndexStore(DIM, tmp_path / "a", slab_rows=8, rescore="off",
+                   select="auto")
+    assert s.select_mode == "exact"        # no rescore → no approx
+    s2 = IndexStore(DIM, tmp_path / "b", slab_rows=8, rescore="on",
+                    select="approx")
+    assert s2.select_mode == "approx"      # forced, rescore active
+    s3 = IndexStore(DIM, tmp_path / "c", slab_rows=8, rescore="on",
+                    select="auto")
+    assert s3.select_mode == "exact"       # tiny capacity under threshold
+    s4 = IndexStore(DIM, tmp_path / "d", slab_rows=8, rescore="off",
+                    select="approx")
+    assert s4.select_mode == "exact"       # forced approx still needs rescore
+
+
+def test_forced_approx_matches_exact_on_cpu(near_tie_store, tmp_path):
+    """On the CPU backend approx_max_k lowers to the exact sort, so a
+    forced-approx store must reproduce the exact path bit for bit —
+    the identity CI keeps covering the approx code path."""
+    store, q, embs, true_top8 = near_tie_store
+    sa = IndexStore(DIM, tmp_path / "apx", slab_rows=8, terms_per_chunk=8,
+                    rescore="on", rescore_pool=32, select="approx")
+    sa.upsert([f"r{i}" for i in range(N)], embs,
+              [[f"t{i}"] for i in range(N)], [{} for _ in range(N)])
+    want = store.hybrid_topk_batch(q[None, :], [["t1"]], None, top_k=8)
+    got = sa.hybrid_topk_batch(q[None, :], [["t1"]], None, top_k=8)
+    assert np.array_equal(np.asarray(want.rows), np.asarray(got.rows))

@@ -29,12 +29,16 @@ def main() -> int:
     ap.add_argument("--prompt", type=int, default=256)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=768)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 weight-only quantized decode")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from classmate_rag_tpu.models.decoder import (
         DecoderConfig, init_params, make_generate_fn,
+        quantize_decoder_params,
     )
 
     config = DecoderConfig(
@@ -46,6 +50,9 @@ def main() -> int:
         max_seq=args.prompt + args.new,
     )
     params = init_params(config, "bench-decode")
+    if args.int8:
+        params = quantize_decoder_params(params, config)
+    param_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     gen = make_generate_fn(config, args.prompt + args.new, args.new)
 
     rng = np.random.default_rng(0)
@@ -67,6 +74,8 @@ def main() -> int:
         "batch": args.batch,
         "prompt_len": args.prompt,
         "new_tokens": args.new,
+        "int8": bool(args.int8),
+        "param_bytes": param_bytes,
         "seconds": round(dt, 3),
         "decode_tokens_per_sec": round(new_tokens / dt, 1),
     }))
