@@ -248,7 +248,14 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
     from classmate_rag_tpu.index.store import IndexStore
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_idx_"))
-    store = IndexStore(DIM, tmp, slab_rows=4096, terms_per_chunk=128)
+    store = IndexStore(
+        DIM, tmp, slab_rows=4096, terms_per_chunk=128,
+        # Honor the product knobs so DENSE_RESCORE/_POOL/DENSE_SELECT
+        # sweeps drive the bench exactly like a deployed runtime.
+        rescore=os.getenv("DENSE_RESCORE", "auto"),
+        rescore_pool=int(os.getenv("DENSE_RESCORE_POOL", "32")),
+        select=os.getenv("DENSE_SELECT", "auto"),
+    )
     ids = [f"c{i}" for i in range(n_chunks)]
     batch = 8192
     for s in range(0, n_chunks, batch):

@@ -189,7 +189,7 @@ class Config:
     # IndexStore.RESCORE_MIN_ROWS (bf16 scan rank flips start costing
     # recall at scale), "on"/"off" force. Costs one extra [N, d] f16 slab.
     dense_rescore: str = "auto"
-    dense_rescore_pool: int = 64
+    dense_rescore_pool: int = 32
     # Pool-selection op: "auto" uses the TPU-native approx_max_k
     # (PartialReduce) above IndexStore.APPROX_MIN_ROWS when the rescore
     # is active (10x faster selection, pool then ordered exactly);
@@ -275,7 +275,7 @@ def load_config(reload: bool = False) -> Config:
         bm25_terms_per_chunk=g.int("BM25_TERMS_PER_CHUNK", 256),
         score_dtype=g.str("SCORE_DTYPE", "bfloat16"),
         dense_rescore=g.str("DENSE_RESCORE", "auto"),
-        dense_rescore_pool=g.int("DENSE_RESCORE_POOL", 64),
+        dense_rescore_pool=g.int("DENSE_RESCORE_POOL", 32),
         dense_select=g.str("DENSE_SELECT", "auto"),
         log_level=g.str("LOG_LEVEL", "INFO"),
     )

@@ -73,7 +73,7 @@ class IndexStore:
         slab_rows: int = 4096,
         terms_per_chunk: int = 192,
         rescore: str = "auto",          # auto | on | off
-        rescore_pool: int = 64,
+        rescore_pool: int = 32,
         select: str = "auto",           # auto | exact | approx
     ) -> None:
         self.dim = dim
@@ -380,8 +380,14 @@ class IndexStore:
     # Head capacity adapts to cover every term above the threshold, within
     # this device-memory budget for the [C, N] u8 head matrix (per-batch
     # compute only touches the batch's own head terms, so a large C costs
-    # memory, not time).
-    HEAD_BYTES_BUDGET = 2 << 30
+    # memory, not time). 3.5 GB: at 1M chunks a zipf-realistic vocabulary
+    # has ~3k terms above the df threshold; the old 2 GB budget pushed
+    # ~1k of them into segmented tail postings, whose per-batch [N, T]
+    # construction dominated the fused step (~46 ms of 92.5 at 1M). The
+    # budget only materializes when BOTH the corpus and the qualifying
+    # term count are large (C = min(budget // capacity, #terms with
+    # df > threshold)) — small corpora see no change.
+    HEAD_BYTES_BUDGET = 3584 << 20
 
     def _sync_split(self) -> Dict[str, Any]:
         """Head/tail BM25 layout (see lexical._bm25_split_fns), rebuilt
@@ -832,7 +838,7 @@ class IndexStore:
         slab_rows: int = 4096,
         terms_per_chunk: int = 192,
         rescore: str = "auto",
-        rescore_pool: int = 64,
+        rescore_pool: int = 32,
         select: str = "auto",
     ) -> "IndexStore":
         """Restore embeddings from disk; rebuild lexical/meta columns from
