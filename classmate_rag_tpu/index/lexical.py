@@ -472,6 +472,7 @@ def bm25_split_score_core(
     *,
     vocab_pad: int,
     r_cap: int,
+    fast: bool = False,
 ):
     """Split-frequency BM25 scores [B, N] from precomputed subset stats.
 
@@ -496,6 +497,15 @@ def bm25_split_score_core(
     u = u_starts.shape[0]
     n = tf_head.shape[1]
     q_valid = (q_tids >= 0)[:, :, None]
+    # ``fast``: bf16 sat matrices + default-precision matmuls — HALF the
+    # [·, N] HBM traffic and no multi-pass f32 emulation. Only valid when
+    # the caller EXACT-RESCORES its candidate pool afterwards
+    # (ops/hybrid_step.bm25_rescore_pool): the ~0.3% score error moves
+    # near-ties around inside the pool, never the final exact ranking.
+    sat_dtype = jnp.bfloat16 if fast else jnp.float32
+    prec = (
+        jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    )
 
     # ---- head: gather only the batch's head-term rows, then matmul.
     # tf_head is term-major so each needed term is one contiguous
@@ -504,7 +514,7 @@ def bm25_split_score_core(
     tf_sub = tf_head[jnp.maximum(h_slots, 0)]                # [H, N] u8
     sat_sub = okapi_sat(tf_sub, doc_len[None, :], avgdl)
     sat_sub = sat_sub * (tf_sub > 0) * keep[None, :]
-    sat_sub = sat_sub * (h_slots >= 0)[:, None]              # [H, N] f32
+    sat_sub = (sat_sub * (h_slots >= 0)[:, None]).astype(sat_dtype)
 
     h_idf = idf[jnp.where(h_tids >= 0, h_tids, vocab_pad)]   # [H]
     match_h = (
@@ -514,12 +524,13 @@ def bm25_split_score_core(
     w_head = jnp.einsum(
         "bmh,bm->bh", match_h.astype(jnp.float32), q_counts
     ) * h_idf[None, :]
-    # HIGHEST precision: TPU f32 matmuls default to single-pass bf16,
-    # a 0.2% relative error that visibly perturbs BM25 rankings.
+    # HIGHEST precision (exact mode): TPU f32 matmuls default to
+    # single-pass bf16, a 0.2% relative error that visibly perturbs BM25
+    # rankings.
     scores = jnp.einsum(
-        "bh,hn->bn", w_head, sat_sub,
+        "bh,hn->bn", w_head.astype(sat_dtype), sat_sub,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
     # ---- tail: batch-union tf matrix + second matmul ---------------
@@ -543,7 +554,7 @@ def bm25_split_score_core(
         jnp.where(col_ok, col_u, t),
     ].add(jnp.where(col_ok, tfs_u.astype(jnp.float32), 0.0))[:, :t]
     sat_tail = okapi_sat(tf_tail, doc_len[:, None], avgdl)
-    sat_tail = sat_tail * (tf_tail > 0) * keep[:, None]       # [N, T]
+    sat_tail = (sat_tail * (tf_tail > 0) * keep[:, None]).astype(sat_dtype)
 
     t_idf = idf[jnp.where(t_tids >= 0, t_tids, vocab_pad)]   # [T]
     match_t = (
@@ -554,9 +565,9 @@ def bm25_split_score_core(
         "bmt,bm->bt", match_t.astype(jnp.float32), q_counts
     ) * t_idf[None, :]
     scores = scores + jnp.einsum(
-        "bt,nt->bn", w_tail, sat_tail,
+        "bt,nt->bn", w_tail.astype(sat_dtype), sat_tail,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     return scores * keep[None, :]
 

@@ -627,6 +627,7 @@ class IndexStore:
             jnp.asarray(query_vecs, jnp.float32),
             jnp.asarray(packed),
             dev["emb16"],
+            dev["term_ids"], dev["tfs"],
             **statics,
             k_vector=min(k_vector, self.capacity),
             k_bm25=min(k_bm25, self.capacity),
@@ -701,18 +702,21 @@ class IndexStore:
             jnp.asarray(qa["u_cols"]), jnp.asarray(qa["t_tids"]),
             jnp.asarray(q_terms), jnp.asarray(q_counts),
             jnp.asarray(has_terms), dev["emb16"],
+            dev["term_ids"], dev["tfs"],
         )
 
         @partial(jax.jit, static_argnames=tuple(static))
         def probe(emb, tf_head, post_rows, post_tfs, doc_len, df, bias,
                   q_vecs, h_slots, h_tids, u_starts, u_lens, u_cols,
-                  t_tids, q_tids, q_counts, has_terms, emb16, **st):
+                  t_tids, q_tids, q_counts, has_terms, emb16,
+                  term_ids, tfs, **st):
             def body(carry, _):
                 out = hybrid_query_step_split(
                     emb, tf_head, post_rows, post_tfs, doc_len, df, bias,
                     q_vecs + carry * 1e-12,
                     h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
-                    q_tids, q_counts, has_terms, emb16, **st,
+                    q_tids, q_counts, has_terms, emb16, term_ids, tfs,
+                    **st,
                 )
                 s = jnp.sum(
                     jnp.where(out.rows >= 0, out.rows, 0)

@@ -175,15 +175,46 @@ def _dense_branch(emb, mask_bias, q_vecs, *, k_vector, pool, use_mmr,
     return vec_rows, 1.0 - vec_vals
 
 
+def bm25_rescore_pool(rows, term_ids, tfs, doc_len, avgdl, idf,
+                      q_tids, q_counts, vocab_pad):
+    """EXACT Okapi scores for a small candidate pool ``rows`` [B, P].
+
+    The fast-mode scan (bf16 sat matrices, default-precision matmuls)
+    selects candidates ~0.3%-approximately; this gather-pass re-scores
+    the pool from the packed per-row term arrays in full f32 — the same
+    subset statistics (idf/avgdl) — so the final ranking is exact."""
+    from classmate_rag_tpu.index.lexical import (
+        okapi_query_weights, okapi_sat,
+    )
+
+    b, p = rows.shape
+    safe = jnp.maximum(rows, 0)
+    ti = term_ids[safe]                              # [B, P, L]
+    tf = tfs[safe].astype(jnp.float32)
+    dl = doc_len[safe]                               # [B, P]
+    # Per-query idf·count weight vectors [B, vocab_pad+1] — the same
+    # table the gather-pass path builds (fine for vocabularies ≪ corpus;
+    # this runs only in approx mode at serving scale).
+    w = jax.vmap(
+        lambda t, c: okapi_query_weights(idf, t, c, vocab_pad)
+    )(q_tids, q_counts)
+    ti_safe = jnp.where(ti >= 0, ti, vocab_pad)
+    wt = jnp.take_along_axis(
+        w, ti_safe.reshape(b, -1), axis=1
+    ).reshape(ti.shape)                              # [B, P, L]
+    sat = okapi_sat(tf, dl[:, :, None], avgdl)
+    return jnp.sum(wt * jnp.where(ti >= 0, sat, 0.0), axis=-1)
+
+
 def _bm25_postprocess(bm_scores, mask_bias, has_terms, *, k_bm25,
-                      select="exact"):
+                      select="exact", rescore_ctx=None):
     """Top-k over BM25 scores with padding/empty-query handling.
 
     ``select="approx"``: PartialReduce picks a 64-wide candidate pool
-    (per-element recall ≥0.999 at 1M), then an exact (value desc, row
-    asc) re-sort inside the pool reimposes the lowest-index tie-break —
-    BM25 scores tie often, and the boundary ties must resolve exactly as
-    the exact path does."""
+    (per-element recall ≥0.999 at 1M); with ``rescore_ctx`` the pool is
+    EXACT-rescored (see bm25_rescore_pool) and re-sorted by (value desc,
+    row asc) — BM25 scores tie often, and the boundary ties must resolve
+    exactly as the exact path does."""
     biased = bm_scores + mask_bias[None, :]
     k_bm_eff = min(k_bm25, bm_scores.shape[1])
     if select == "approx":
@@ -191,6 +222,9 @@ def _bm25_postprocess(bm_scores, mask_bias, has_terms, *, k_bm25,
         p_vals, p_rows = jax.lax.approx_max_k(
             biased, k_sel, recall_target=_APPROX_RECALL_TARGET
         )
+        if rescore_ctx is not None:
+            exact = bm25_rescore_pool(p_rows, *rescore_ctx)
+            p_vals = jnp.where(p_vals > NEG_INF / 2, exact, NEG_INF)
         order = jnp.lexsort((p_rows, -p_vals))[:, :k_bm_eff]
         b_vals = jnp.take_along_axis(p_vals, order, axis=1)
         b_rows = jnp.take_along_axis(p_rows, order, axis=1)
@@ -315,6 +349,8 @@ def hybrid_query_step_split_packed(
     q_vecs,         # [B, d] f32
     packed,         # i32 [L] from pack_query_arrays
     emb16=None,     # optional [N, d] f16 rescore master
+    term_ids=None,  # optional [N, L] i32 + [N, L] u8: the fast-BM25
+    tfs=None,       #   exact-rescore source (see the unpacked step)
     *,
     h: int, u: int, t: int, b: int, m: int,
     k_vector: int = 8,
@@ -357,7 +393,7 @@ def hybrid_query_step_split_packed(
     return hybrid_query_step_split(
         emb, tf_head, post_rows, post_tfs, doc_len, df, mask_bias, q_vecs,
         h_slots, h_tids, u_starts, u_lens, u_cols, t_tids, q_tids, q_counts,
-        has_terms, emb16,
+        has_terms, emb16, term_ids, tfs,
         k_vector=k_vector, k_bm25=k_bm25, top_k=top_k, pool=pool,
         vocab_pad=vocab_pad, r_cap=r_cap, use_mmr=use_mmr,
         mmr_lambda=mmr_lambda, rrf_k=rrf_k, weight_vector=weight_vector,
@@ -391,6 +427,9 @@ def hybrid_query_step_split(
                     # so zero-posting terms rank zero-score rows, as the
                     # gather path and the reference do)
     emb16=None,     # optional [N, d] f16 rescore master (recall at scale)
+    term_ids=None,  # optional [N, L] i32: enables the fast-BM25 path —
+    tfs=None,       # approx mode scores with bf16 sat matrices and
+                    # EXACT-rescores the candidate pool from these rows
     *,
     k_vector: int = 8,
     k_bm25: int = 8,
@@ -409,22 +448,35 @@ def hybrid_query_step_split(
     """The fused step with split-frequency BM25 (head matmul + tail
     postings) — same results as ``hybrid_query_step``, much less gather
     traffic at large batch."""
-    from classmate_rag_tpu.index.lexical import split_fns
+    from classmate_rag_tpu.index.lexical import (
+        bm25_split_score_core, okapi_idf,
+    )
 
     vec_rows, vec_dist = _dense_branch(
         emb, mask_bias, q_vecs,
         k_vector=k_vector, pool=pool, use_mmr=use_mmr, mmr_lambda=mmr_lambda,
         emb16=emb16, rescore_pool=rescore_pool, select=select,
     )
-    bm25_split_scores, _ = split_fns()
-    bm_scores = bm25_split_scores(
-        tf_head, post_rows, post_tfs, doc_len, mask_bias, df,
+    keep = mask_bias == 0.0
+    n_sub = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
+    idf = okapi_idf(df, n_sub)
+    avgdl = jnp.sum(jnp.where(keep, doc_len, 0.0)) / n_sub
+    # Fast-BM25: approx mode + packed rows available → half-traffic bf16
+    # sat matmuls, with the exact pool rescore restoring final ranks.
+    fast = select == "approx" and term_ids is not None
+    bm_scores = bm25_split_score_core(
+        tf_head, post_rows, post_tfs, doc_len, keep, idf, avgdl,
         h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
         q_tids, q_counts,
-        vocab_pad=vocab_pad, r_cap=r_cap,
+        vocab_pad=vocab_pad, r_cap=r_cap, fast=fast,
+    )
+    rescore_ctx = (
+        (term_ids, tfs, doc_len, avgdl, idf, q_tids, q_counts, vocab_pad)
+        if fast else None
     )
     bm_rows, bm_vals = _bm25_postprocess(
         bm_scores, mask_bias, has_terms, k_bm25=k_bm25, select=select,
+        rescore_ctx=rescore_ctx,
     )
     return _fuse(
         vec_rows, vec_dist, bm_rows, bm_vals,

@@ -196,18 +196,28 @@ def _subset_stats_sharded(term_ids, tfs, doc_len, keep, vocab_pad):
 
 
 def _bm25_merge_sharded(bm, mask_bias, row_base, has_terms, *, k_bm25,
-                        select="exact"):
-    """Local BM25 scores [B, N_local] → merged (bm_rows, bm_vals)."""
+                        select="exact", rescore_ctx=None):
+    """Local BM25 scores [B, N_local] → merged (bm_rows, bm_vals).
+
+    approx mode: shard-local PartialReduce pool; with ``rescore_ctx``
+    (shard-local term arrays + psum'd global idf/avgdl) the pool is
+    EXACT-rescored before the local cut, so the merged ranking is exact
+    even when the scan ran the fast bf16-sat formulation."""
     n_local = bm.shape[1]
     k_bm_eff = min(k_bm25, n_local)
     biased = bm + mask_bias[None, :]
     if select == "approx":
-        from classmate_rag_tpu.ops.hybrid_step import _APPROX_RECALL_TARGET
+        from classmate_rag_tpu.ops.hybrid_step import (
+            _APPROX_RECALL_TARGET, bm25_rescore_pool,
+        )
 
         k_sel = min(max(64, 4 * k_bm_eff), n_local)
         pv, pi = jax.lax.approx_max_k(
             biased, k_sel, recall_target=_APPROX_RECALL_TARGET
         )
+        if rescore_ctx is not None:
+            exact = bm25_rescore_pool(pi, *rescore_ctx)
+            pv = jnp.where(pv > NEG_INF / 2, exact, NEG_INF)
         order = jnp.lexsort((pi, -pv))[:, :k_bm_eff]
         bv = jnp.take_along_axis(pv, order, axis=1)
         bi = jnp.take_along_axis(pi, order, axis=1)
@@ -390,17 +400,22 @@ def make_sharded_split_hybrid_fn(
             term_ids, tfs, doc_len, keep, vocab_pad
         )
         idf = okapi_idf(df, n_sub)
+        fast = select == "approx"
         bm = bm25_split_score_core(
             tf_head, post_rows_sh[0], post_tfs_sh[0], doc_len, keep,
             idf, avgdl,
             h_slots, h_tids,
             u_starts_sh[0], u_lens_sh[0], u_cols, t_tids,
             q_tids, q_counts,
-            vocab_pad=vocab_pad, r_cap=r_cap,
+            vocab_pad=vocab_pad, r_cap=r_cap, fast=fast,
         )                                                 # [B, N_local]
         bm_rows, bm_vals = _bm25_merge_sharded(
             bm, mask_bias, row_base, has_terms, k_bm25=k_bm25,
             select=select,
+            rescore_ctx=(
+                (term_ids, tfs, doc_len, avgdl, idf, q_tids, q_counts,
+                 vocab_pad) if fast else None
+            ),
         )
 
         return _fuse_replicated(
