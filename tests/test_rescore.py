@@ -135,3 +135,23 @@ def test_forced_approx_matches_exact_on_cpu(near_tie_store, tmp_path):
     want = store.hybrid_topk_batch(q[None, :], [["t1"]], None, top_k=8)
     got = sa.hybrid_topk_batch(q[None, :], [["t1"]], None, top_k=8)
     assert np.array_equal(np.asarray(want.rows), np.asarray(got.rows))
+
+
+def test_forced_approx_sharded_identity_on_cpu(near_tie_store):
+    """Forced-approx + fast-BM25 over the 8-device mesh equals the
+    forced-approx single-device path on CPU (where approx lowers to the
+    exact sort) — the SPMD fast path stays covered by identity CI."""
+    from classmate_rag_tpu.parallel import corpus_mesh
+    from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+    store, q, embs, _true = near_tie_store
+    store.select = "approx"
+    q_vecs = np.stack([q, -q])
+    terms = [["t0", "t3"], ["t1"]]
+    single = store.hybrid_topk_batch(q_vecs, terms, None, top_k=6)
+    idx = ShardedHybridIndex(store, corpus_mesh(8), top_k=6)
+    sharded = idx.query_batch(q_vecs, terms, None)
+    assert np.array_equal(np.asarray(single.rows), np.asarray(sharded.rows))
+    np.testing.assert_allclose(
+        np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
+    )
