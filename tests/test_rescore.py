@@ -155,3 +155,39 @@ def test_forced_approx_sharded_identity_on_cpu(near_tie_store):
     np.testing.assert_allclose(
         np.asarray(single.fused), np.asarray(sharded.fused), atol=1e-5
     )
+
+
+def test_fast_bm25_exact_on_random_corpus(tmp_path):
+    """Fast mode (bf16 sat + default-precision matmuls + exact pool
+    rescore) must reproduce the exact path on a 1,000-row random corpus
+    where the 64-wide pool is a REAL subset — hybrid top-k equality on
+    CPU (approx selection lowers exact there, so any difference would be
+    the fast scoring/rescore math)."""
+    rng = np.random.default_rng(11)
+    n, dim = 1000, 32
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [
+        [vocab[j] for j in rng.integers(0, len(vocab), rng.integers(5, 30))]
+        for _ in range(n)
+    ]
+    embs = rng.standard_normal((n, dim)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    ids = [f"d{i}" for i in range(n)]
+
+    stores = {}
+    for mode in ("exact", "approx"):
+        st = IndexStore(dim, tmp_path / mode, slab_rows=256,
+                        terms_per_chunk=32, rescore="on", select=mode)
+        st.upsert(ids, embs, docs, [{} for _ in range(n)])
+        stores[mode] = st
+
+    q_vecs = embs[:4] + 0.05 * rng.standard_normal((4, dim)).astype(np.float32)
+    q_vecs /= np.linalg.norm(q_vecs, axis=1, keepdims=True)
+    q_terms = [list(rng.choice(docs[i], 4)) for i in range(4)]
+    want = stores["exact"].hybrid_topk_batch(q_vecs, q_terms, None, top_k=8)
+    got = stores["approx"].hybrid_topk_batch(q_vecs, q_terms, None, top_k=8)
+    assert np.array_equal(np.asarray(want.rows), np.asarray(got.rows))
+    np.testing.assert_allclose(
+        np.asarray(want.bm25_score), np.asarray(got.bm25_score),
+        atol=1e-4, equal_nan=True,
+    )
