@@ -374,7 +374,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _configure_logging() -> None:
+    """Honor LOG_LEVEL (the reference declared the knob but never
+    configured the root logger, SURVEY §5 — here it actually applies).
+    Reads the env/.env directly so the slim no-jax tier needs no config
+    import side effects."""
+    import logging
+    import os
+
+    level = (os.environ.get("LOG_LEVEL") or "INFO").upper()
+    logging.basicConfig(
+        level=getattr(logging, level, logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
 def main(argv: Optional[list] = None) -> int:
+    _configure_logging()
     parser = build_parser()
     args = parser.parse_args(argv)
     return args.func(args)
