@@ -1,0 +1,96 @@
+"""Stateful fuzz of the sharded wrapper's incremental journal refresh.
+
+The O(delta) refresh tiers (bias-only, emb scatter, lexical scatter +
+head-column scatter, structural rebuild) each have their own trigger
+conditions; this fuzz drives a random mutation workload — overwrites,
+appends, deletes, metadata edits, compactions — through a WRAPPED store
+and asserts after every round that the incrementally-refreshed SPMD
+engine answers exactly like the single-device fused step over the same
+mutated store. Any divergence means a refresh tier failed to propagate
+some state.
+"""
+
+import numpy as np
+import pytest
+
+from classmate_rag_tpu.index.store import IndexStore
+
+DIM = 32
+VOCAB = [f"w{i}" for i in range(60)]
+
+
+def _doc(rng):
+    return [VOCAB[i] for i in rng.integers(0, len(VOCAB), rng.integers(3, 12))]
+
+
+def _emb(rng, n=1):
+    e = rng.standard_normal((n, DIM)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_incremental_refresh_matches_single_device(tmp_path, seed):
+    from classmate_rag_tpu.parallel import corpus_mesh
+    from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+    rng = np.random.default_rng(seed)
+    store = IndexStore(DIM, tmp_path, slab_rows=8, terms_per_chunk=16,
+                       rescore="on", rescore_pool=16)
+    n0 = 24
+    ids = [f"d{i}" for i in range(n0)]
+    store.upsert(ids, _emb(rng, n0), [_doc(rng) for _ in range(n0)],
+                 [{"course": f"c{i % 3}"} for i in range(n0)])
+    idx = ShardedHybridIndex(store, corpus_mesh(8), top_k=6)
+    next_id = n0
+    live = set(ids)
+
+    def check(tag):
+        qv = _emb(rng, 2)
+        terms = [_doc(rng)[:4], _doc(rng)[:4]]
+        for where in (None, {"course": "c1"}):
+            want = store.hybrid_topk_batch(qv, terms, where, top_k=6)
+            idx.ensure_fresh()
+            got = idx.query_batch(qv, terms, where)
+            assert np.array_equal(
+                np.asarray(want.rows), np.asarray(got.rows)
+            ), f"{tag} (where={where})"
+            np.testing.assert_allclose(
+                np.asarray(want.fused), np.asarray(got.fused), atol=1e-5,
+                err_msg=tag,
+            )
+
+    for round_i in range(12):
+        op = rng.integers(0, 5)
+        if op == 0 and live:  # overwrite: new emb, same tokens (rebuild-ish)
+            cid = sorted(live)[int(rng.integers(0, len(live)))]
+            entry_row = store.id_to_row[cid]
+            tokens = [
+                VOCAB[t] for t, cnt in zip(*np.unique(
+                    store.term_ids[entry_row][store.term_ids[entry_row] >= 0],
+                    return_counts=True,
+                )) for _ in range(cnt)
+            ] or [VOCAB[0]]
+            store.upsert([cid], _emb(rng), [tokens],
+                         [{"course": f"c{int(rng.integers(0, 3))}"}])
+        elif op == 1 and live:  # overwrite with NEW tokens (lexical tier)
+            cid = sorted(live)[int(rng.integers(0, len(live)))]
+            store.upsert([cid], _emb(rng), [_doc(rng)],
+                         [{"course": "c1"}])
+        elif op == 2:  # append (may grow capacity → structural)
+            n_new = int(rng.integers(1, 4))
+            new_ids = [f"d{next_id + j}" for j in range(n_new)]
+            next_id += n_new
+            store.upsert(new_ids, _emb(rng, n_new),
+                         [_doc(rng) for _ in range(n_new)],
+                         [{"course": f"c{j % 3}"} for j in range(n_new)])
+            live.update(new_ids)
+            # slab_rows=8 divides by the 8 shards, so every grown
+            # capacity stays shardable — the divisibility contract the
+            # runtime's _pick_n_shards guarantees in production.
+        elif op == 3 and len(live) > 4:  # delete (bias tier)
+            cid = sorted(live)[int(rng.integers(0, len(live)))]
+            store.delete([cid])
+            live.discard(cid)
+        elif op == 4 and rng.random() < 0.4:  # compact (structural)
+            store.compact()
+        check(f"round {round_i} op {op}")
