@@ -9,7 +9,10 @@ Two implementations with identical semantics:
 
 - ``topk_xla``: one einsum + additive mask + ``lax.top_k``. XLA fuses the
   mask into the matmul epilogue; the default for small N and CPU tests.
-- ``topk_pallas``: a Pallas kernel that tiles the corpus over a 1-D grid;
+- ``topk_pallas`` (the EXACT-mode scorer at ≥150k rows; at ≥500k rows
+  with the f16 rescore active the fused step instead selects its pool
+  via ``lax.approx_max_k`` — see ops/hybrid_step.py): a Pallas kernel
+  that tiles the corpus over a 1-D grid;
   each tile unconditionally selects ITS OWN top-k (k argmax rounds in
   VMEM, lowest-index tie-break) into a per-tile output block — no state
   crosses grid steps, so the pipeline streams freely — and one tiny XLA
