@@ -79,7 +79,12 @@ def main():
     queries = make_queries(rng, docs, emb)[:BATCH]
 
     tmp = Path(tempfile.mkdtemp(prefix="prof_idx_"))
-    store = IndexStore(DIM, tmp, slab_rows=4096, terms_per_chunk=128)
+    store = IndexStore(
+        DIM, tmp, slab_rows=4096, terms_per_chunk=128,
+        rescore=os.getenv("DENSE_RESCORE", "auto"),
+        rescore_pool=int(os.getenv("DENSE_RESCORE_POOL", "32")),
+        select=os.getenv("DENSE_SELECT", "auto"),
+    )
     ids = [f"c{i}" for i in range(N_CHUNKS)]
     for s in range(0, N_CHUNKS, 8192):
         e = min(s + 8192, N_CHUNKS)
@@ -214,6 +219,71 @@ def main():
           lambda qv, a, e: bm25_core(qv, a, e, True, True), q_vecs, A)
     timed("bm25 +topk", bm25_topk, q_vecs, A)
     timed("FULL fused step", full_step, q_vecs, A)
+
+    # ---- round-3 approx/fast stages (need the f16 rescore slab) --------
+    if dev.get("emb16") is None:
+        print("(rescore slab off at this scale — approx stages skipped)")
+        return
+    A["emb16"] = dev["emb16"]
+    A["term_ids"] = dev["term_ids"]
+    A["tfs"] = dev["tfs"]
+    rp = min(store.rescore_pool, store.capacity)
+
+    def dense_approx_sel(qv, a, eps):
+        s = jnp.einsum("qd,nd->qn", qv.astype(a["emb"].dtype), a["emb"],
+                       preferred_element_type=jnp.float32) + a["bias"][None, :]
+        v, i = jax.lax.approx_max_k(s, rp, recall_target=0.999)
+        return v.sum() + i.sum().astype(jnp.float32)
+
+    def dense_full_approx(qv, a, eps):
+        rows, dist = _dense_branch(
+            a["emb"], a["bias"], qv, k_vector=8, pool=24, use_mmr=True,
+            mmr_lambda=0.5, emb16=a["emb16"], rescore_pool=rp,
+            select="approx",
+        )
+        return rows.sum().astype(jnp.float32) + jnp.where(
+            jnp.isfinite(dist), dist, 0.0).sum()
+
+    def bm25_fast(qv, a, eps):
+        av = _vary(a, eps)
+        keep, idf, avgdl = _stats(av)
+        s = bm25_split_score_core(
+            av["tf_head"], av["post_rows"], av["post_tfs"], av["doc_len"],
+            keep, idf, avgdl, av["h_slots"], av["h_tids"],
+            av["u_starts"], av["u_lens"], av["u_cols"], av["t_tids"],
+            av["q_terms"], av["q_counts"], vocab_pad=vpad, r_cap=r_cap,
+            fast=True,
+        )
+        v, i = jax.lax.approx_max_k(
+            s + av["bias"][None, :], 64, recall_target=0.999
+        )
+        from classmate_rag_tpu.ops.hybrid_step import bm25_rescore_pool
+
+        exact = bm25_rescore_pool(
+            i, a["term_ids"], a["tfs"], av["doc_len"], avgdl, idf,
+            av["q_terms"], av["q_counts"], vpad,
+        )
+        return exact.sum() + v.sum()
+
+    def full_step_approx(qv, a, eps):
+        av = _vary(a, eps)
+        out = hybrid_query_step_split(
+            av["emb"], av["tf_head"], av["post_rows"], av["post_tfs"],
+            av["doc_len"], av["df"], av["bias"], qv,
+            av["h_slots"], av["h_tids"],
+            av["u_starts"], av["u_lens"], av["u_cols"], av["t_tids"],
+            av["q_terms"], av["q_counts"], av["has_terms"],
+            a["emb16"], a["term_ids"], a["tfs"],
+            k_vector=8, k_bm25=8, top_k=8, pool=24, vocab_pad=vpad,
+            r_cap=r_cap, rescore_pool=rp, select="approx",
+        )
+        return (out.rows.sum().astype(jnp.float32)
+                + jnp.where(jnp.isfinite(out.fused), out.fused, 0.0).sum())
+
+    timed("dense approx select", dense_approx_sel, q_vecs, A)
+    timed("dense full approx+rescore", dense_full_approx, q_vecs, A)
+    timed("bm25 FAST (+exact rescore)", bm25_fast, q_vecs, A)
+    timed("FULL fused step (approx)", full_step_approx, q_vecs, A)
 
 
 if __name__ == "__main__":
