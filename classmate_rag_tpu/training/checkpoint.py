@@ -159,10 +159,27 @@ def load_encoder_checkpoint(path: str | Path) -> Tuple[dict, object, str]:
     checkpointer = ocp.StandardCheckpointer()
     try:
         restored = checkpointer.restore(ckpt)
-    except BaseException:
+    except Exception:
         restored = ocp.PyTreeCheckpointer().restore(str(ckpt))
     params = restored["params"]
-    tag = blake2b(
-        f"{ckpt}".encode("utf-8"), digest_size=6
-    ).hexdigest()
+    tag = _params_digest(params)
     return params, config, f"ckpt-{ckpt.name}-{tag}"
+
+
+def _params_digest(params, digest_size: int = 6) -> str:
+    """Content digest of a params pytree: leaf paths, shapes, dtypes and
+    raw bytes. Keys the embedding cache so two fine-tunes that happen to
+    land in the same ``--checkpoint-dir`` at the same ``step_N`` can never
+    serve each other's cached vectors (the path alone cannot tell them
+    apart)."""
+    import numpy as np
+
+    h = blake2b(digest_size=digest_size)
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in leaves:
+        arr = np.asarray(leaf)
+        h.update(jax.tree_util.keystr(path).encode("utf-8"))
+        h.update(str(arr.shape).encode("utf-8"))
+        h.update(str(arr.dtype).encode("utf-8"))
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
