@@ -21,6 +21,7 @@ tpu → extractive.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from pathlib import Path
@@ -29,6 +30,8 @@ from typing import Any, Dict, List, Optional, Sequence
 from classmate_rag_tpu.config import Config, load_config
 from classmate_rag_tpu.index.lexical import tokenize
 from classmate_rag_tpu.utils.lang import detect_lang_tag
+
+logger = logging.getLogger(__name__)
 
 Messages = Sequence[Dict[str, str]]
 
@@ -260,6 +263,12 @@ class TPUDecodeRunner:
         if self._mesh is not None:
             # dp×tp decode: an 8B route model at bf16 exceeds one chip's
             # HBM — shard it (parallel/tp_decode.py) instead of failing.
+            if self._want_quantize:
+                logger.warning(
+                    "TPU_DECODE_INT8 requested but a device mesh is "
+                    "active: int8 quantization only applies to the "
+                    "single-chip path; decoding with bf16 sharded weights."
+                )
             from classmate_rag_tpu.parallel.tp_decode import (
                 make_tp_generate_fn, shard_decoder_params,
             )

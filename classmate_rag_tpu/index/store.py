@@ -711,11 +711,20 @@ class IndexStore:
                   t_tids, q_tids, q_counts, has_terms, emb16,
                   term_ids, tfs, **st):
             def body(carry, _):
+                # Thread the carry into BOTH branches' inputs: q_vecs alone
+                # leaves the entire lexical sub-graph loop-invariant, and
+                # XLA's while-loop ICM hoists it out of the scan — the
+                # probe then times dense-only and reports a ~2x-optimistic
+                # ceiling. doc_len perturbation makes avgdl + per-doc
+                # length normalization (head AND tail scoring) iteration-
+                # dependent; q_counts covers the term-weight side.
                 out = hybrid_query_step_split(
-                    emb, tf_head, post_rows, post_tfs, doc_len, df, bias,
+                    emb, tf_head, post_rows, post_tfs,
+                    doc_len + carry * 1e-12, df, bias,
                     q_vecs + carry * 1e-12,
                     h_slots, h_tids, u_starts, u_lens, u_cols, t_tids,
-                    q_tids, q_counts, has_terms, emb16, term_ids, tfs,
+                    q_tids, q_counts + carry * 1e-12,
+                    has_terms, emb16, term_ids, tfs,
                     **st,
                 )
                 s = jnp.sum(
