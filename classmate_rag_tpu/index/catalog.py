@@ -3,18 +3,61 @@
 Persists as JSONL with one ``{"id", "text", "tokens", "metadata"}`` object
 per line at ``<bm25_dir>/bm25_index.jsonl`` — the exact format and location
 of the reference's BM25 store (rag/retrieval/bm25.py:220-248), so dumps and
-catalogs interoperate across the two stacks. Unlike the reference, the
-rewrite is atomic (tmp file + rename) — the reference could truncate the
-catalog on a crash mid-save.
+catalogs interoperate across the two stacks.
+
+Unlike the reference — which holds every chunk's text + tokens + metadata
+in one Python dict, parses the whole file on startup and rewrites it on
+every save (rag/retrieval/bm25.py:14,189,220-248) — this catalog is
+DISK-BACKED and scales to serving-size corpora:
+
+- The base JSONL is indexed by byte offset per id in ONE binary scan (no
+  JSON parse of entry bodies; seconds at 1M chunks vs minutes), and
+  entries are fetched lazily per line with an LRU cache for hot ids.
+  Host RSS is O(ids), not O(corpus text).
+- Mutations append to a sidecar journal (``bm25_index.journal.jsonl``):
+  an ``/add`` or ``delete`` writes O(delta) bytes, never the whole file.
+  The journal folds back into the base (atomic tmp+rename) once it
+  outgrows ``_COMPACT_RATIO`` of the base, restoring the single-file
+  reference-interoperable layout; ``compact()`` forces the fold for an
+  immediate handoff to a reference stack.
+- The offset index + content fingerprint persist in a sidecar
+  (``catalog.offsets.npz``) validated by exact (size, mtime_ns) of both
+  files, so a warm cold start skips even the binary scan.
+
+``fingerprint()`` hashes base bytes then journal bytes; with an empty
+journal it equals the historical sha1-of-file, so existing store
+snapshots stay valid.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
+from hashlib import sha1
 from pathlib import Path
-from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from zipfile import BadZipFile
+
+# (source, offset, length): where the current version of an id's line
+# lives. Source 0 = base file, 1 = journal file, 2 = RAM-pending (offset
+# and length unused for pending).
+_BASE, _JOURNAL, _PENDING = 0, 1, 2
+
+# Fast id extraction for lines in our canonical key order; falls back to
+# a full JSON parse when the pattern misses (foreign writers).
+_ID_RE = re.compile(rb'^\{"id":\s*"([^"\\]+)"')
+
+_SCAN_BLOCK = 1 << 22  # 4 MiB
+
+# The journal folds into the base once it exceeds this fraction of the
+# base size, with an absolute floor so classroom-scale catalogs don't
+# rewrite on every add.
+_COMPACT_RATIO = 0.25
+_COMPACT_MIN_BYTES = 4 << 20
 
 
 @dataclass
@@ -25,92 +68,489 @@ class CatalogEntry:
     metadata: Dict[str, Any]
 
 
+def _entry_line(e: CatalogEntry) -> str:
+    return json.dumps(
+        {"id": e.id, "text": e.text, "tokens": e.tokens,
+         "metadata": e.metadata},
+        ensure_ascii=False,
+    )
+
+
+def _parse_entry(line: bytes | str) -> Optional[CatalogEntry]:
+    try:
+        rec = json.loads(line)
+    except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
+        return None
+    if not isinstance(rec, dict):
+        return None
+    cid = str(rec.get("id") or "")
+    if not cid:
+        return None
+    return CatalogEntry(
+        id=cid,
+        text=str(rec.get("text") or ""),
+        tokens=list(rec.get("tokens") or []),
+        metadata=dict(rec.get("metadata") or {}),
+    )
+
+
+def _stat_key(path: Path) -> Tuple[int, int]:
+    try:
+        st = path.stat()
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (0, 0)
+
+
+_EMPTY_SHA = sha1(b"").hexdigest()
+
+
 @dataclass
 class Catalog:
+    """Disk-backed catalog. The public surface (load_or_create / load /
+    save / fingerprint / upsert / delete / get / ``in`` / len / ids /
+    entries / items) is unchanged from the all-in-RAM round-3 version;
+    only the storage strategy differs."""
+
     path: Path
-    _entries: Dict[str, CatalogEntry] = field(default_factory=dict)
+    cache_entries: int = field(
+        default_factory=lambda: int(
+            os.getenv("CATALOG_CACHE_ENTRIES", "8192")
+        )
+    )
+    # id -> (source, offset, length); insertion order = first-seen order,
+    # preserved across upserts (dict semantics), matching the old
+    # dict-of-entries iteration order.
+    _index: Dict[str, Tuple[int, int, int]] = field(default_factory=dict)
+    _pending: Dict[str, CatalogEntry] = field(default_factory=dict)
+    _pending_deletes: List[str] = field(default_factory=list)
+    _cache: "OrderedDict[str, CatalogEntry]" = field(
+        default_factory=OrderedDict
+    )
+    _lock: threading.RLock = field(default_factory=threading.RLock)
+    _base_sha: Optional[str] = None  # hex sha1 of base-file bytes
+    _journal_hash: Any = field(default_factory=sha1)  # running, journal bytes
+    _sidecar_dirty: bool = False
 
     # ------------------------------------------------------------------
+    @property
+    def journal_path(self) -> Path:
+        stem = self.path.name.rsplit(".", 1)[0]
+        return self.path.with_name(stem + ".journal.jsonl")
+
+    @property
+    def _sidecar_path(self) -> Path:
+        return self.path.with_name("catalog.offsets.npz")
+
     @classmethod
-    def load_or_create(cls, directory: str | Path, filename: str = "bm25_index.jsonl") -> "Catalog":
+    def load_or_create(
+        cls, directory: str | Path, filename: str = "bm25_index.jsonl"
+    ) -> "Catalog":
         cat = cls(path=Path(directory) / filename)
         cat.load()
         return cat
 
+    # ------------------------------------------------------------------
+    # Loading: sidecar restore, else one binary offset scan — never a
+    # full JSON parse of entry bodies.
+    # ------------------------------------------------------------------
+
     def load(self) -> None:
-        self._entries.clear()
-        if not self.path.exists():
-            return
-        with self.path.open("r", encoding="utf-8", errors="ignore") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                cid = str(rec.get("id") or "")
-                if not cid:
-                    continue
-                self._entries[cid] = CatalogEntry(
-                    id=cid,
-                    text=str(rec.get("text") or ""),
-                    tokens=list(rec.get("tokens") or []),
-                    metadata=dict(rec.get("metadata") or {}),
-                )
+        with self._lock:
+            self._index.clear()
+            self._pending.clear()
+            self._pending_deletes.clear()
+            self._cache.clear()
+            self._base_sha = None
+            self._journal_hash = sha1()
+            self._sidecar_dirty = False
+            if not self.path.exists():
+                self._base_sha = _EMPTY_SHA
+                self._replay_journal()
+                return
+            if not self._load_sidecar():
+                self._scan_base()
+                self._replay_journal()
+                self._save_sidecar()
 
-    def fingerprint(self) -> str:
-        """sha1 of the on-disk JSONL — keys the store's fast-load lexical
-        snapshot to the exact catalog contents it was derived from."""
-        import hashlib
-
-        if not self.path.exists():
-            return ""
-        h = hashlib.sha1()
+    def _scan_base(self) -> None:
+        """One binary pass over the base JSONL: byte offsets + ids +
+        sha1, all in the same read."""
+        h = sha1()
+        offset = 0  # absolute offset of the next unconsumed byte
+        carry = b""
         with self.path.open("rb") as f:
-            for block in iter(lambda: f.read(1 << 20), b""):
+            while True:
+                block = f.read(_SCAN_BLOCK)
+                if not block:
+                    break
                 h.update(block)
-        return h.hexdigest()
+                data = carry + block
+                start = 0
+                while True:
+                    nl = data.find(b"\n", start)
+                    if nl < 0:
+                        carry = data[start:]
+                        break
+                    self._index_line(data[start:nl], offset, _BASE)
+                    offset += (nl - start) + 1
+                    start = nl + 1
+            if carry.strip():
+                self._index_line(carry, offset, _BASE)
+        self._base_sha = h.hexdigest()
 
-    def save(self) -> None:
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".jsonl.tmp")
-        with tmp.open("w", encoding="utf-8") as f:
-            for e in self._entries.values():
-                f.write(json.dumps(
-                    {"id": e.id, "text": e.text, "tokens": e.tokens,
-                     "metadata": e.metadata},
-                    ensure_ascii=False,
-                ) + "\n")
-        os.replace(tmp, self.path)
+    def _index_line(self, line: bytes, off: int, src: int) -> None:
+        stripped = line.strip()
+        if not stripped:
+            return
+        m = _ID_RE.match(stripped)
+        if m is not None:
+            cid = m.group(1).decode("utf-8", errors="ignore")
+        else:
+            e = _parse_entry(stripped)
+            if e is None:
+                return
+            cid = e.id
+        self._index[cid] = (src, off, len(line))
+
+    def _replay_journal(self) -> None:
+        """Apply journal ops in order; rebuilds the running journal hash
+        so later appends extend it incrementally."""
+        self._journal_hash = sha1()
+        jp = self.journal_path
+        if not jp.exists():
+            return
+        off = 0
+        with jp.open("rb") as f:
+            for raw in f:
+                self._journal_hash.update(raw)
+                line = raw.rstrip(b"\n")
+                stripped = line.strip()
+                if stripped:
+                    try:
+                        rec = json.loads(stripped)
+                    except (json.JSONDecodeError, ValueError):
+                        rec = None
+                    if isinstance(rec, dict) and rec.get("id"):
+                        if rec.get("op") == "delete":
+                            self._index.pop(str(rec["id"]), None)
+                        else:
+                            self._index[str(rec["id"])] = (
+                                _JOURNAL, off, len(line)
+                            )
+                off += len(raw)
 
     # ------------------------------------------------------------------
+    # Sidecar: persisted offset index for O(index) warm cold starts.
+    # ------------------------------------------------------------------
+
+    def _load_sidecar(self) -> bool:
+        import numpy as np
+
+        sp = self._sidecar_path
+        if not sp.exists():
+            return False
+        try:
+            with np.load(sp, allow_pickle=False) as z:
+                if (
+                    tuple(int(v) for v in z["base_stat"])
+                    != _stat_key(self.path)
+                    or tuple(int(v) for v in z["journal_stat"])
+                    != _stat_key(self.journal_path)
+                ):
+                    return False
+                blob = str(z["ids"])
+                ids = [i for i in blob.split("\n") if i] if blob else []
+                srcs, offs, lens = z["srcs"], z["offs"], z["lens"]
+                if not (len(ids) == len(srcs) == len(offs) == len(lens)):
+                    return False
+                base_sha = str(z["base_sha"])
+                # The running journal hash can't resume from a digest;
+                # re-read journal bytes (small by construction).
+                jh = sha1()
+                jp = self.journal_path
+                if jp.exists():
+                    with jp.open("rb") as f:
+                        for blk in iter(lambda: f.read(_SCAN_BLOCK), b""):
+                            jh.update(blk)
+                if jh.hexdigest() != str(z["journal_sha"]):
+                    return False
+                index = {
+                    cid: (int(srcs[i]), int(offs[i]), int(lens[i]))
+                    for i, cid in enumerate(ids)
+                }
+        except (OSError, ValueError, KeyError, BadZipFile):
+            return False
+        self._index = index
+        self._base_sha = base_sha
+        self._journal_hash = jh
+        return True
+
+    def _save_sidecar(self) -> None:
+        import numpy as np
+
+        try:
+            n = len(self._index)
+            srcs = np.fromiter(
+                (v[0] for v in self._index.values()), np.int8, n
+            )
+            offs = np.fromiter(
+                (v[1] for v in self._index.values()), np.int64, n
+            )
+            lens = np.fromiter(
+                (v[2] for v in self._index.values()), np.int64, n
+            )
+            tmp = self._sidecar_path.with_suffix(".npz.tmp")
+            self._sidecar_path.parent.mkdir(parents=True, exist_ok=True)
+            with tmp.open("wb") as f:
+                np.savez(
+                    f,
+                    ids=np.str_("\n".join(self._index.keys())),
+                    srcs=srcs, offs=offs, lens=lens,
+                    base_sha=np.str_(self._base_sha or ""),
+                    journal_sha=np.str_(self._journal_hash.hexdigest()),
+                    base_stat=np.asarray(_stat_key(self.path), np.int64),
+                    journal_stat=np.asarray(
+                        _stat_key(self.journal_path), np.int64
+                    ),
+                )
+            os.replace(tmp, self._sidecar_path)
+            self._sidecar_dirty = False
+        except OSError:
+            pass  # the sidecar is a pure accelerator; next load re-scans
+
+    # ------------------------------------------------------------------
+    # Fingerprint
+    # ------------------------------------------------------------------
+
+    def fingerprint(self) -> str:
+        """sha1 over base bytes then journal bytes — keys the store's
+        fast-load lexical snapshot to the exact on-disk catalog state.
+        Empty journal == the historical sha1-of-file value."""
+        with self._lock:
+            if not self.path.exists() and not self.journal_path.exists():
+                return ""
+            if self._base_sha is None:
+                h = sha1()
+                if self.path.exists():
+                    with self.path.open("rb") as f:
+                        for blk in iter(lambda: f.read(_SCAN_BLOCK), b""):
+                            h.update(blk)
+                self._base_sha = h.hexdigest()
+            jdigest = self._journal_hash.hexdigest()
+            if jdigest == _EMPTY_SHA:
+                return self._base_sha
+            h = sha1()
+            h.update(bytes.fromhex(self._base_sha))
+            h.update(bytes.fromhex(jdigest))
+            return h.hexdigest()
+
+    # ------------------------------------------------------------------
+    # Persistence: O(delta) journal appends; compaction folds the
+    # journal into an atomic base rewrite when it outgrows the ratio.
+    # ------------------------------------------------------------------
+
+    def save(self) -> None:
+        with self._lock:
+            self._flush_pending_locked()
+            jsize = (
+                self.journal_path.stat().st_size
+                if self.journal_path.exists() else 0
+            )
+            bsize = self.path.stat().st_size if self.path.exists() else 0
+            if jsize > max(_COMPACT_MIN_BYTES, int(_COMPACT_RATIO * bsize)):
+                self._compact_locked()
+            elif jsize and not bsize:
+                # Everything lives in the journal (fresh restore / first
+                # adds): fold immediately so the reference-visible base
+                # file exists from the start.
+                self._compact_locked()
+            if self._sidecar_dirty:
+                self._save_sidecar()
+
+    def _flush_pending_locked(self) -> None:
+        if not self._pending and not self._pending_deletes:
+            return
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        jp = self.journal_path
+        off = jp.stat().st_size if jp.exists() else 0
+        with jp.open("ab") as f:
+            # Tombstones first: within one batch a pending upsert is
+            # always the final live state for its id, so it must land
+            # after any tombstone for the same id.
+            for cid in self._pending_deletes:
+                raw = (json.dumps({"id": cid, "op": "delete"},
+                                  ensure_ascii=False) + "\n").encode("utf-8")
+                f.write(raw)
+                self._journal_hash.update(raw)
+                off += len(raw)
+            for cid, e in self._pending.items():
+                raw = (_entry_line(e) + "\n").encode("utf-8")
+                f.write(raw)
+                self._journal_hash.update(raw)
+                self._index[cid] = (_JOURNAL, off, len(raw) - 1)
+                off += len(raw)
+            f.flush()
+            os.fsync(f.fileno())
+        self._pending_deletes.clear()
+        self._pending.clear()
+        self._sidecar_dirty = True
+
+    def _compact_locked(self) -> None:
+        """Fold the journal into the base: stream every live entry to a
+        tmp file in index order, atomically replace the base, drop the
+        journal. Restores the single-file reference layout."""
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".jsonl.tmp")
+        h = sha1()
+        new_index: Dict[str, Tuple[int, int, int]] = {}
+        off = 0
+        handles: Dict[int, Any] = {}
+        try:
+            with tmp.open("wb") as out:
+                for cid, (src, loc_off, length) in self._index.items():
+                    if src == _PENDING:
+                        e = self._pending.get(cid)
+                    else:
+                        f = handles.get(src)
+                        if f is None:
+                            fp = (self.path if src == _BASE
+                                  else self.journal_path)
+                            try:
+                                f = fp.open("rb")
+                            except OSError:
+                                continue
+                            handles[src] = f
+                        f.seek(loc_off)
+                        e = _parse_entry(f.read(length))
+                    if e is None:
+                        continue
+                    raw = (_entry_line(e) + "\n").encode("utf-8")
+                    out.write(raw)
+                    h.update(raw)
+                    new_index[cid] = (_BASE, off, len(raw) - 1)
+                    off += len(raw)
+        finally:
+            for f in handles.values():
+                f.close()
+        os.replace(tmp, self.path)
+        jp = self.journal_path
+        if jp.exists():
+            jp.unlink()
+        self._index = new_index
+        self._cache.clear()  # cached entries are re-read from new offsets
+        self._base_sha = h.hexdigest()
+        self._journal_hash = sha1()
+        self._sidecar_dirty = True
+
+    def compact(self) -> None:
+        """Force-fold journal + pending into the base JSONL (immediate
+        handoff to a reference stack, which reads only the base)."""
+        with self._lock:
+            self._flush_pending_locked()
+            self._compact_locked()
+            self._save_sidecar()
+
+    # ------------------------------------------------------------------
+    # Mutation
+    # ------------------------------------------------------------------
+
     def upsert(self, entry: CatalogEntry) -> None:
-        self._entries[entry.id] = entry
+        with self._lock:
+            self._pending[entry.id] = entry
+            self._index[entry.id] = (_PENDING, 0, 0)
+            self._cache.pop(entry.id, None)
 
     def delete(self, ids: Sequence[str]) -> int:
         n = 0
-        for cid in ids:
-            if self._entries.pop(cid, None) is not None:
-                n += 1
+        with self._lock:
+            for cid in ids:
+                if cid in self._index:
+                    self._index.pop(cid)
+                    self._cache.pop(cid, None)
+                    self._pending.pop(cid, None)
+                    # Always journal the tombstone: the id may also have
+                    # an on-disk version the pending upsert shadowed.
+                    self._pending_deletes.append(cid)
+                    n += 1
         return n
 
+    # ------------------------------------------------------------------
+    # Lookup
+    # ------------------------------------------------------------------
+
     def get(self, cid: str) -> Optional[CatalogEntry]:
-        return self._entries.get(cid)
+        with self._lock:
+            return self._fetch_locked(cid)
+
+    def _fetch_locked(self, cid: str) -> Optional[CatalogEntry]:
+        loc = self._index.get(cid)
+        if loc is None:
+            return None
+        if loc[0] == _PENDING:
+            return self._pending.get(cid)
+        hit = self._cache.get(cid)
+        if hit is not None:
+            self._cache.move_to_end(cid)
+            return hit
+        src, off, length = loc
+        fpath = self.path if src == _BASE else self.journal_path
+        try:
+            with fpath.open("rb") as f:
+                f.seek(off)
+                line = f.read(length)
+        except OSError:
+            return None
+        e = _parse_entry(line)
+        if e is None:
+            return None
+        self._cache[cid] = e
+        if len(self._cache) > max(self.cache_entries, 1):
+            self._cache.popitem(last=False)
+        return e
 
     def __contains__(self, cid: str) -> bool:
-        return cid in self._entries
+        with self._lock:
+            return cid in self._index
 
     def __len__(self) -> int:
-        return len(self._entries)
+        return len(self._index)
 
     @property
     def ids(self) -> List[str]:
-        return list(self._entries.keys())
+        with self._lock:
+            return list(self._index.keys())
 
     def entries(self) -> Iterator[CatalogEntry]:
-        return iter(self._entries.values())
+        """Stream live entries in first-seen order; full scans do NOT
+        populate (or evict) the hot-id LRU cache."""
+        for _, e in self.items():
+            yield e
 
-    def items(self) -> Iterator[tuple[str, CatalogEntry]]:
-        return iter(self._entries.items())
+    def items(self) -> Iterator[Tuple[str, CatalogEntry]]:
+        with self._lock:
+            snapshot = list(self._index.items())
+        handles: Dict[int, Any] = {}
+        try:
+            for cid, (src, off, length) in snapshot:
+                if src == _PENDING:
+                    with self._lock:
+                        e = self._pending.get(cid)
+                    if e is not None:
+                        yield cid, e
+                    continue
+                f = handles.get(src)
+                if f is None:
+                    fpath = self.path if src == _BASE else self.journal_path
+                    try:
+                        f = fpath.open("rb")
+                    except OSError:
+                        continue
+                    handles[src] = f
+                f.seek(off)
+                e = _parse_entry(f.read(length))
+                if e is not None:
+                    yield cid, e
+        finally:
+            for f in handles.values():
+                f.close()

@@ -881,15 +881,19 @@ class IndexStore:
         if store._load_snapshot(catalog):
             # Fast path: derived columns restored byte-for-byte; only the
             # validity recheck (row alive AND catalog entry present)
-            # touches the catalog.
+            # touches the catalog — a pure membership test, no entry-body
+            # reads (the disk-backed catalog fetches bodies lazily).
             for i in range(n):
-                store.valid[i] = bool(valid[i]) and (
-                    catalog.get(ids[i]) is not None
-                )
+                store.valid[i] = bool(valid[i]) and (ids[i] in catalog)
             store._dirty = True
             return store
 
-        entries = [catalog.get(cid) for cid in ids[:n]]
+        # Cold rebuild (no snapshot): stream the catalog ONCE instead of
+        # n random per-id fetches — the disk-backed catalog reads
+        # sequentially through items().
+        wanted = set(ids[:n])
+        by_id = {cid: e for cid, e in catalog.items() if cid in wanted}
+        entries = [by_id.get(cid) for cid in ids[:n]]
         with_tokens = [i for i in range(n) if entries[i] is not None]
         if with_tokens:
             t_ids_b, t_tfs_b, dl_b = store._pack_rows(

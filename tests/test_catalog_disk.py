@@ -1,0 +1,219 @@
+"""Disk-backed catalog: offset index, O(delta) journal, compaction,
+sidecar warm loads, and interop with reference-format JSONL.
+
+The round-3 catalog held every entry in RAM and rewrote the whole JSONL
+on save (the reference's design, rag/retrieval/bm25.py:220-248); these
+tests pin the round-4 contract: adds/deletes append O(delta) bytes, the
+base file only changes on compaction, and all read paths (get / entries
+/ items / contains / len) agree with an in-RAM oracle throughout.
+"""
+
+import json
+import random
+
+from classmate_rag_tpu.index.catalog import Catalog, CatalogEntry
+
+
+def make_entry(i, text=None):
+    return CatalogEntry(
+        id=f"cm_{i:08d}",
+        text=text or f"chunk text number {i} with some words",
+        tokens=[f"tok{i}", "common", f"word{i % 7}"],
+        metadata={"course": "c1", "page": i},
+    )
+
+
+def seeded_catalog(tmp_path, n=20):
+    cat = Catalog.load_or_create(tmp_path)
+    for i in range(n):
+        cat.upsert(make_entry(i))
+    cat.save()
+    return cat
+
+
+def test_roundtrip_and_reload(tmp_path):
+    cat = seeded_catalog(tmp_path)
+    assert len(cat) == 20
+    fresh = Catalog.load_or_create(tmp_path)
+    assert len(fresh) == 20
+    e = fresh.get("cm_00000003")
+    assert e is not None and e.text == make_entry(3).text
+    assert e.tokens == make_entry(3).tokens
+    assert e.metadata == {"course": "c1", "page": 3}
+    assert "cm_00000019" in fresh
+    assert "cm_99999999" not in fresh
+
+
+def test_save_appends_journal_not_base(tmp_path):
+    cat = seeded_catalog(tmp_path)
+    base_bytes = cat.path.read_bytes()
+    cat.upsert(make_entry(100))
+    cat.delete(["cm_00000001"])
+    cat.save()
+    # O(delta): the base JSONL is untouched; the delta is in the journal.
+    assert cat.path.read_bytes() == base_bytes
+    journal = cat.journal_path.read_text(encoding="utf-8")
+    assert '"op": "delete"' in journal
+    assert "cm_00000100" in journal
+
+    fresh = Catalog.load_or_create(tmp_path)
+    assert "cm_00000100" in fresh
+    assert "cm_00000001" not in fresh
+    assert len(fresh) == 20
+
+
+def test_upsert_overwrites_via_journal(tmp_path):
+    cat = seeded_catalog(tmp_path)
+    cat.upsert(make_entry(5, text="REVISED"))
+    cat.save()
+    assert cat.get("cm_00000005").text == "REVISED"
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.get("cm_00000005").text == "REVISED"
+    # First-seen order is preserved across upserts (dict semantics).
+    assert fresh.ids.index("cm_00000005") == 5
+
+
+def test_delete_shadows_base_even_after_pending_upsert(tmp_path):
+    """upsert(x) then delete(x) in one batch must tombstone the on-disk
+    version of x too, not just drop the pending copy."""
+    cat = seeded_catalog(tmp_path)
+    cat.upsert(make_entry(2, text="SHADOW"))
+    assert cat.delete(["cm_00000002"]) == 1
+    cat.save()
+    fresh = Catalog.load_or_create(tmp_path)
+    assert "cm_00000002" not in fresh
+    assert len(fresh) == 19
+
+
+def test_compact_restores_single_file_layout(tmp_path):
+    cat = seeded_catalog(tmp_path)
+    cat.upsert(make_entry(50, text="from journal"))
+    cat.delete(["cm_00000000"])
+    cat.save()
+    assert cat.journal_path.exists()
+    cat.compact()
+    assert not cat.journal_path.exists()
+    # The base is now the full truth, parseable by a reference-style
+    # line reader.
+    lines = [json.loads(l) for l in
+             cat.path.read_text(encoding="utf-8").splitlines()]
+    ids = [r["id"] for r in lines]
+    assert "cm_00000050" in ids and "cm_00000000" not in ids
+    assert len(ids) == 20
+    by_id = {r["id"]: r for r in lines}
+    assert by_id["cm_00000050"]["text"] == "from journal"
+    assert cat.get("cm_00000050").text == "from journal"
+
+
+def test_fingerprint_matches_plain_sha1_when_no_journal(tmp_path):
+    """Empty journal → the historical sha1-of-file, so lexical snapshots
+    written by the round-3 catalog stay valid."""
+    import hashlib
+
+    cat = seeded_catalog(tmp_path)
+    cat.compact()
+    expect = hashlib.sha1(cat.path.read_bytes()).hexdigest()
+    assert cat.fingerprint() == expect
+    # Journal mutations change the fingerprint.
+    cat.upsert(make_entry(999))
+    cat.save()
+    assert cat.fingerprint() != expect
+
+
+def test_sidecar_warm_load_and_invalidation(tmp_path):
+    cat = seeded_catalog(tmp_path)
+    assert cat._sidecar_path.exists()
+    warm = Catalog.load_or_create(tmp_path)
+    assert warm.ids == cat.ids
+    assert warm.get("cm_00000007").text == make_entry(7).text
+
+    # Foreign mutation of the base invalidates the sidecar (stat key).
+    with cat.path.open("a", encoding="utf-8") as f:
+        f.write(json.dumps({"id": "cm_foreign", "text": "x",
+                            "tokens": ["x"], "metadata": {}}) + "\n")
+    reloaded = Catalog.load_or_create(tmp_path)
+    assert "cm_foreign" in reloaded
+    assert len(reloaded) == 21
+
+
+def test_reads_reference_written_jsonl(tmp_path):
+    """A file written by the reference stack (different key order, no
+    sidecar/journal) loads correctly — id extraction falls back to a
+    real JSON parse when the fast-prefix pattern misses."""
+    path = tmp_path / "bm25_index.jsonl"
+    recs = [
+        {"text": "hello world", "id": "ref_1", "tokens": ["hello"],
+         "metadata": {"course": "x"}},
+        {"metadata": {}, "tokens": ["b"], "text": "second", "id": "ref_2"},
+    ]
+    path.write_text(
+        "\n".join(json.dumps(r) for r in recs) + "\n", encoding="utf-8"
+    )
+    cat = Catalog.load_or_create(tmp_path)
+    assert len(cat) == 2
+    assert cat.get("ref_1").text == "hello world"
+    assert cat.get("ref_2").tokens == ["b"]
+
+
+def test_truncated_journal_tail_is_tolerated(tmp_path):
+    """A crash mid-append leaves a partial last line; it must be skipped,
+    not corrupt the catalog."""
+    cat = seeded_catalog(tmp_path)
+    cat.upsert(make_entry(60))
+    cat.save()
+    raw = cat.journal_path.read_bytes()
+    cat.journal_path.write_bytes(raw + b'{"id": "cm_trunc", "te')
+    fresh = Catalog.load_or_create(tmp_path)
+    assert "cm_00000060" in fresh
+    assert "cm_trunc" not in fresh
+    assert len(fresh) == 21
+
+
+def test_lru_cache_bounded(tmp_path):
+    cat = seeded_catalog(tmp_path, n=30)
+    cat.compact()
+    cat.cache_entries = 4
+    for i in range(30):
+        assert cat.get(f"cm_{i:08d}") is not None
+    assert len(cat._cache) <= 4
+    # Full scans don't pollute the cache.
+    _ = [e.id for e in cat.entries()]
+    assert len(cat._cache) <= 4
+
+
+def test_stateful_vs_oracle(tmp_path):
+    """Random upsert/delete/save/reload/compact trace: the disk-backed
+    catalog tracks an in-RAM dict oracle exactly."""
+    rng = random.Random(7)
+    cat = Catalog.load_or_create(tmp_path)
+    oracle = {}
+    for step in range(300):
+        op = rng.random()
+        if op < 0.5:
+            i = rng.randrange(60)
+            text = f"v{step}"
+            cat.upsert(make_entry(i, text=text))
+            oracle[f"cm_{i:08d}"] = text
+        elif op < 0.75:
+            i = rng.randrange(60)
+            cid = f"cm_{i:08d}"
+            got = cat.delete([cid])
+            assert got == (1 if cid in oracle else 0)
+            oracle.pop(cid, None)
+        elif op < 0.9:
+            cat.save()
+        elif op < 0.97:
+            cat.save()
+            cat = Catalog.load_or_create(tmp_path)
+        else:
+            cat.compact()
+        if rng.random() < 0.1:
+            assert len(cat) == len(oracle)
+            for cid, text in list(oracle.items())[:5]:
+                assert cat.get(cid).text == text
+    cat.save()
+    final = Catalog.load_or_create(tmp_path)
+    assert sorted(final.ids) == sorted(oracle)
+    for cid, text in oracle.items():
+        assert final.get(cid).text == text
+    assert sorted(e.id for e in final.entries()) == sorted(oracle)
