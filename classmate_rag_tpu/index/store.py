@@ -112,6 +112,16 @@ class IndexStore:
         self._j_emb: set = set()
         self._j_lex: set = set()
         self._j_meta: set = set()
+        # Persistence delta tracking (independent of the sharded journal,
+        # which is drained by its own consumer): rows touched since the
+        # last save, cleared only by save(). With a persisted base, save()
+        # appends one small lexical.delta_NNNN.npz per persist instead of
+        # rewriting the multi-GB base at serving scale.
+        self._dirty_rows: set = set()
+        self._persist_fp: Optional[str] = None  # catalog fp chain head
+        self._persist_vocab = 0  # vocab size at last persist (delta base)
+        self._delta_seq = 0
+        self._need_full_save = False
         # Native batch packer (C++ interner); created lazily. Once the
         # Python fallback interns anything the native side doesn't know,
         # native packing disables permanently for this store (the two
@@ -225,12 +235,14 @@ class IndexStore:
             # so a sharded wrapper re-places only the delta.
             if fresh or not np.array_equal(self.emb[row], emb_new):
                 self._j_emb.add(row)
+                self._dirty_rows.add(row)
             if fresh or not (
                 np.array_equal(self.term_ids[row], t_ids_b[i])
                 and np.array_equal(self.tfs[row], t_tfs_b[i])
                 and self.doc_len[row] == dl_b[i]
             ):
                 self._j_lex.add(row)
+                self._dirty_rows.add(row)
             self.emb[row] = emb_new
             self.term_ids[row] = t_ids_b[i]
             self.tfs[row] = t_tfs_b[i]
@@ -256,6 +268,7 @@ class IndexStore:
             self.valid[row] = True
             if meta_changed:
                 self._j_meta.add(row)
+                self._dirty_rows.add(row)
         self._dirty = True
         return len(ids)
 
@@ -267,6 +280,7 @@ class IndexStore:
             if row is not None and self.valid[row]:
                 self.valid[row] = False
                 self._j_meta.add(row)
+                self._dirty_rows.add(row)
                 n += 1
         if n:
             self._dirty = True
@@ -307,6 +321,8 @@ class IndexStore:
         self._j_emb.clear()
         self._j_lex.clear()
         self._j_meta.clear()
+        self._dirty_rows.clear()
+        self._need_full_save = True
         return reclaimed
 
     def drain_journal(self):
@@ -762,13 +778,47 @@ class IndexStore:
     # Persistence
     # ------------------------------------------------------------------
 
+    # Cap on chained delta files before a forced full rewrite (bounds
+    # the per-cold-start apply work and the directory clutter).
+    MAX_DELTAS = 128
+
+    def _delta_paths(self) -> List[Path]:
+        return sorted(self.directory.glob("lexical.delta_*.npz"))
+
     def save(self, catalog_fingerprint: Optional[str] = None) -> None:
-        """Persist embeddings + row registry; with a catalog fingerprint,
-        also snapshot the derived columns (lexical + metadata + vocab) so
-        the next load skips the catalog re-pack entirely (fast cold
-        start). The fingerprint keys the snapshot to the exact catalog it
-        was derived from; any mismatch at load falls back to a rebuild."""
+        """Persist the store. With a persisted base in place and a known
+        fingerprint chain, this appends ONE small delta file covering the
+        rows touched since the last save — O(delta) bytes, like the
+        catalog's journal — instead of rewriting the multi-GB
+        embeddings + lexical snapshot at serving scale. Falls back to a
+        full rewrite when the delta is large (>25% of rows), the chain is
+        broken/absent, rows moved (compact), or no fingerprint is given.
+
+        The fingerprint keys every persisted artifact to the exact
+        catalog state it was derived from; load validates the full
+        base→delta chain against the live catalog and rebuilds from the
+        catalog on any mismatch."""
         self.directory.mkdir(parents=True, exist_ok=True)
+        base_ok = (
+            self._persist_fp is not None
+            and (self.directory / "embeddings.npy").exists()
+            and (self.directory / "rows.json").exists()
+            and (self.directory / "lexical.npz").exists()
+        )
+        if (
+            catalog_fingerprint is None
+            or not base_ok
+            or self._need_full_save
+            or self._delta_seq >= self.MAX_DELTAS
+            or len(self._dirty_rows) * 4 > max(self.n_rows, 1)
+        ):
+            self._full_save(catalog_fingerprint)
+            return
+        if not self._dirty_rows and catalog_fingerprint == self._persist_fp:
+            return  # nothing changed since the last persist
+        self._delta_save(catalog_fingerprint)
+
+    def _full_save(self, catalog_fingerprint: Optional[str]) -> None:
         np.save(self.directory / "embeddings.npy", self.emb[: self.n_rows])
         registry = {
             "ids": self.ids,
@@ -779,10 +829,17 @@ class IndexStore:
         tmp.write_text(json.dumps(registry), encoding="utf-8")
         tmp.replace(self.directory / "rows.json")
 
+        for p in self._delta_paths():
+            p.unlink(missing_ok=True)
+        self._dirty_rows.clear()
+        self._delta_seq = 0
+        self._need_full_save = False
+
         snap = self.directory / "lexical.npz"
         if catalog_fingerprint is None:
             # Without a fingerprint a stale snapshot must not survive.
             snap.unlink(missing_ok=True)
+            self._persist_fp = None
             return
         n = self.n_rows
         vocab_terms = sorted(self.vocab, key=self.vocab.__getitem__)
@@ -804,16 +861,116 @@ class IndexStore:
                 tag_slots=np.str_(json.dumps(self.tag_slots)),
             )
         tmp_snap.replace(snap)
+        self._persist_fp = catalog_fingerprint
+        self._persist_vocab = len(self.vocab)
 
-    def _load_snapshot(self, catalog: Catalog) -> bool:
-        """Restore the derived columns from lexical.npz when it matches
-        the live catalog byte-for-byte. Returns True on success."""
+    def _delta_save(self, catalog_fingerprint: str) -> None:
+        """Append lexical.delta_NNNN.npz: the touched rows' full column
+        state + registry/vocab extensions, chained by catalog
+        fingerprints (prev -> this)."""
+        rows = np.asarray(sorted(self._dirty_rows), np.int64)
+        rows = rows[rows < self.n_rows]
+        # Vocab delta, not the full table: only terms interned since the
+        # last persist (term ids are append-only), so a delta stays
+        # O(touched rows), not O(vocab).
+        all_terms = sorted(self.vocab, key=self.vocab.__getitem__)
+        vocab_new = all_terms[self._persist_vocab:]
+        path = self.directory / f"lexical.delta_{self._delta_seq:04d}.npz"
+        tmp = path.with_suffix(".npz.tmp")
+        with tmp.open("wb") as f:
+            np.savez(
+                f,
+                prev_fingerprint=np.str_(self._persist_fp),
+                fingerprint=np.str_(catalog_fingerprint),
+                dim=np.int64(self.dim),
+                term_width=np.int64(self.term_width),
+                rows=rows,
+                row_ids=np.str_("\n".join(self.ids[r] for r in rows)),
+                valid=self.valid[rows],
+                emb=self.emb[rows],
+                term_ids=self.term_ids[rows],
+                tfs=self.tfs[rows],
+                doc_len=self.doc_len[rows],
+                field_cols=self.field_cols[:, rows],
+                tag_bits=self.tag_bits[rows],
+                n_rows=np.int64(self.n_rows),
+                vocab_from=np.int64(self._persist_vocab),
+                vocab_new=np.str_("\n".join(vocab_new)),
+                interns=np.str_(json.dumps(
+                    {f: t.to_id for f, t in self.interns.items()}
+                )),
+                tag_slots=np.str_(json.dumps(self.tag_slots)),
+            )
+        tmp.replace(path)
+        self._dirty_rows.clear()
+        self._delta_seq += 1
+        self._persist_fp = catalog_fingerprint
+        self._persist_vocab = len(self.vocab)
+
+    def _apply_delta(self, path: Path) -> bool:
+        """Apply one persisted delta onto the in-memory state. Chain
+        validation happened before; returns False on structural
+        mismatch."""
+        with np.load(path, allow_pickle=False) as z:
+            if (int(z["dim"]) != self.dim
+                    or int(z["term_width"]) != self.term_width):
+                return False
+            rows = z["rows"]
+            blob = str(z["row_ids"])
+            row_ids = blob.split("\n") if blob else []
+            if len(row_ids) != len(rows):
+                return False
+            n_after = int(z["n_rows"])
+            self._grow_to(max(n_after, 1))
+            # Registry extension: new rows always appended contiguously.
+            for r, cid in zip(rows, row_ids):
+                r = int(r)
+                if r < len(self.ids):
+                    if self.ids[r] != cid:
+                        return False
+                elif r == len(self.ids):
+                    self.ids.append(cid)
+                    self.id_to_row[cid] = r
+                else:
+                    return False
+            if len(self.ids) != n_after:
+                return False
+            self.valid[rows] = z["valid"]
+            self.emb[rows] = z["emb"]
+            self.term_ids[rows] = z["term_ids"]
+            self.tfs[rows] = z["tfs"]
+            self.doc_len[rows] = z["doc_len"]
+            self.field_cols[:, rows] = z["field_cols"]
+            self.tag_bits[rows] = z["tag_bits"]
+            vocab_from = int(z["vocab_from"])
+            if vocab_from != len(self.vocab):
+                return False
+            blob_v = str(z["vocab_new"])
+            for t in (blob_v.split("\n") if blob_v else []):
+                self.vocab[t] = len(self.vocab)
+            interns = json.loads(str(z["interns"]))
+            for f_name, mapping in interns.items():
+                if f_name in self.interns:
+                    self.interns[f_name].to_id = {
+                        k: int(v) for k, v in mapping.items()
+                    }
+            self.tag_slots = {
+                k: int(v)
+                for k, v in json.loads(str(z["tag_slots"])).items()
+            }
+        return True
+
+    def _load_snapshot(self, expected_fp: str) -> bool:
+        """Restore the derived columns from lexical.npz when its recorded
+        fingerprint matches ``expected_fp`` (the live catalog fingerprint,
+        or — when persisted deltas exist — the chain's base fingerprint).
+        Returns True on success."""
         snap = self.directory / "lexical.npz"
         if not snap.exists():
             return False
         try:
             with np.load(snap, allow_pickle=False) as z:
-                if str(z["fingerprint"]) != catalog.fingerprint():
+                if str(z["fingerprint"]) != expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
                     return False
@@ -865,7 +1022,9 @@ class IndexStore:
             return store
         try:
             registry = json.loads(reg_path.read_text(encoding="utf-8"))
-            emb = np.load(emb_path)
+            # mmap: avoid double residency (file copy + slab) during the
+            # bulk slice-assign below — pages stream through the cache.
+            emb = np.load(emb_path, mmap_mode="r")
         except (OSError, ValueError, json.JSONDecodeError):
             return store
         if emb.ndim != 2 or emb.shape[1] != dim:
@@ -874,19 +1033,84 @@ class IndexStore:
         valid = list(registry.get("valid") or [])
         n = min(len(ids), emb.shape[0], len(valid))
         store._grow_to(max(n, 1))
-        for i in range(n):
-            row = store._row_for(ids[i])
-            store.emb[row] = emb[i]
-
-        if store._load_snapshot(catalog):
-            # Fast path: derived columns restored byte-for-byte; only the
-            # validity recheck (row alive AND catalog entry present)
-            # touches the catalog — a pure membership test, no entry-body
-            # reads (the disk-backed catalog fetches bodies lazily).
+        id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
+        if len(id_to_row) == n:
+            # Registry ids are unique (always true for our own saves):
+            # vectorized restore — one slice copy instead of n per-row
+            # copies (seconds vs minutes at 1M rows).
+            store.ids = list(ids[:n])
+            store.id_to_row = id_to_row
+            store.emb[:n] = emb[:n]
+        else:
             for i in range(n):
-                store.valid[i] = bool(valid[i]) and (ids[i] in catalog)
-            store._dirty = True
-            return store
+                row = store._row_for(ids[i])
+                store.emb[row] = emb[i]
+
+        # Persisted deltas (O(delta) saves since the last full rewrite):
+        # the chain base_fp -> delta_0 -> ... -> delta_last must end at
+        # the live catalog fingerprint, else everything persisted is
+        # stale and the store rebuilds from the catalog.
+        live_fp = catalog.fingerprint()
+        delta_paths = store._delta_paths()
+        expected_fp, chain = live_fp, []
+        if delta_paths:
+            chain_fps = []
+            try:
+                for p in delta_paths:
+                    with np.load(p, allow_pickle=False) as z:
+                        chain_fps.append(
+                            (str(z["prev_fingerprint"]), str(z["fingerprint"]))
+                        )
+            except (OSError, ValueError, KeyError):
+                chain_fps = None
+            ok = (
+                chain_fps is not None
+                and chain_fps[-1][1] == live_fp
+                and all(
+                    chain_fps[i][1] == chain_fps[i + 1][0]
+                    for i in range(len(chain_fps) - 1)
+                )
+            )
+            if ok:
+                expected_fp = chain_fps[0][0]
+                chain = delta_paths
+
+        if store._load_snapshot(expected_fp):
+            # Registry validity first; deltas then overwrite the flags of
+            # any rows they touched (a delta is newer than the base
+            # registry).
+            store.valid[:n] = np.asarray(valid[:n], bool)
+            applied = True
+            for p in chain:
+                if not store._apply_delta(p):
+                    applied = False
+                    break
+            if applied:
+                # Final validity recheck (row alive AND catalog entry
+                # present): a bulk membership test — no entry-body reads
+                # (the disk-backed catalog fetches bodies lazily).
+                m = store.n_rows
+                present = catalog.contains_many(store.ids[:m])
+                store.valid[:m] &= np.asarray(present, bool)
+                store._dirty = True
+                store._persist_fp = live_fp
+                store._persist_vocab = len(store.vocab)
+                store._delta_seq = len(chain)
+                return store
+            # A delta failed structurally: fall through to cold rebuild.
+            store = cls(dim, directory, slab_rows, terms_per_chunk,
+                        rescore=rescore, rescore_pool=rescore_pool,
+                        select=select)
+            store._grow_to(max(n, 1))
+            id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
+            if len(id_to_row) == n:
+                store.ids = list(ids[:n])
+                store.id_to_row = id_to_row
+                store.emb[:n] = emb[:n]
+            else:
+                for i in range(n):
+                    row = store._row_for(ids[i])
+                    store.emb[row] = emb[i]
 
         # Cold rebuild (no snapshot): stream the catalog ONCE instead of
         # n random per-id fetches — the disk-backed catalog reads
