@@ -372,6 +372,234 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Product stage: the END-TO-END path at serving scale — Runtime.ask with
+# the real catalog (disk-backed), persisted store, neighbor expansion and
+# generation tail, measured in a FRESH process so cold-start seconds and
+# host RSS are the product's, not this builder process's.
+# ---------------------------------------------------------------------------
+
+PRODUCT_CHUNKS = int(os.getenv("BENCH_PRODUCT_CHUNKS", "1000000"))
+PRODUCT_ASKS = int(os.getenv("BENCH_PRODUCT_ASKS", "32"))
+_CHUNKS_PER_DOC = 10
+
+
+def _build_product_corpus(root: Path, n_chunks: int) -> float:
+    """Materialize a persisted product index: catalog JSONL in the
+    canonical on-disk format + a fully saved IndexStore with lexical
+    snapshot. Ids are real stable_chunk_ids over synthetic doc/chunk
+    coordinates so neighbor expansion reconstructs them arithmetically
+    and fetches real catalog entries."""
+    import gc
+
+    from classmate_rag_tpu.index.catalog import Catalog
+    from classmate_rag_tpu.index.store import IndexStore
+    from classmate_rag_tpu.utils.ids import stable_chunk_id
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(42)
+    docs, emb = build_corpus(rng, n_chunks)
+    bm25 = root / "bm25"
+    dense = root / "dense"
+    bm25.mkdir(parents=True, exist_ok=True)
+    ids, metas = [], []
+    with (bm25 / "bm25_index.jsonl").open("w", encoding="utf-8") as f:
+        for i, toks in enumerate(docs):
+            d, c = divmod(i, _CHUNKS_PER_DOC)
+            sp = f"/bench/doc_{d}.txt"
+            cid = stable_chunk_id(
+                source_path=Path(sp), page=1, chunk_index=c,
+                course="bench", unit=None,
+            )
+            meta = {
+                "course": "bench", "language": "en", "doc_type": "txt",
+                "source_path": sp, "page": 1, "chunk_id": c,
+            }
+            f.write(json.dumps(
+                {"id": cid, "text": " ".join(toks), "tokens": toks,
+                 "metadata": meta},
+                ensure_ascii=False,
+            ) + "\n")
+            ids.append(cid)
+            metas.append(meta)
+    catalog = Catalog.load_or_create(bm25)
+    # Shape parameters MUST match what get_runtime() will construct in
+    # the child (config defaults), or the lexical snapshot is rejected
+    # on term_width mismatch and the child cold-rebuilds from the
+    # catalog instead of taking the fast path.
+    store = IndexStore(
+        DIM, dense, slab_rows=4096,
+        terms_per_chunk=min(int(os.getenv("BM25_TERMS_PER_CHUNK", "256")),
+                            512),
+    )
+    batch = 8192
+    for s in range(0, n_chunks, batch):
+        e = min(s + batch, n_chunks)
+        store.upsert(ids[s:e], emb[s:e], docs[s:e], metas[s:e])
+    store.save(catalog_fingerprint=catalog.fingerprint())
+    del store, catalog, docs, emb, ids, metas
+    gc.collect()
+    return time.perf_counter() - t0
+
+
+def _run_product_child(root: Path, n_asks: int, timeout_s: int = 3600):
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        INDEX_DIR=str(root),
+        BM25_DIR=str(root / "bm25"),
+        DENSE_DIR=str(root / "dense"),
+        EMBEDDING_BACKEND=env.get("EMBEDDING_BACKEND", "hash"),
+    )
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "product-child",
+         str(n_asks)],
+        capture_output=True, text=True, env=env, timeout=timeout_s,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("PRODUCT_CHILD_JSON:"):
+            return json.loads(line[len("PRODUCT_CHILD_JSON:"):])
+    raise RuntimeError(
+        f"product child failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def _rss_mb() -> dict:
+    out = {}
+    try:
+        for line in Path("/proc/self/status").read_text().splitlines():
+            if line.startswith(("VmRSS", "VmHWM")):
+                k, v = line.split(":", 1)
+                out[k] = round(int(v.split()[0]) / 1024, 1)  # kB -> MB
+    except OSError:
+        pass
+    return out
+
+
+def product_child_main(n_asks: int) -> None:
+    """Runs inside the fresh child process: cold-start the Runtime from
+    disk, answer questions end-to-end, probe one /add + persist."""
+    from classmate_rag_tpu.metadata import DocumentMetadata
+    from classmate_rag_tpu.pipeline.ask import ask_question
+    from classmate_rag_tpu.pipeline.runtime import get_runtime
+
+    t0 = time.perf_counter()
+    rt = get_runtime(reload=True)
+    load_s = time.perf_counter() - t0
+    report = {
+        "runtime_load_s": round(load_s, 3),
+        "n_rows": rt.store.n_rows,
+        "rss_after_load_mb": _rss_mb(),
+    }
+
+    if n_asks > 0:
+        rng = np.random.default_rng(7)
+        weights = 1.0 / np.arange(1, 5001)
+        weights /= weights.sum()
+
+        def make_question():
+            words = [f"w{i}" for i in
+                     rng.choice(5000, size=4, p=weights)]
+            return "what about " + " ".join(words)
+
+        filters = DocumentMetadata()
+        t0 = time.perf_counter()
+        first = ask_question(question=make_question(), filters=filters,
+                             top_k=8, runtime=rt)
+        report["first_ask_s"] = round(time.perf_counter() - t0, 3)
+        report["answer_nonempty"] = bool(first.answer)
+        report["retrieved_k"] = len(first.retrieved)
+        for _ in range(2):  # absorb residual compiles
+            ask_question(question=make_question(), filters=filters,
+                         top_k=8, runtime=rt)
+        lat = []
+        for _ in range(n_asks):
+            q = make_question()
+            t0 = time.perf_counter()
+            ask_question(question=q, filters=filters, top_k=8, runtime=rt)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        report["ask_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
+        report["ask_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 1)
+        report["ask_mean_ms"] = round(float(lat_ms.mean()), 1)
+        report["n_asks"] = n_asks
+
+        # /add probe: ingest ONE new document end-to-end and persist.
+        # With the O(delta) catalog journal + store deltas this must
+        # write KBs, not rewrite the multi-GB base.
+        import tempfile as _tf
+
+        from classmate_rag_tpu.pipeline.ingest import ingest_file
+
+        sizes_before = {
+            p: p.stat().st_size
+            for d in (rt.cfg.bm25_dir, rt.cfg.dense_dir)
+            for p in Path(d).iterdir()
+        }
+        doc = Path(_tf.mkdtemp()) / "new_doc.txt"
+        doc.write_text(
+            "A freshly added benchmark document about w1 w2 w3. "
+            "It provides additional context for the product add probe.",
+            encoding="utf-8",
+        )
+        t0 = time.perf_counter()
+        ingest_file(
+            path=doc, doc_meta=DocumentMetadata(course="bench"),
+            runtime=rt,
+        )
+        add_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rt.persist()
+        persist_s = time.perf_counter() - t0
+        delta_bytes = 0
+        base_rewritten = False
+        for d in (rt.cfg.bm25_dir, rt.cfg.dense_dir):
+            for p in Path(d).iterdir():
+                old = sizes_before.get(p)
+                if old is None:
+                    delta_bytes += p.stat().st_size
+                elif p.stat().st_size != old:
+                    if p.name in ("embeddings.npy", "bm25_index.jsonl",
+                                  "lexical.npz"):
+                        base_rewritten = True
+                    delta_bytes += abs(p.stat().st_size - old)
+        report["add_s"] = round(add_s, 3)
+        report["persist_s"] = round(persist_s, 3)
+        report["persist_delta_bytes"] = int(delta_bytes)
+        report["persist_rewrote_base"] = base_rewritten
+        report["rss_final_mb"] = _rss_mb()
+
+    print("PRODUCT_CHILD_JSON:" + json.dumps(report), flush=True)
+
+
+def run_product_stage(n_chunks: int) -> dict:
+    """Build a persisted product index, then measure cold start + asks
+    in fresh child processes (A: catalog sidecar removed -> full binary
+    scan; B: warm sidecar -> the steady-state cold start)."""
+    import shutil
+
+    root = Path(tempfile.mkdtemp(prefix="bench_product_"))
+    try:
+        build_s = _build_product_corpus(root, n_chunks)
+        sidecar = root / "bm25" / "catalog.offsets.npz"
+        sidecar.unlink(missing_ok=True)
+        cold = _run_product_child(root, n_asks=0)
+        warm = _run_product_child(root, n_asks=PRODUCT_ASKS)
+        return {
+            "corpus_chunks": n_chunks,
+            "build_s": round(build_s, 1),
+            "cold_scan_start_s": cold["runtime_load_s"],
+            "warm_start_s": warm["runtime_load_s"],
+            "rss_after_load_mb": warm["rss_after_load_mb"],
+            **{k: v for k, v in warm.items()
+               if k not in ("runtime_load_s", "rss_after_load_mb")},
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
 
@@ -400,8 +628,18 @@ def main() -> None:
         out["scale3"] = run_scale(
             SCALE3_CHUNKS, n_oracle=max(min(N_ORACLE, 64), 64)
         )
+    if PRODUCT_CHUNKS and backend == "tpu":
+        # End-to-end PRODUCT path at serving scale: Runtime.ask with the
+        # disk-backed catalog, measured in fresh child processes
+        # (cold-start seconds, host RSS, ask p50/p95, /add persist
+        # delta) — the engine stages above bypass the catalog layer.
+        gc.collect()
+        out["product"] = run_product_stage(PRODUCT_CHUNKS)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "product-child":
+        product_child_main(int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+    else:
+        main()

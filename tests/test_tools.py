@@ -34,6 +34,31 @@ def _run_tool(module_name, argv, capsys, monkeypatch):
     return json.loads(out)
 
 
+def test_bench_product_stage_smoke(tmp_path, monkeypatch):
+    """bench.py's end-to-end product stage at toy scale: fresh child
+    processes cold-start the Runtime from the persisted index, answer
+    asks, and the /add probe persists O(delta) without rewriting the
+    base artifacts."""
+    # Children are fresh interpreters: pin them to CPU (env works there
+    # because it is set before python starts, with the axon pool
+    # disabled).
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("EMBEDDING_BACKEND", "hash")
+    sys.path.insert(0, str(TOOLS.parent))
+    import bench
+
+    monkeypatch.setattr(bench, "PRODUCT_ASKS", 3)
+    res = bench.run_product_stage(1200)
+    assert res["n_rows"] == 1200
+    assert res["answer_nonempty"]
+    assert res["retrieved_k"] > 0
+    assert res["ask_p95_ms"] > 0
+    assert res["cold_scan_start_s"] > 0
+    assert not res["persist_rewrote_base"]
+    assert 0 < res["persist_delta_bytes"] < 1_000_000
+
+
 def test_bench_ingest(corpus, capsys, monkeypatch):
     res = _run_tool("bench_ingest", [str(corpus), "--repeat", "2"],
                     capsys, monkeypatch)
