@@ -198,12 +198,21 @@ def build_split_layout(
     head_candidates = np.argsort(-df, kind="stable")
     head_terms = head_candidates[:max_head]
     head_terms = head_terms[df[head_terms] > head_df_threshold]
+    # SELF-SIZING: when more terms qualify (df > threshold) than the
+    # byte budget can hold, the effective threshold rises to the df
+    # spectrum's (max_head)-th value — the head always holds exactly the
+    # heaviest terms the budget allows, and every term above the DERIVED
+    # threshold is in the head by construction. df_threshold reports the
+    # derived value so callers can see the corpus-adaptive cut.
+    n_overflow = int((df > head_df_threshold).sum()) - len(head_terms)
+    eff_threshold = int(head_df_threshold)
+    if n_overflow > 0 and len(head_terms):
+        eff_threshold = int(df[head_terms].min())
     # Slot order is arbitrary for scoring; sorting by TERM ID (not df
     # rank) keeps the lut stable across small df drifts, which lets the
     # sharded serving wrapper COLUMN-scatter head-matrix updates instead
     # of re-placing [C, N] whenever ingest reorders term frequencies.
     head_terms = np.sort(head_terms)
-    n_overflow = int((df > head_df_threshold).sum()) - len(head_terms)
     c_pad = max(128, _round_up(len(head_terms), 128))
     lut = np.full(n_vocab, -1, dtype=np.int32)
     lut[head_terms] = np.arange(len(head_terms), dtype=np.int32)
@@ -241,6 +250,7 @@ def build_split_layout(
         "post_rows": post_rows_pad,
         "post_tfs": post_tfs_pad,
         "n_overflow": n_overflow,
+        "df_threshold": eff_threshold,
     }
 
 

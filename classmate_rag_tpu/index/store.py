@@ -421,15 +421,21 @@ class IndexStore:
             head_df_threshold=self.HEAD_DF_THRESHOLD,
         )
         if layout["n_overflow"] > 0:
-            # Corpus too large for the head budget: overflow high-df terms
-            # fall to the tail and inflate r_cap (device time per batch).
+            # Self-sized: the head byte budget holds the corpus's
+            # heaviest terms and the effective df cut rose accordingly
+            # (every term above the DERIVED threshold is in the head by
+            # construction; the rest are segmented tail postings with
+            # r_cap capped at TAIL_SEG_CAP). Informational, not an error
+            # — the cut adapts to the df spectrum at pack time.
             import logging
 
-            logging.getLogger(__name__).warning(
-                "BM25 head budget exceeded: %d terms above df>%d fall to "
-                "the tail; r_cap will grow. Raise HEAD_BYTES_BUDGET "
-                "(head matrix is C x %d bytes).",
-                layout["n_overflow"], self.HEAD_DF_THRESHOLD, self.capacity,
+            logging.getLogger(__name__).info(
+                "BM25 head self-sized: df threshold %d -> %d for this "
+                "corpus (%d qualifying terms beyond the %d-slot head go "
+                "to segmented tail postings).",
+                self.HEAD_DF_THRESHOLD, layout["df_threshold"],
+                layout["n_overflow"],
+                int(self.HEAD_BYTES_BUDGET // max(self.capacity, 1)),
             )
         self._split = {
             "lut": layout["lut"],

@@ -65,15 +65,19 @@ class MicroBatcher:
 
     def __init__(self, runtime, device_lock: threading.Lock,
                  max_batch: int = 32, max_wait_ms: float = 6.0,
-                 follower_timeout_s: float = 120.0) -> None:
+                 follower_timeout_s: float = 8.0) -> None:
         self.runtime = runtime
         self.device_lock = device_lock
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         # Deadline for a follower waiting on its batch leader (retrieval +
-        # generation for the whole batch). Tune down for latency-sensitive
-        # deployments; a timed-out follower gets TimeoutError while the
-        # leader's own request still completes.
+        # generation for the whole batch). Sized to the generation tail,
+        # not to patience: against a 6 ms batching window a stuck leader
+        # should turn into a retryable 503 within seconds — holding a
+        # follower's socket for minutes makes backpressure meaningless.
+        # A timed-out follower gets Overloaded (503 + Retry-After) while
+        # the leader's own request still completes. SERVE_FOLLOWER_TIMEOUT_S
+        # overrides.
         self.follower_timeout = follower_timeout_s
         self._lock = threading.Lock()
         self._batches: Dict[Any, dict] = {}

@@ -223,3 +223,37 @@ def test_split_after_delete(store):
     gather, split = _scores_both(st, q_tids, q_counts, None)
     np.testing.assert_allclose(split, gather, atol=2e-4, rtol=2e-4)
     assert split[0, 0] == 0.0  # tombstoned rows score zero
+
+def test_head_self_sizes_to_budget():
+    """When more terms qualify (df > threshold) than the byte budget can
+    hold, the layout keeps the heaviest terms and reports the DERIVED df
+    threshold — every term above it is in the head by construction."""
+    from classmate_rag_tpu.index.lexical import build_split_layout
+
+    rng = np.random.default_rng(0)
+    n, width, vocab = 512, 24, 400
+    term_ids = rng.integers(0, vocab, (n, width)).astype(np.int32)
+    tfs = np.ones((n, width), np.uint8)
+    # 150 head slots (past the 128 floor) against ~400 qualifying terms:
+    # the budget genuinely overflows and the threshold must self-size.
+    layout = build_split_layout(
+        term_ids, tfs, vocab, head_bytes_budget=150 * n,
+        head_df_threshold=1,
+    )
+    df = np.bincount(
+        term_ids[(term_ids >= 0) & (tfs > 0)].ravel(), minlength=vocab
+    )
+    head = np.flatnonzero(layout["lut"] >= 0)
+    assert layout["n_overflow"] > 0  # overflow really happened
+    assert len(head) <= 150
+    thr = layout["df_threshold"]
+    assert thr > 1  # derived cut rose above the requested threshold
+    # Invariant: every term with df > derived threshold is in the head.
+    for t in range(vocab):
+        if df[t] > thr:
+            assert layout["lut"][t] >= 0, (t, df[t], thr)
+    # And the head holds the heaviest terms: min head df >= max tail df
+    # among qualifying terms (ties allowed).
+    tail_q = [t for t in range(vocab) if layout["lut"][t] < 0 and df[t] > 1]
+    if tail_q and len(head):
+        assert df[head].min() >= max(df[t] for t in tail_q)
