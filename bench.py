@@ -223,12 +223,17 @@ def oracle_query(qv, terms, emb, bm25, k=K, sims=None):
     for rank, i in enumerate(bm_ids):
         fused[i] = fused.get(i, 0.0) + 1.0 / (RRF_K + rank + 1)
     # Reference tie-break: (fused, -vector_distance) desc, where items the
-    # dense branch did not return count distance 0 (fusion.py:159-164).
+    # dense branch did not return count distance 0 (fusion.py:159-164),
+    # refined by ROW ID asc on residual exact ties — the same explicit
+    # last key the device epilogue uses (ops/fusion.py rrf_merge), so
+    # equal-(fused, dist) rows can never flip between engine and oracle.
     vec_set = set(vec_ids)
     ranked = sorted(
         fused.items(),
         key=lambda kv: (
-            kv[1], -(1.0 - sims[kv[0]]) if kv[0] in vec_set else 0.0
+            kv[1],
+            -(1.0 - sims[kv[0]]) if kv[0] in vec_set else 0.0,
+            -kv[0],
         ),
         reverse=True,
     )

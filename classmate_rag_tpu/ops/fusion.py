@@ -76,9 +76,14 @@ def rrf_merge(
     )
 
     fused = jnp.where(alive, fused, NEG_INF)
-    # Sort key: fused desc, then -distance desc (bm25-only rows act as 0).
+    # Sort key: fused desc, then -distance desc (bm25-only rows act as
+    # 0), then ROW ID asc — the explicit last key makes residual exact
+    # ties (common under RRF's quantized 1/(k+rank) sums) fully
+    # deterministic and matchable by any oracle using the same rule
+    # (reference order: rag/retrieval/fusion.py:159-164, which is
+    # insertion-stable; the row-id key refines it deterministically).
     dist_term = jnp.where(jnp.isnan(vdist), 0.0, vdist)
-    composite_rank = jnp.lexsort((dist_term, -fused))           # [C] ascending
+    composite_rank = jnp.lexsort((cand, dist_term, -fused))     # [C] ascending
     take = composite_rank[:top_k]
     out_fused = fused[take]
     dead = out_fused <= NEG_INF / 2
