@@ -211,6 +211,26 @@ class TPUDecodeRunner:
         # [end_of_text, eot_id]) — the LAST one ends chat turns, and all of
         # them are stripped from output.
         self.eos_ids = [2]
+        gguf_path: Optional[Path] = None
+        gguf_metadata = None
+        if model_dir and str(model_dir).endswith(".gguf") and Path(
+            model_dir
+        ).is_file():
+            # The reference's model files ARE GGUFs (rag/config.py:101-113,
+            # opened by rag/generation/llama_cpp_runner.py:37-45): load the
+            # container directly — params, config, eos ids, and the
+            # embedded tokenizer all come from the one file.
+            from classmate_rag_tpu.models.gguf import (
+                load_params_from_gguf, read_gguf_header,
+            )
+
+            gguf_path = Path(model_dir)
+            gguf_metadata = read_gguf_header(gguf_path)[0]
+            config, gguf_params = load_params_from_gguf(gguf_path, config)
+            eos = gguf_metadata.get("tokenizer.ggml.eos_token_id")
+            if eos is not None:
+                self.eos_ids = [int(eos)]
+            model_dir = None
         if model_dir:
             if config is None:
                 config = DecoderConfig.from_hf_config(model_dir)
@@ -229,8 +249,10 @@ class TPUDecodeRunner:
                 pass
         self.eos_id = self.eos_ids[-1]
         self.config = config or DecoderConfig.small()
-        self.model_name = f"tpu-decoder-{self.config.hidden}"
-        params = None
+        self.model_name = (
+            gguf_path.name if gguf_path else f"tpu-decoder-{self.config.hidden}"
+        )
+        params = gguf_params if gguf_path else None
         if model_dir:
             params = load_params_from_hf(model_dir, self.config)
         self.has_pretrained_weights = params is not None
@@ -239,9 +261,17 @@ class TPUDecodeRunner:
         )
         self.quantized = False
         self._want_quantize = bool(quantize)
-        self.tokenizer = load_tokenizer(
-            model_dir, max_length=max_seq, vocab_size=self.config.vocab_size
-        )
+        if gguf_metadata is not None and gguf_metadata.get(
+            "tokenizer.ggml.tokens"
+        ):
+            from classmate_rag_tpu.models.gguf import GGUFTokenizer
+
+            self.tokenizer = GGUFTokenizer(gguf_metadata, max_length=max_seq)
+        else:
+            self.tokenizer = load_tokenizer(
+                model_dir, max_length=max_seq,
+                vocab_size=self.config.vocab_size,
+            )
         # The KV cache and RoPE run to max_seq; don't exceed what the
         # checkpoint was trained for.
         max_seq = min(max_seq, self.config.max_seq)
@@ -414,6 +444,23 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
         model_dir = os.getenv("TPU_DECODER_MODEL_DIR")
         if model_dir and Path(model_dir).exists():
             return TPUDecodeRunner(model_dir=model_dir, **kw)
+        # The reference's configured model IS a GGUF file
+        # (LLM_MODEL_PATH/LLM_REPO_ID/LLM_FILENAME, rag/model_fetch.py:33-109):
+        # resolve it the same way and run it on the TPU decode path.
+        try:
+            from classmate_rag_tpu.model_fetch import (
+                ensure_llama_model_available,
+            )
+
+            gguf = ensure_llama_model_available(
+                cfg.llm_model_path,
+                repo_id=cfg.llm_repo_id or None,
+                filename=cfg.llm_filename or None,
+            )
+            if gguf.suffix == ".gguf":
+                return TPUDecodeRunner(model_dir=str(gguf), **kw)
+        except (FileNotFoundError, ValueError):
+            pass
         if backend == "tpu":
             return TPUDecodeRunner(**kw)
     return ExtractiveRunner()
