@@ -446,6 +446,11 @@ class ShardedHybridIndex:
         per-request k's through here; each distinct knob set compiles
         once and is cached."""
         store = self.store
+        # The placed layout must cover the live store: queries pack terms
+        # against store.vocab, and a stale lut/offsets after a
+        # vocab-growing upsert reads out of bounds. No-op when the
+        # journal is empty.
+        self.ensure_fresh()
         knobs = dict(self._defaults)
         for k, v in knob_overrides.items():
             if k not in self._defaults:

@@ -84,6 +84,80 @@ print(f"OK proc{{pid}} rows={{rows.tolist()}}")
 """
 
 
+MUTATION_CHILD = r"""
+import sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from classmate_rag_tpu.parallel.multihost import initialize
+initialize(f"127.0.0.1:{{port}}", 2, pid)
+assert jax.process_count() == 2
+
+from jax.sharding import Mesh
+from classmate_rag_tpu.index.store import IndexStore
+from classmate_rag_tpu.index.lexical import tokenize
+from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+def build_store(path):
+    # The SPMD contract: every process replays the SAME mutation
+    # sequence, so journals are identical across hosts.
+    rng = np.random.default_rng(7)
+    store = IndexStore(16, path, slab_rows=16, terms_per_chunk=8)
+    docs = ["the derivative measures change", "pasta needs boiling water",
+            "eigenvalues characterize maps", "gradients minimize loss",
+            "entropy measures uncertainty", "matrices compose maps",
+            "integrals accumulate area", "variance measures spread",
+            "limits define continuity", "tensors generalize matrices"]
+    embs = rng.standard_normal((12, 16)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    store.upsert([f"d{{i}}" for i in range(10)], embs[:10],
+                 [tokenize(d, "en") for d in docs], [{{}}] * 10)
+    return store, embs
+
+def mutate(store, embs):
+    # ingest 2 new chunks + delete 1 existing on BOTH processes
+    store.upsert(["new0", "new1"], embs[10:12],
+                 [tokenize("fourier transforms decompose signals", "en"),
+                  tokenize("probability measures belief", "en")],
+                 [{{}}, {{}}])
+    store.delete(["d1"])
+
+store, embs = build_store(f"/tmp/mh_mut_{{pid}}")
+mesh = Mesh(np.array(jax.devices()), ("shard",))  # 4 devices, 2 hosts
+idx = ShardedHybridIndex(store, mesh, top_k=3)
+queries = embs[[0, 4, 9]]
+q_terms = [tokenize("derivative", "en"), tokenize("entropy uncertainty", "en"),
+           tokenize("fourier signals", "en")]
+idx.query_batch(queries, q_terms)        # place the base state
+base_bytes = idx.bytes_placed_total
+
+mutate(store, embs)
+out = idx.query_batch(queries, q_terms)  # drains the journal first
+rows = np.asarray(out.rows.addressable_data(0))
+
+# O(delta): the refresh moved row/column updates, not a rebuild.
+delta = idx.bytes_placed_last_refresh
+assert 0 < delta < base_bytes * 0.5, (delta, base_bytes)
+
+# Identity with a single-device store that saw the same mutations.
+single, s_embs = build_store(f"/tmp/mh_mut_single_{{pid}}")
+mutate(single, s_embs)
+want = np.asarray(single.hybrid_topk_batch(queries, q_terms, None, top_k=3).rows)
+assert np.array_equal(rows, want), (rows.tolist(), want.tolist())
+
+# The deleted chunk must be gone from results for its own query.
+deleted_row = 1
+assert deleted_row not in rows[0], rows[0]
+
+from jax.experimental import multihost_utils
+got = multihost_utils.process_allgather(np.asarray([delta], np.int64))
+assert got.ravel()[0] == got.ravel()[1], got  # same delta on every host
+print(f"OK proc{{pid}} delta_bytes={{delta}} base_bytes={{base_bytes}}")
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -136,3 +210,11 @@ def test_two_process_sharded_serving(tmp_path):
     shards across hosts via make_array_from_process_local_data and the
     SPMD query matches the single-device store path bit for bit."""
     _run_two_process(tmp_path, SERVING_CHILD)
+
+
+def test_two_process_mutation_journal_refresh(tmp_path):
+    """Mutations (ingest + delete) against the sharded view across 2
+    real processes: every process replays the same journal, the O(delta)
+    refresh moves identical byte counts on each host, and post-mutation
+    queries match a single-device store bit for bit."""
+    _run_two_process(tmp_path, MUTATION_CHILD)
