@@ -202,6 +202,38 @@ def quantized_param_bytes(params: Params) -> int:
     )
 
 
+def quantize_decoder_params_host(params: Params, config: DecoderConfig) -> Params:
+    """numpy twin of ``quantize_decoder_params`` for 7-8B trees.
+
+    An 8B f32 tree is ~30 GB — staging its leaves through a 16 GB-HBM
+    chip to quantize there is not an option. Quantize on the host and
+    ship int8+scales only (~8 GB), the same bytes the device keeps.
+    Same math as the jnp path (np.rint == jnp.round, half-to-even).
+    """
+
+    def np_qt(w: np.ndarray) -> QTensor:
+        w = np.asarray(w, np.float32)
+        amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)))
+        scale = np.maximum(amax, 1e-12).astype(np.float32) / 127.0
+        q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        return QTensor(q, scale)
+
+    layers = dict(params["layers"])
+    for key in _QUANT_LAYER_KEYS:
+        w = np.asarray(layers[key], np.float32)            # [L, in, out]
+        amax = np.max(np.abs(w), axis=1)                   # [L, out]
+        scale = np.maximum(amax, 1e-12).astype(np.float32) / 127.0
+        q = np.clip(
+            np.rint(w / scale[:, None, :]), -127, 127
+        ).astype(np.int8)
+        layers[key] = QTensor(q, scale)
+    out = dict(params)
+    out["layers"] = layers
+    out["lm_head"] = np_qt(params["lm_head"])
+    out["tok_emb"] = np_qt(params["tok_emb"])
+    return out
+
+
 def _mm(x: jnp.ndarray, w, cdtype) -> jnp.ndarray:
     """Generic last-dim-contraction matmul: x[..., h] @ w[h, o] → f32.
 

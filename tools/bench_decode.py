@@ -4,7 +4,14 @@ Runs the jitted KV-cache generate loop (prefill + lax.scan decode) on the
 configured decoder size with deterministic random weights — the compute
 shape of real generation.
 
-Usage: python tools/bench_decode.py [--batch 8] [--prompt 256] [--new 128]
+``--preset llama3-8b --int8`` runs the reference's actual model class on
+ONE chip: the reference serves 7-8B Q4_K_M GGUFs under an 8 GB VRAM
+constraint (rag/routing/loader.py:1-12, rag/config.py:101-113); here the
+int8 tree (~8 GB) plus KV cache lives inside a single chip's HBM, with
+occupancy read back from device memory_stats.
+
+Usage: python tools/bench_decode.py [--preset llama3-8b] [--batch 8]
+       [--prompt 256] [--new 128] [--int8]
 """
 
 from __future__ import annotations
@@ -20,12 +27,32 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _hbm_stats() -> dict:
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if key in stats:
+            out[key] = int(stats[key])
+    return out
+
+
 def main() -> int:
     from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--preset", default=None,
+                    choices=["llama3-8b", "qwen2-7b", "qwen3-8b"],
+                    help="real model shapes from the reference lineup")
+    ap.add_argument("--batch", default="8",
+                    help="batch size, or comma list to share one "
+                         "param transfer across runs (e.g. 1,8)")
     ap.add_argument("--prompt", type=int, default=256)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=768)
@@ -33,52 +60,77 @@ def main() -> int:
                     help="W8A8 weight-only quantized decode")
     args = ap.parse_args()
 
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from classmate_rag_tpu.models.decoder import (
         DecoderConfig, init_params, make_generate_fn,
-        quantize_decoder_params,
+        quantize_decoder_params, quantize_decoder_params_host,
     )
 
-    config = DecoderConfig(
-        hidden=args.hidden,
-        heads=max(4, args.hidden // 64),
-        kv_heads=max(2, args.hidden // 192),
-        ffn=args.hidden * 3,
-        layers=12,
-        max_seq=args.prompt + args.new,
-    )
+    if args.preset:
+        base = {
+            "llama3-8b": DecoderConfig.llama3_8b,
+            "qwen2-7b": DecoderConfig.qwen2_7b,
+            "qwen3-8b": DecoderConfig.qwen3_8b,
+        }[args.preset]()
+        config = dataclasses.replace(base, max_seq=args.prompt + args.new)
+    else:
+        config = DecoderConfig(
+            hidden=args.hidden,
+            heads=max(4, args.hidden // 64),
+            kv_heads=max(2, args.hidden // 192),
+            ffn=args.hidden * 3,
+            layers=12,
+            max_seq=args.prompt + args.new,
+        )
+    batches = [int(b) for b in str(args.batch).split(",")]
+    t_init = time.perf_counter()
     params = init_params(config, "bench-decode")
     if args.int8:
-        params = quantize_decoder_params(params, config)
+        # Host-side for big trees: an 8B f32 tree (~30 GB) must never
+        # stage through HBM; only the int8 bytes are transferred.
+        if config.hidden >= 2048:
+            params = quantize_decoder_params_host(params, config)
+        else:
+            params = quantize_decoder_params(params, config)
+    params = jax.device_put(jax.tree.map(jnp.asarray, params))
+    jax.block_until_ready(params)
+    init_s = time.perf_counter() - t_init
     param_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
     gen = make_generate_fn(config, args.prompt + args.new, args.new)
 
     rng = np.random.default_rng(0)
-    prompts = jnp.asarray(
-        rng.integers(4, config.vocab_size, (args.batch, args.prompt)),
-        jnp.int32,
-    )
-    plen = jnp.full((args.batch,), args.prompt, jnp.int32)
+    for batch in batches:
+        prompts = jnp.asarray(
+            rng.integers(4, config.vocab_size, (batch, args.prompt)),
+            jnp.int32,
+        )
+        plen = jnp.full((batch,), args.prompt, jnp.int32)
 
-    np.asarray(gen(params, prompts, plen, 0, 0.0, 0.95, 2))  # compile
-    t0 = time.perf_counter()
-    np.asarray(gen(params, prompts, plen, 1, 0.0, 0.95, 2))
-    dt = time.perf_counter() - t0
+        np.asarray(gen(params, prompts, plen, 0, 0.0, 0.95, 2))  # compile
+        t0 = time.perf_counter()
+        np.asarray(gen(params, prompts, plen, 1, 0.0, 0.95, 2))
+        dt = time.perf_counter() - t0
 
-    new_tokens = args.batch * args.new
-    print(json.dumps({
-        "layers": config.layers,
-        "hidden": config.hidden,
-        "batch": args.batch,
-        "prompt_len": args.prompt,
-        "new_tokens": args.new,
-        "int8": bool(args.int8),
-        "param_bytes": param_bytes,
-        "seconds": round(dt, 3),
-        "decode_tokens_per_sec": round(new_tokens / dt, 1),
-    }))
+        new_tokens = batch * args.new
+        out = {
+            "preset": args.preset,
+            "layers": config.layers,
+            "hidden": config.hidden,
+            "batch": batch,
+            "prompt_len": args.prompt,
+            "new_tokens": args.new,
+            "int8": bool(args.int8),
+            "param_bytes": param_bytes,
+            "init_transfer_seconds": round(init_s, 1),
+            "seconds": round(dt, 3),
+            "decode_tokens_per_sec": round(new_tokens / dt, 1),
+        }
+        out.update(_hbm_stats())
+        print(json.dumps(out), flush=True)
     return 0
 
 
