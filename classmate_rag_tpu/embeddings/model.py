@@ -48,6 +48,10 @@ class EncoderConfig:
     # on-chip and XLA already avoids the HBM round-trip. Kept for longer
     # contexts where the quadratic buffer stops fitting.
     flash_min_seq: int = 1024
+    # Pallas-fused epilogues (ops/encoder_fused.py): bias+GELU written in
+    # the next matmul's bf16 and residual+bias+LayerNorm in one HBM pass.
+    # Auto-gated on a real TPU backend (Mosaic) and fusable shapes.
+    fused_epilogue: bool = True
 
     @classmethod
     def base(cls) -> "EncoderConfig":
@@ -283,6 +287,21 @@ def encode_from_embeddings(
             preferred_element_type=jnp.float32,
         ).reshape(B, T, H)
 
+    # Pallas-fused epilogues collapse the elementwise chains around the
+    # matmuls into one HBM round trip each (ops/encoder_fused.py). Only
+    # on a real TPU (Mosaic) and only for block-divisible shapes; the
+    # XLA path below stays the reference semantics either way.
+    use_fused = (
+        config.fused_epilogue
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from classmate_rag_tpu.ops import encoder_fused as _ef
+
+        use_fused = _ef.fusable(B * T, H) and _ef.fusable(
+            B * T, config.intermediate
+        )
+
     def layer_step(hidden, lp):
         hcd = hidden.astype(cdtype)
 
@@ -295,10 +314,41 @@ def encode_from_embeddings(
         k = proj(lp["k_w"], lp["k_b"])
         v = proj(lp["v_w"], lp["v_b"])
         ctx = _attend(q, k, v)
-        attn_out = jnp.einsum(
+        attn_mm = jnp.einsum(
             "bth,hd->btd", ctx.astype(cdtype), lp["o_w"].astype(cdtype),
             preferred_element_type=jnp.float32,
-        ) + lp["o_b"]
+        )
+        if use_fused:
+            from classmate_rag_tpu.ops.encoder_fused import (
+                bias_gelu, residual_ln,
+            )
+
+            hidden = residual_ln(
+                hidden.reshape(B * T, H), attn_mm.reshape(B * T, H),
+                lp["o_b"], lp["attn_ln_g"], lp["attn_ln_b"],
+                eps=config.ln_eps,
+            ).reshape(B, T, H)
+            ff_mm = jnp.einsum(
+                "bth,hf->btf", hidden.astype(cdtype),
+                lp["ff_in_w"].astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+            ff = bias_gelu(
+                ff_mm.reshape(B * T, config.intermediate), lp["ff_in_b"],
+                out_dtype=cdtype,
+            ).reshape(B, T, config.intermediate)
+            ff_mm2 = jnp.einsum(
+                "btf,fh->bth", ff, lp["ff_out_w"].astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+            hidden = residual_ln(
+                hidden.reshape(B * T, H), ff_mm2.reshape(B * T, H),
+                lp["ff_out_b"], lp["ff_ln_g"], lp["ff_ln_b"],
+                eps=config.ln_eps,
+            ).reshape(B, T, H)
+            return hidden, None
+
+        attn_out = attn_mm + lp["o_b"]
         hidden = _layer_norm(hidden + attn_out, lp["attn_ln_g"], lp["attn_ln_b"],
                              config.ln_eps)
 

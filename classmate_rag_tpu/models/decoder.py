@@ -263,7 +263,12 @@ def _embed(tok_emb, input_ids: jnp.ndarray) -> jnp.ndarray:
     return tok_emb[input_ids]
 
 
-def init_params(config: DecoderConfig, seed_key: str) -> Params:
+def init_params(
+    config: DecoderConfig, seed_key: str, host: bool = False
+) -> Params:
+    """Deterministic random params. ``host=True`` keeps the tree in
+    numpy — a 7-8B f32 tree (~30 GB) must be quantized host-side
+    (quantize_decoder_params_host) before any device transfer."""
     seed = int.from_bytes(blake2b(seed_key.encode(), digest_size=4).digest(), "little")
     rng = np.random.default_rng(seed)
     h, L, ff = config.hidden, config.layers, config.ffn
@@ -297,6 +302,8 @@ def init_params(config: DecoderConfig, seed_key: str) -> Params:
         "lm_head": norm(h, config.vocab_size),
         "layers": layers,
     }
+    if host:
+        return params
     return jax.tree.map(jnp.asarray, params)
 
 

@@ -87,15 +87,24 @@ def main() -> int:
             max_seq=args.prompt + args.new,
         )
     batches = [int(b) for b in str(args.batch).split(",")]
+    big = config.hidden >= 2048
     t_init = time.perf_counter()
-    params = init_params(config, "bench-decode")
+    # Big trees init on the host: an 8B f32 tree (~30 GB) must never
+    # stage through HBM; only the int8 bytes are transferred.
+    params = init_params(config, "bench-decode", host=big)
     if args.int8:
-        # Host-side for big trees: an 8B f32 tree (~30 GB) must never
-        # stage through HBM; only the int8 bytes are transferred.
-        if config.hidden >= 2048:
+        if big:
             params = quantize_decoder_params_host(params, config)
         else:
             params = quantize_decoder_params(params, config)
+    elif big:
+        # bf16 on host, halving the transfer bytes of the fp tree.
+        import ml_dtypes
+
+        params = jax.tree.map(
+            lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
+            if getattr(x, "ndim", 0) >= 2 else x, params,
+        )
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t_init
