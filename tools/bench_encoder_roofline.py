@@ -76,9 +76,15 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--config", choices=["base", "large", "small_test"],
                     default="base")
+    ap.add_argument("--fused", choices=["on", "off"], default="on",
+                    help="Pallas-fused epilogues (bias+GELU, "
+                         "residual+bias+LN) in the encode step")
     args = ap.parse_args()
 
+    import dataclasses
+
     config = getattr(EncoderConfig, args.config)()
+    config = dataclasses.replace(config, fused_epilogue=args.fused == "on")
     params = init_params(config, "roofline")
     B, T, H = args.batch, args.seq, config.hidden
     L, heads, ff = config.layers, config.heads, config.intermediate
@@ -194,6 +200,7 @@ def main() -> int:
 
     result = {
         "config": args.config, "batch": B, "seq": T, "iters": args.iters,
+        "fused_epilogue": args.fused == "on",
         "backend": jax.default_backend(),
         "full_step_ms": round(t_full * 1e3, 3),
         "mfu": round(flops / t_full / (PEAK_TFLOPS * 1e12), 4),
