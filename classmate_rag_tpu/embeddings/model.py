@@ -50,8 +50,11 @@ class EncoderConfig:
     flash_min_seq: int = 1024
     # Pallas-fused epilogues (ops/encoder_fused.py): bias+GELU written in
     # the next matmul's bf16 and residual+bias+LayerNorm in one HBM pass.
-    # Auto-gated on a real TPU backend (Mosaic) and fusable shapes.
-    fused_epilogue: bool = True
+    # Measured a NON-lever on v5e (docs/perf.md): the A/B roofline reads
+    # 43.5 ms/step fused vs 38.5 unfused at (B=64, T=256) — XLA already
+    # fuses these chains, and 36 pallas_call boundaries per step cost
+    # more than they save. Kept for the record behind this flag.
+    fused_epilogue: bool = False
 
     @classmethod
     def base(cls) -> "EncoderConfig":
