@@ -495,6 +495,11 @@ def product_child_main(n_asks: int) -> None:
     load_s = time.perf_counter() - t0
     report = {
         "runtime_load_s": round(load_s, 3),
+        # catalog_s = offset scan or sidecar restore; store_s = slab
+        # read + device placement (includes the host->device upload over
+        # the link, which varies with link weather and OS page-cache
+        # state — the dominant variance between child runs).
+        "load_split_s": rt.load_timings,
         "n_rows": rt.store.n_rows,
         "rss_after_load_mb": _rss_mb(),
     }
@@ -513,6 +518,9 @@ def product_child_main(n_asks: int) -> None:
         t0 = time.perf_counter()
         first = ask_question(question=make_question(), filters=filters,
                              top_k=8, runtime=rt)
+        # Includes the one-time XLA compile of the fused step at this
+        # corpus shape when the persistent compilation cache is cold
+        # (remote compiler: minutes); warm-cache processes skip it.
         report["first_ask_s"] = round(time.perf_counter() - t0, 3)
         report["answer_nonempty"] = bool(first.answer)
         report["retrieved_k"] = len(first.retrieved)
@@ -596,7 +604,9 @@ def run_product_stage(n_chunks: int) -> dict:
             "corpus_chunks": n_chunks,
             "build_s": round(build_s, 1),
             "cold_scan_start_s": cold["runtime_load_s"],
+            "cold_scan_split_s": cold.get("load_split_s"),
             "warm_start_s": warm["runtime_load_s"],
+            "warm_split_s": warm.get("load_split_s"),
             "rss_after_load_mb": warm["rss_after_load_mb"],
             **{k: v for k, v in warm.items()
                if k not in ("runtime_load_s", "rss_after_load_mb")},

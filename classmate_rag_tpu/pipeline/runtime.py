@@ -32,6 +32,10 @@ class Runtime:
     # reference's Chroma collection (rag/pipeline/rag.py:531-549), but
     # sharded over the corpus mesh.
     sharded: Any = None
+    # Cold-start decomposition (seconds) filled by get_runtime:
+    # {"catalog_s", "store_s", "sharded_s"} — the catalog scan/sidecar
+    # restore vs the slab load + device placement vs SPMD engine build.
+    load_timings: dict = field(default_factory=dict)
     _classifier: Any = field(default=None, repr=False)
     _router: Any = field(default=None, repr=False)
     _loader: Any = field(default=None, repr=False)
@@ -122,9 +126,13 @@ def get_runtime(reload: bool = False) -> Runtime:
     from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
 
     enable_compilation_cache()
+    import time as _time
+
     cfg = load_config(reload=reload)
     embedder = get_caching_embedder(cfg)
+    t0 = _time.perf_counter()
     catalog = Catalog.load_or_create(cfg.bm25_dir)
+    t1 = _time.perf_counter()
     store = IndexStore.load_or_create(
         dim=embedder.dim or 768,
         directory=cfg.dense_dir,
@@ -135,7 +143,14 @@ def get_runtime(reload: bool = False) -> Runtime:
         rescore_pool=cfg.dense_rescore_pool,
         select=cfg.dense_select,
     )
+    t2 = _time.perf_counter()
     sharded = build_sharded_index(cfg, store)
+    t3 = _time.perf_counter()
+    timings = {
+        "catalog_s": round(t1 - t0, 3),
+        "store_s": round(t2 - t1, 3),
+        "sharded_s": round(t3 - t2, 3),
+    }
     retriever = HybridRetriever(
         store=store,
         catalog=catalog,
@@ -154,6 +169,7 @@ def get_runtime(reload: bool = False) -> Runtime:
     _RUNTIME = Runtime(
         cfg=cfg, catalog=catalog, store=store,
         embedder=embedder, retriever=retriever, sharded=sharded,
+        load_timings=timings,
     )
     return _RUNTIME
 
