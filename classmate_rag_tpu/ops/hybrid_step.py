@@ -77,10 +77,16 @@ def rescore_candidates(q_vecs, cand16, d_rows, d_vals):
     — and re-sorted by (score desc, row asc), the same tie-break the
     scan's top_k used. Returns (d_rows, d_vals, alive) re-ordered.
     """
+    # HIGHEST precision is load-bearing: a DEFAULT-precision f32 matmul
+    # on TPU runs one bf16 pass, re-rounding the f16 inputs to bf16 and
+    # silently undoing the extra 3 mantissa bits this rescore exists to
+    # recover. The pool matmul is B*R*d — even 6 passes are invisible
+    # next to the B*N*d scan.
     rescored = jnp.einsum(
         "bd,brd->br", q_vecs.astype(jnp.float32),
         cand16.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     alive = d_vals > NEG_INF / 2
     vals = jnp.where(alive, rescored, NEG_INF)

@@ -30,8 +30,16 @@ def mmr_order(
 ) -> jnp.ndarray:
     """Return [k] pool positions in MMR order (-1 where pool exhausted)."""
     p = cands.shape[0]
-    sims_q = cands.astype(jnp.float32) @ q.astype(jnp.float32)       # [P]
-    sims_cc = cands.astype(jnp.float32) @ cands.astype(jnp.float32).T  # [P, P]
+    # HIGHEST precision: a DEFAULT-precision f32 matmul on TPU is one
+    # bf16 pass (~1e-3 error), larger than real MMR selection margins —
+    # measured at 1M: a 2.6e-4 sim margin between two pool rows flipped
+    # their MMR order vs the f32 oracle, costing the last top-8 slot.
+    # These [P, d] x [d, P] matmuls are tiny; exact f32 is free here.
+    hi = jax.lax.Precision.HIGHEST
+    c32 = cands.astype(jnp.float32)
+    q32 = q.astype(jnp.float32)
+    sims_q = jnp.matmul(c32, q32, precision=hi)            # [P]
+    sims_cc = jnp.matmul(c32, c32.T, precision=hi)         # [P, P]
     sims_q = jnp.where(valid, sims_q, NEG_INF)
 
     order0 = jnp.full((k,), -1, dtype=jnp.int32)
