@@ -185,9 +185,10 @@ class Config:
     bm25_terms_per_chunk: int = 256
     # Compute dtype for the scoring matmul.
     score_dtype: str = "bfloat16"
-    # f16 rescore of the dense top pool: "auto" enables it above
-    # IndexStore.RESCORE_MIN_ROWS (bf16 scan rank flips start costing
-    # recall at scale), "on"/"off" force. Costs one extra [N, d] f16 slab.
+    # f16 rescore of the dense top pool: "auto"/"on" enable it (measured
+    # free at every scale and buys exact-oracle recall; see
+    # IndexStore.rescore_enabled), "off" forces the bf16-only scan.
+    # Costs one extra [N, d] f16 slab.
     dense_rescore: str = "auto"
     dense_rescore_pool: int = 32
     # Pool-selection op: "auto" uses the TPU-native approx_max_k

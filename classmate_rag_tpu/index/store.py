@@ -55,11 +55,12 @@ class SearchResult:
 class IndexStore:
     """Row-unified dense + lexical + metadata index with device caching."""
 
-    # "auto" rescore threshold: below this many rows the bf16 scan's rank
-    # flips are within the top-k tie noise (measured recall ≥0.998 at
-    # 200k); above it the f16 rescore recovers oracle-level recall for
-    # the cost of one extra [N, d] f16 slab + a tiny per-batch gather.
-    RESCORE_MIN_ROWS = 250_000
+    # The f16 rescore of the bf16-selected pool is measured FREE at every
+    # scale (50k: ceiling 39.9k QPS with vs 39.4k without, recall
+    # 0.999 -> 1.000; 1M: 3,322 vs 3,333, recall -> 1.000), so "auto"
+    # now always enables it — the cost is one extra [N, d] f16 slab
+    # (same bytes as the scan slab) + a pool-sized gather per batch.
+    # The historical 250k threshold predated that measurement.
     # "auto" approx-selection threshold: above this many rows the TPU's
     # native PartialReduce (lax.approx_max_k) replaces exact top_k for
     # the pool selection (60 → 6.3 ms at 1M; per-element recall ≥0.999,
@@ -341,12 +342,9 @@ class IndexStore:
 
     @property
     def rescore_enabled(self) -> bool:
-        """f16 rescore of the dense top pool (see RESCORE_MIN_ROWS)."""
-        if self.rescore == "on":
-            return True
-        if self.rescore == "off":
-            return False
-        return self.capacity >= self.RESCORE_MIN_ROWS
+        """f16 rescore of the dense top pool (measured free; class
+        comment above) — "auto" always enables it."""
+        return self.rescore != "off"
 
     @property
     def select_mode(self) -> str:
