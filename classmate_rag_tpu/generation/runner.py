@@ -33,6 +33,10 @@ from classmate_rag_tpu.utils.lang import detect_lang_tag
 
 logger = logging.getLogger(__name__)
 
+# (model_path, repo_id, filename) triples whose GGUF resolution failed
+# this process — skip re-attempting the (possibly slow) download per ask.
+_FAILED_GGUF_RESOLVES: set = set()
+
 Messages = Sequence[Dict[str, str]]
 
 
@@ -226,10 +230,35 @@ class TPUDecodeRunner:
 
             gguf_path = Path(model_dir)
             gguf_metadata = read_gguf_header(gguf_path)[0]
-            config, gguf_params = load_params_from_gguf(gguf_path, config)
+            # host=True: the tree stays in numpy (f16 past ~4 GB) so a
+            # real 7-8B file is quantized or cast HOST-side below —
+            # never staged through the chip as ~30 GB of f32.
+            config, gguf_params = load_params_from_gguf(
+                gguf_path, config, host=True
+            )
+            eos_ids: List[int] = []
             eos = gguf_metadata.get("tokenizer.ggml.eos_token_id")
             if eos is not None:
-                self.eos_ids = [int(eos)]
+                eos_ids.append(int(eos))
+            # Sequence-end ids llama.cpp recognizes beyond the declared
+            # eos (llama_token_is_eog): GGUF conversions routinely record
+            # only <|end_of_text|> while chat turns end with <|eot_id|>.
+            # The document-level end goes first; chat-turn enders go
+            # LAST — self.eos_id (the last entry) is the id the decode
+            # loop stops on.
+            toks = gguf_metadata.get("tokenizer.ggml.tokens") or []
+            tok_pos = {t: i for i, t in enumerate(toks)}
+            doc_end = tok_pos.get("<|end_of_text|>")
+            if doc_end is not None and doc_end not in eos_ids:
+                eos_ids.insert(0, doc_end)
+            for name in ("<|eot_id|>", "<|im_end|>"):
+                tid = tok_pos.get(name)
+                if tid is not None:
+                    if tid in eos_ids:
+                        eos_ids.remove(tid)
+                    eos_ids.append(tid)
+            if eos_ids:
+                self.eos_ids = eos_ids
             model_dir = None
         if model_dir:
             if config is None:
@@ -256,6 +285,10 @@ class TPUDecodeRunner:
         if model_dir:
             params = load_params_from_hf(model_dir, self.config)
         self.has_pretrained_weights = params is not None
+        # GGUF params are a host (numpy) tree: device placement happens
+        # in the branches below, AFTER host-side quantization/sharding
+        # decisions — a 7-8B f32/f16 tree must not round-trip the chip.
+        params_on_host = gguf_path is not None and params is not None
         self.params = params if params is not None else init_params(
             self.config, self.model_name
         )
@@ -316,15 +349,37 @@ class TPUDecodeRunner:
                 # for a 7-8B route model (the reference's 8 GB
                 # constraint, rag/routing/loader.py:1-12) — the
                 # alternative to dp×tp sharding. Not combined with TP (a
-                # reference route model never needs both).
-                from classmate_rag_tpu.models.decoder import (
-                    quantize_decoder_params,
-                )
+                # reference route model never needs both). Host trees
+                # quantize in numpy so only int8+scales cross to HBM.
+                if params_on_host:
+                    import jax
+                    import jax.numpy as jnp
 
-                self.params = quantize_decoder_params(
-                    self.params, self.config
-                )
+                    from classmate_rag_tpu.models.decoder import (
+                        quantize_decoder_params_host,
+                    )
+
+                    self.params = jax.tree.map(
+                        jnp.asarray,
+                        quantize_decoder_params_host(
+                            self.params, self.config
+                        ),
+                    )
+                    params_on_host = False
+                else:
+                    from classmate_rag_tpu.models.decoder import (
+                        quantize_decoder_params,
+                    )
+
+                    self.params = quantize_decoder_params(
+                        self.params, self.config
+                    )
                 self.quantized = True
+            if params_on_host:
+                import jax
+                import jax.numpy as jnp
+
+                self.params = jax.tree.map(jnp.asarray, self.params)
             self._generate = make_generate_fn(
                 self.config, max_seq, max_new_tokens
             )
@@ -447,20 +502,30 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
         # The reference's configured model IS a GGUF file
         # (LLM_MODEL_PATH/LLM_REPO_ID/LLM_FILENAME, rag/model_fetch.py:33-109):
         # resolve it the same way and run it on the TPU decode path.
-        try:
-            from classmate_rag_tpu.model_fetch import (
-                ensure_llama_model_available,
-            )
+        resolve_key = (cfg.llm_model_path, cfg.llm_repo_id, cfg.llm_filename)
+        if resolve_key not in _FAILED_GGUF_RESOLVES:
+            try:
+                from classmate_rag_tpu.model_fetch import (
+                    ensure_llama_model_available,
+                )
 
-            gguf = ensure_llama_model_available(
-                cfg.llm_model_path,
-                repo_id=cfg.llm_repo_id or None,
-                filename=cfg.llm_filename or None,
-            )
-            if gguf.suffix == ".gguf":
-                return TPUDecodeRunner(model_dir=str(gguf), **kw)
-        except (FileNotFoundError, ValueError):
-            pass
+                gguf = ensure_llama_model_available(
+                    cfg.llm_model_path,
+                    repo_id=cfg.llm_repo_id or None,
+                    filename=cfg.llm_filename or None,
+                )
+                if gguf.suffix == ".gguf":
+                    return TPUDecodeRunner(model_dir=str(gguf), **kw)
+            except Exception as exc:
+                # Degrade like every other fallback on this path: a
+                # missing file raises FileNotFoundError, but a configured
+                # LLM_REPO_ID attempts a hub download whose network/HTTP
+                # errors (ConnectionError, HfHubHTTPError, OSError) must
+                # not crash ask() — this rig itself is zero-egress. Memo
+                # the failure so every subsequent ask doesn't re-pay a
+                # slow network timeout.
+                _FAILED_GGUF_RESOLVES.add(resolve_key)
+                logger.debug("GGUF resolve failed (%s); falling through", exc)
         if backend == "tpu":
             return TPUDecodeRunner(**kw)
     return ExtractiveRunner()

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
+from collections.abc import Mapping
 from pathlib import Path
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -285,18 +286,51 @@ def tensor_nbytes(ggml_type: int, n_elems: int) -> int:
     return n_elems // bs * bb
 
 
-def load_gguf(path: str | Path) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
-    """Read a GGUF file fully: (metadata, {tensor name → f32 ndarray})."""
-    metadata, infos, data_start = read_gguf_header(path)
-    data = np.memmap(path, dtype=np.uint8, mode="r")
-    tensors: Dict[str, np.ndarray] = {}
-    for info in infos:
+class LazyGGUFTensors(Mapping):
+    """Dequantize-on-access view over a GGUF's mmap'd tensor data.
+
+    Holds host memory for ONE dequantized tensor at a time instead of the
+    whole f32 tree: a real Q4_K_M 7-8B file dequantizes to ~30 GB of f32,
+    and materializing every tensor in a dict before stacking (the old
+    ``load_gguf`` path) doubled that. The quant bytes stay on the page
+    cache via the memmap; each ``[name]`` access dequantizes fresh.
+    """
+
+    def __init__(self, path: str | Path) -> None:
+        self.metadata, infos, self._data_start = read_gguf_header(path)
+        self._infos: Dict[str, GGUFTensorInfo] = {i.name: i for i in infos}
+        self._data = np.memmap(path, dtype=np.uint8, mode="r")
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        info = self._infos[name]
         n = int(np.prod(info.shape)) if info.shape else 1
         nbytes = tensor_nbytes(info.ggml_type, n)
-        start = data_start + info.offset
-        raw = np.asarray(data[start:start + nbytes])
-        tensors[info.name] = dequantize(raw, info.ggml_type, info.shape)
-    return metadata, tensors
+        start = self._data_start + info.offset
+        raw = np.asarray(self._data[start:start + nbytes])
+        return dequantize(raw, info.ggml_type, info.shape)
+
+    def __iter__(self):
+        return iter(self._infos)
+
+    def __len__(self) -> int:
+        return len(self._infos)
+
+    def f32_nbytes(self) -> int:
+        """Size of the fully dequantized f32 tree (load-planning)."""
+        return sum(
+            4 * (int(np.prod(i.shape)) if i.shape else 1)
+            for i in self._infos.values()
+        )
+
+
+def load_gguf(path: str | Path) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    """Read a GGUF file fully: (metadata, {tensor name → f32 ndarray}).
+
+    Eager — fine for test fixtures and small models; use
+    :class:`LazyGGUFTensors` for anything whose f32 tree is large.
+    """
+    lazy = LazyGGUFTensors(path)
+    return lazy.metadata, {name: lazy[name] for name in lazy}
 
 
 # ---------------------------------------------------------------------------
@@ -450,10 +484,18 @@ def write_gguf(
     inferred); pass an explicit ``(vtype, value)`` tuple to force one.
     """
     quant_types = quant_types or {}
-    header = bytearray()
-    header += GGUF_MAGIC + struct.pack("<IQQ", 3, len(tensors), len(metadata) + 1)
+    # Build the final KV dict BEFORE declaring its count: setdefault adds
+    # nothing when the caller's metadata already carries the alignment
+    # key, and an over-declared count corrupts the file (the reader would
+    # parse the first tensor-table entry as a metadata KV).
     meta = dict(metadata)
     meta.setdefault("general.alignment", alignment)
+    # Pad with the alignment the header DECLARES (a caller-supplied
+    # metadata value wins over the keyword), or readers mis-seek.
+    decl = meta["general.alignment"]
+    alignment = int(decl[1] if isinstance(decl, tuple) else decl)
+    header = bytearray()
+    header += GGUF_MAGIC + struct.pack("<IQQ", 3, len(tensors), len(meta))
     for key, val in meta.items():
         raw_key = key.encode("utf-8")
         header += struct.pack("<Q", len(raw_key)) + raw_key
@@ -555,7 +597,13 @@ def config_from_gguf(metadata: Dict[str, Any]):
     )
 
 
-def load_params_from_gguf(path: str | Path, config=None):
+def load_params_from_gguf(
+    path: str | Path,
+    config=None,
+    *,
+    host: bool = False,
+    dtype=None,
+):
     """Read a GGUF model into (DecoderConfig, stacked decoder Params).
 
     The ggml name map mirrors llama.cpp's TENSOR_NAMES for the llama/
@@ -563,11 +611,21 @@ def load_params_from_gguf(path: str | Path, config=None):
     docstring) and transpose to the decoder's [in, out] orientation —
     the same step the HF safetensors loader performs
     (decoder.load_params_from_hf).
-    """
-    import jax
-    import jax.numpy as jnp
 
-    metadata, tensors = load_gguf(path)
+    Memory posture for real 7-8B files: tensors dequantize one at a time
+    off the memmap (:class:`LazyGGUFTensors`), ``dtype=None`` auto-drops
+    host storage to float16 once the f32 tree would exceed ~4 GB (f16
+    carries more mantissa than the bf16 the forward computes in, so
+    nothing is lost), and ``host=True`` keeps the tree in numpy so the
+    caller can quantize host-side (decoder.quantize_decoder_params_host)
+    instead of staging ~30 GB of f32 through a 16 GB-HBM chip.
+    """
+    tensors = LazyGGUFTensors(path)
+    metadata = tensors.metadata
+    if dtype is None:
+        dtype = (
+            np.float16 if tensors.f32_nbytes() > (4 << 30) else np.float32
+        )
     if config is None:
         config = config_from_gguf(metadata)
         if "blk.0.attn_q.bias" in tensors:
@@ -578,7 +636,7 @@ def load_params_from_gguf(path: str | Path, config=None):
     def get(name: str) -> np.ndarray:
         if name not in tensors:
             raise KeyError(name)
-        return tensors[name]
+        return np.asarray(tensors[name], dtype=dtype)
 
     L = config.layers
     keys = ["attn_norm", "q_w", "k_w", "v_w", "o_w",
@@ -609,7 +667,7 @@ def load_params_from_gguf(path: str | Path, config=None):
             stacks["down_w"].append(get(base + "ffn_down.weight").T)
         tok_emb = get("token_embd.weight")
         if "output.weight" in tensors:
-            lm_head = tensors["output.weight"].T
+            lm_head = get("output.weight").T
         else:
             lm_head = tok_emb.T  # tied embeddings (Qwen2-small, Gemma style)
         params = {
@@ -628,6 +686,11 @@ def load_params_from_gguf(path: str | Path, config=None):
             f"GGUF {path}: token_embd shape {params['tok_emb'].shape} != "
             f"({config.vocab_size}, {config.hidden})"
         )
+    if host:
+        return config, params
+    import jax
+    import jax.numpy as jnp
+
     return config, jax.tree.map(jnp.asarray, params)
 
 
@@ -763,9 +826,22 @@ class GGUFTokenizer:
         )
         self.vocab_size = len(self.tokens)
         self.max_length = max_length
-        self.bos_id = int(metadata.get("tokenizer.ggml.bos_token_id", 1))
+        bos = metadata.get("tokenizer.ggml.bos_token_id")
+        # No invented BOS: only SPM (llama) models get the conventional
+        # id 1 default; a BPE file without the key has no BOS to prepend
+        # (id 1 there is an arbitrary vocab entry).
+        if bos is None and self.model == "llama":
+            bos = 1
+        self.bos_id: Optional[int] = int(bos) if bos is not None else None
         self.eos_id = int(metadata.get("tokenizer.ggml.eos_token_id", 2))
         self.unk_id = int(metadata.get("tokenizer.ggml.unknown_token_id", 0))
+        # llama.cpp's tokenizer_add_bos: explicit flag wins; defaults are
+        # per vocab model (SPM prepends BOS, byte-BPE does not) — Llama-3
+        # GGUFs carry add_bos_token=true, Qwen2/3 carry false/absent.
+        add_bos = metadata.get("tokenizer.ggml.add_bos_token")
+        if add_bos is None:
+            add_bos = self.model == "llama"
+        self.add_bos = bool(add_bos) and self.bos_id is not None
         self._piece_ids: Dict[str, int] = {}
         for i, t in enumerate(self.tokens):
             self._piece_ids.setdefault(t, i)
@@ -841,11 +917,16 @@ class GGUFTokenizer:
     def _encode_bpe(self, text: str) -> List[int]:
         import re
 
-        # GPT-2's pretokenizer regex (the \p{L}/\p{N} classes approximated
-        # with str.isalpha/isdigit post-filter is unnecessary: python re
-        # handles unicode \w; llama.cpp uses the same gpt2 pattern).
+        # GPT-2's pretokenizer regex with \p{L} ≈ [^\W\d_] and \p{N} ≈ \d.
+        # The "other" class must be [^\s\p{L}\p{N}] — NOT [^\s\w]: "_" is
+        # \w but neither letter nor digit, so a bare [^\s\w] class would
+        # match no alternative and findall would silently DELETE
+        # underscores from the text (snake_case identifiers are common in
+        # course material). (?:[^\s\w]|_) restores it to the punct class,
+        # exactly where llama.cpp's \p-based pattern puts it.
         pat = re.compile(
-            r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+            r"'s|'t|'re|'ve|'m|'ll|'d"
+            r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
             re.UNICODE,
         )
         ids: List[int] = []
@@ -868,7 +949,8 @@ class GGUFTokenizer:
             ids = self._encode_bpe(text or "")
         else:
             ids = self._encode_unigram(text or "")
-        ids = [self.bos_id] + ids
+        if self.add_bos:
+            ids = [self.bos_id] + ids
         return ids[-limit:]
 
     def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:

@@ -364,3 +364,134 @@ def test_get_runner_resolves_configured_gguf(tmp_path, monkeypatch):
     assert isinstance(runner, TPUDecodeRunner)
     assert runner.has_pretrained_weights
     assert runner.model_name == path.name
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review regressions
+# ---------------------------------------------------------------------------
+
+def test_bpe_pretokenizer_preserves_underscores():
+    # '_' is \w but neither letter nor digit: a [^\s\w] "other" class
+    # silently DELETED it from the text (review finding). llama.cpp's
+    # \p-based gpt2 pattern keeps it in the punctuation class.
+    tokens = ["<unk>", "<s>", "</s>", "m", "y", "_", "v", "a", "r",
+              "Ġ", "f", "o", "b", "(", ")", "1", "=", "."]
+    tok = G.GGUFTokenizer({
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.merges": [],
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    })
+    for text in ("my_var", "foo_bar(1)", "a = b_1.f"):
+        assert tok.decode(tok.encode_raw(text)) == text
+
+
+def test_bpe_add_bos_flag_semantics():
+    base = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": ["<unk>", "<s>", "</s>", "h", "i"],
+        "tokenizer.ggml.merges": [],
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    # BPE default (no flag): no BOS prepended (llama.cpp semantics).
+    assert G.GGUFTokenizer(base).encode_raw("hi")[0] != 1
+    # Explicit flag wins, both ways.
+    on = dict(base)
+    on["tokenizer.ggml.add_bos_token"] = True
+    assert G.GGUFTokenizer(on).encode_raw("hi")[0] == 1
+    # A BPE file with NO bos id never invents one (old code defaulted 1).
+    nobos = {k: v for k, v in on.items()
+             if k != "tokenizer.ggml.bos_token_id"}
+    t = G.GGUFTokenizer(nobos)
+    assert t.bos_id is None
+    assert t.encode_raw("hi")[0] != 1
+    # SPM default: BOS prepended without any flag.
+    spm = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": _tiny_tokens(512),
+        "tokenizer.ggml.scores": [0.0] * 512,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+    assert G.GGUFTokenizer(spm).encode_raw("hello")[0] == 1
+    off = dict(spm)
+    off["tokenizer.ggml.add_bos_token"] = False
+    assert G.GGUFTokenizer(off).encode_raw("hello")[0] != 1
+
+
+def test_write_gguf_with_explicit_alignment_roundtrips(tmp_path):
+    # The writer declared len(metadata)+1 KVs while setdefault added
+    # nothing when the caller already carried general.alignment -> a
+    # corrupt header (review finding, reproduced via read->write).
+    path = tmp_path / "align.gguf"
+    arr = np.arange(64, dtype=np.float32).reshape(2, 32)
+    G.write_gguf(
+        path,
+        {"general.architecture": "llama", "general.alignment": 64},
+        {"t": arr},
+    )
+    metadata, tensors = G.load_gguf(path)
+    assert metadata["general.alignment"] == 64
+    np.testing.assert_array_equal(tensors["t"], arr)
+
+
+def test_load_params_host_tree_is_numpy_and_matches_device(tmp_path):
+    path = tmp_path / "host.gguf"
+    config, _ = _write_tiny_model(path, quant=G.GGML_Q8_0)
+    cfg_h, host_tree = G.load_params_from_gguf(path, host=True)
+    import jax
+
+    for leaf in jax.tree.leaves(host_tree):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    cfg_d, dev_tree = G.load_params_from_gguf(path)
+    flat_h = jax.tree.leaves(host_tree)
+    flat_d = jax.tree.leaves(dev_tree)
+    assert len(flat_h) == len(flat_d)
+    for h, d in zip(flat_h, flat_d):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(d))
+
+
+def test_lazy_gguf_tensors_match_eager(tmp_path):
+    path = tmp_path / "lazy.gguf"
+    _write_tiny_model(path, quant=G.GGML_Q4_0)
+    metadata, eager = G.load_gguf(path)
+    lazy = G.LazyGGUFTensors(path)
+    assert set(lazy) == set(eager)
+    assert lazy.f32_nbytes() == sum(4 * t.size for t in eager.values())
+    for name in ("token_embd.weight", "blk.0.attn_q.weight"):
+        np.testing.assert_array_equal(lazy[name], eager[name])
+
+
+def test_runner_eos_includes_chat_turn_enders(tmp_path):
+    # GGUF conversions routinely record only <|end_of_text|> as eos
+    # while chat turns end with <|eot_id|> (review finding): the runner
+    # must stop on the turn ender and strip both.
+    from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+
+    config = DecoderConfig.tiny_test()
+    params = init_params(config, "gguf-eot-fixture")
+    tokens = _tiny_tokens(config.vocab_size)
+    tokens[-2] = "<|end_of_text|>"
+    tokens[-1] = "<|eot_id|>"
+    end_of_text, eot = len(tokens) - 2, len(tokens) - 1
+    G.export_decoder_to_gguf(
+        tmp_path / "llama3ish.gguf", params, config, arch="llama",
+        quant_type=G.GGML_F32,
+        extra_metadata={
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": (G.T_ARRAY, (G.T_STRING, tokens)),
+            "tokenizer.ggml.scores": (
+                G.T_ARRAY, (G.T_FLOAT32, [0.0] * len(tokens)),
+            ),
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": end_of_text,
+        },
+    )
+    runner = TPUDecodeRunner(
+        model_dir=str(tmp_path / "llama3ish.gguf"),
+        max_new_tokens=4, max_seq=64,
+    )
+    assert runner.eos_ids == [end_of_text, eot]
+    assert runner.eos_id == eot  # the decode loop stops on the turn ender
