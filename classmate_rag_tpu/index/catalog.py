@@ -215,7 +215,16 @@ class Catalog:
 
     def _replay_journal(self) -> None:
         """Apply journal ops in order; rebuilds the running journal hash
-        so later appends extend it incrementally."""
+        so later appends extend it incrementally.
+
+        The journal's first line records the (size, mtime_ns) of the base
+        it was written against. A base rewritten by a foreign writer (a
+        reference stack knows nothing about the sidecar journal —
+        rag/retrieval/bm25.py:220-248 rewrites the whole file) must NOT
+        have a stale journal replayed on top: deleted entries would
+        resurrect into query results. On mismatch the journal is set
+        aside as ``*.stale`` and ignored.
+        """
         self._journal_hash = sha1()
         jp = self.journal_path
         if not jp.exists():
@@ -223,7 +232,6 @@ class Catalog:
         off = 0
         with jp.open("rb") as f:
             for raw in f:
-                self._journal_hash.update(raw)
                 line = raw.rstrip(b"\n")
                 stripped = line.strip()
                 if stripped:
@@ -231,13 +239,31 @@ class Catalog:
                         rec = json.loads(stripped)
                     except (json.JSONDecodeError, ValueError):
                         rec = None
-                    if isinstance(rec, dict) and rec.get("id"):
+                    if (
+                        off == 0
+                        and isinstance(rec, dict)
+                        and rec.get("op") == "base"
+                    ):
+                        want = tuple(int(v) for v in rec.get("stat") or ())
+                        if want != _stat_key(self.path):
+                            # Foreign base rewrite: this journal belongs
+                            # to a base that no longer exists.
+                            try:
+                                os.replace(
+                                    jp, jp.with_suffix(".jsonl.stale")
+                                )
+                            except OSError:
+                                pass
+                            self._journal_hash = sha1()
+                            return
+                    elif isinstance(rec, dict) and rec.get("id"):
                         if rec.get("op") == "delete":
                             self._index.pop(str(rec["id"]), None)
                         else:
                             self._index[str(rec["id"])] = (
                                 _JOURNAL, off, len(line)
                             )
+                self._journal_hash.update(raw)
                 off += len(raw)
 
     # ------------------------------------------------------------------
@@ -375,6 +401,16 @@ class Catalog:
         jp = self.journal_path
         off = jp.stat().st_size if jp.exists() else 0
         with jp.open("ab") as f:
+            if off == 0:
+                # Bind a fresh journal to the exact base it extends (see
+                # _replay_journal): a later foreign rewrite of the base
+                # invalidates these deltas instead of resurrecting them.
+                marker = (json.dumps(
+                    {"op": "base", "stat": list(_stat_key(self.path))}
+                ) + "\n").encode("utf-8")
+                f.write(marker)
+                self._journal_hash.update(marker)
+                off += len(marker)
             # Tombstones first: within one batch a pending upsert is
             # always the final live state for its id, so it must land
             # after any tombstone for the same id.
@@ -430,10 +466,27 @@ class Catalog:
                     h.update(raw)
                     new_index[cid] = (_BASE, off, len(raw) - 1)
                     off += len(raw)
+                # Compaction converts DURABLE journaled mutations (the
+                # appends were fsync'd) into base bytes, then deletes the
+                # journal — the new base must be on disk before the old
+                # copy of the data goes away.
+                out.flush()
+                os.fsync(out.fileno())
         finally:
             for f in handles.values():
                 f.close()
         os.replace(tmp, self.path)
+        try:
+            dfd = os.open(str(self.path.parent), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+        # If we crash between the (synced) rename and this unlink, the
+        # leftover journal carries a base-stat marker that no longer
+        # matches the new base — _replay_journal discards it as stale.
         jp = self.journal_path
         if jp.exists():
             jp.unlink()
@@ -536,25 +589,35 @@ class Catalog:
             yield e
 
     def items(self) -> Iterator[Tuple[str, CatalogEntry]]:
+        # Snapshot the index, the pending dict AND the file handles under
+        # ONE lock hold: a concurrent save() may compact (os.replace the
+        # base + unlink the journal) mid-iteration, and offsets snapshotted
+        # against the OLD files are garbage against the new ones. Handles
+        # opened here keep the old inodes alive (POSIX), so the iteration
+        # reads the exact point-in-time state the snapshot indexed —
+        # entries can't be silently skipped (the old lazy open re-resolved
+        # the path post-compaction and mis-seeked).
         with self._lock:
             snapshot = list(self._index.items())
-        handles: Dict[int, Any] = {}
+            pending = dict(self._pending)
+            handles: Dict[int, Any] = {}
+            for src, fpath in (
+                (_BASE, self.path), (_JOURNAL, self.journal_path),
+            ):
+                try:
+                    handles[src] = fpath.open("rb")
+                except OSError:
+                    pass
         try:
             for cid, (src, off, length) in snapshot:
                 if src == _PENDING:
-                    with self._lock:
-                        e = self._pending.get(cid)
+                    e = pending.get(cid)
                     if e is not None:
                         yield cid, e
                     continue
                 f = handles.get(src)
                 if f is None:
-                    fpath = self.path if src == _BASE else self.journal_path
-                    try:
-                        f = fpath.open("rb")
-                    except OSError:
-                        continue
-                    handles[src] = f
+                    continue
                 f.seek(off)
                 e = _parse_entry(f.read(length))
                 if e is not None:

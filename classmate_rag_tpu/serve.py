@@ -322,8 +322,19 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
     if follower_timeout_s is None:
         env_t = os.getenv("SERVE_FOLLOWER_TIMEOUT_S")
         follower_timeout_s = float(env_t) if env_t else None
-    if follower_timeout_s is not None:
-        batcher_kw["follower_timeout_s"] = follower_timeout_s
+    if follower_timeout_s is None:
+        # Size the follower deadline to the generation tail of the
+        # CONFIGURED backend, not to a fixed number: the extractive
+        # runner answers a batch in milliseconds (8 s is a stuck-leader
+        # bound), while a real decode model legitimately spends tens of
+        # seconds on a 32-question batch at LLM_MAX_TOKENS=768 — an 8 s
+        # deadline there would 503 every follower of every healthy batch
+        # and defeat micro-batching entirely.
+        from classmate_rag_tpu.config import load_config
+
+        backend = load_config().llm_backend.lower()
+        follower_timeout_s = 8.0 if backend == "extractive" else 60.0
+    batcher_kw["follower_timeout_s"] = follower_timeout_s
     handler = type("Handler", (RagRequestHandler,), {
         "runtime": rt,
         "device_lock": lock,

@@ -217,3 +217,61 @@ def test_stateful_vs_oracle(tmp_path):
     for cid, text in oracle.items():
         assert final.get(cid).text == text
     assert sorted(e.id for e in final.entries()) == sorted(oracle)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review regressions
+# ---------------------------------------------------------------------------
+
+def test_foreign_base_rewrite_discards_stale_journal(tmp_path):
+    # A reference stack (which knows nothing about the journal sidecar)
+    # may rewrite bm25_index.jsonl wholesale; replaying our leftover
+    # journal on top resurrected deleted/stale entries (review finding).
+    cat = seeded_catalog(tmp_path, n=4)          # fold -> base exists
+    cat.upsert(make_entry(99))
+    cat.save()                                    # journal now carries 99
+    assert cat.journal_path.exists()
+    # Foreign rewrite: the base now contains ONLY 'x'.
+    line = json.dumps({"id": "x", "text": "foreign", "tokens": ["f"],
+                       "metadata": {}})
+    cat.path.write_text(line + "\n", encoding="utf-8")
+    cat2 = Catalog.load_or_create(tmp_path)
+    assert cat2.ids == ["x"]                      # nothing resurrected
+    assert not cat2.journal_path.exists()         # set aside, not replayed
+    assert cat2.journal_path.with_suffix(".jsonl.stale").exists()
+    # The catalog remains fully usable after the discard.
+    cat2.upsert(make_entry(1))
+    cat2.save()
+    cat3 = Catalog.load_or_create(tmp_path)
+    assert set(cat3.ids) == {"x", "cm_00000001"}
+
+
+def test_journal_survives_reload_when_base_untouched(tmp_path):
+    # The binding must NOT discard journals in the normal case.
+    cat = seeded_catalog(tmp_path, n=4)
+    cat.upsert(make_entry(99))
+    cat.save()
+    # Defeat the sidecar fast path so _replay_journal itself runs.
+    cat._sidecar_path.unlink()
+    cat2 = Catalog.load_or_create(tmp_path)
+    assert "cm_00000099" in cat2.ids
+    assert cat2.get("cm_00000099").text == make_entry(99).text
+
+
+def test_items_iteration_survives_concurrent_compaction(tmp_path):
+    # items() snapshots offsets; a save() that compacts mid-iteration
+    # os.replace()s the base those offsets point into. The pre-opened
+    # handles pin the old inodes, so every snapshotted entry must still
+    # be yielded intact (the old lazy open silently skipped them).
+    cat = seeded_catalog(tmp_path, n=30)
+    cat.upsert(make_entry(777))
+    cat.save()                                    # 777 lives in the journal
+    it = cat.items()
+    got = [next(it)[0] for _ in range(3)]         # handles now open
+    cat.compact()                                 # base replaced, journal gone
+    got += [cid for cid, _ in it]
+    assert len(got) == 31
+    assert "cm_00000777" in got
+    # And the entries parsed, not silently dropped mid-file.
+    cat2_texts = {cid: e.text for cid, e in cat.items()}
+    assert len(cat2_texts) == 31
