@@ -172,6 +172,7 @@ def build_split_layout(
     head_bytes_budget: int,
     head_df_threshold: int,
     seg_cap: int = TAIL_SEG_CAP,
+    reserve: int = 0,
 ) -> Dict[str, Any]:
     """Partition the packed lexical matrix into the split-frequency BM25
     layout: a TERM-major dense u8 head matrix [C, cap] for high-df terms
@@ -237,11 +238,15 @@ def build_split_layout(
     )
     # Pad the postings arrays by r_cap: dynamic_slice CLAMPS starts near
     # the array end, which would silently shift a tail term's window.
-    p_pad = max(8, _round_up(len(post_rows) + r_cap, 4096))
+    # ``reserve`` adds an OVERLAY region right after the base postings —
+    # the O(delta) refresh (plan_tail_delta) appends new/updated rows'
+    # tail entries there between full rebuilds.
+    p_base = len(post_rows)
+    p_pad = max(8, _round_up(p_base + reserve + r_cap, 4096))
     post_rows_pad = np.zeros(p_pad, dtype=np.int32)
-    post_rows_pad[: len(post_rows)] = post_rows
+    post_rows_pad[:p_base] = post_rows
     post_tfs_pad = np.zeros(p_pad, dtype=np.uint8)
-    post_tfs_pad[: len(post_tfs)] = post_tfs
+    post_tfs_pad[:p_base] = post_tfs
     return {
         "lut": lut,
         "offsets": offsets,
@@ -249,6 +254,7 @@ def build_split_layout(
         "tf_head": tf_head,
         "post_rows": post_rows_pad,
         "post_tfs": post_tfs_pad,
+        "p_base": p_base,
         "n_overflow": n_overflow,
         "df_threshold": eff_threshold,
     }
@@ -268,6 +274,8 @@ def split_query_arrays(
     q_tids: np.ndarray,         # i32 [B, M], -1 padded
     q_counts: np.ndarray,       # f32 [B, M]
     r_cap: int = TAIL_SEG_CAP,
+    ov_offsets: Optional[np.ndarray] = None,  # i64 [V+1] overlay ranges
+    ov_start: int = 0,          # overlay region start in post arrays
 ) -> Dict[str, np.ndarray]:
     """Map [B, M] query term ids onto the batch's distinct head-term
     union and tail-term SEGMENT table (inputs to bm25_split_scores).
@@ -281,12 +289,22 @@ def split_query_arrays(
     by distinct TERMS, not segments (at 1M chunks the per-segment
     formulation materialized [N, U≈1024] ≈ 4 GB f32 per batch and
     dominated the whole fused step; per-term columns cut it ~U/T ≈ 10×).
+
+    ``ov_offsets`` adds OVERLAY segments: per-term windows into the
+    overlay region at ``ov_start`` (plan_tail_delta), scattering into the
+    same term column as the base segments. ``u_occ``/``u_ov`` record each
+    segment's within-class occurrence index and class (0 base /
+    1 overlay) so shard_tail_ranges can re-derive per-shard windows.
     """
     safe = np.maximum(q_tids, 0)
     slots = np.where(q_tids >= 0, lut[safe], -1).astype(np.int32)
     is_head = slots >= 0
     lens = offsets[safe + 1] - offsets[safe]
-    is_rare = (~is_head) & (q_tids >= 0) & (lens > 0)
+    has_tail = lens > 0
+    if ov_offsets is not None:
+        ov_lens = ov_offsets[safe + 1] - ov_offsets[safe]
+        has_tail = has_tail | (ov_lens > 0)
+    is_rare = (~is_head) & (q_tids >= 0) & has_tail
 
     head_tids = (
         np.unique(q_tids[is_head]) if is_head.any()
@@ -304,21 +322,39 @@ def split_query_arrays(
     t_tids = _pad_pow2(rare_tids, -1)
     col_of = {int(t): i for i, t in enumerate(rare_tids)}
     seg_t, seg_col, seg_start, seg_len = [], [], [], []
+    seg_occ, seg_ov = [], []
     for t in rare_tids:
         start = int(offsets[t])
         ln = int(offsets[t + 1]) - start
-        for k in range(0, ln, r_cap):
+        for occ, k in enumerate(range(0, ln, r_cap)):
             seg_t.append(t)
             seg_col.append(col_of[int(t)])
             seg_start.append(start + k)
             seg_len.append(min(r_cap, ln - k))
+            seg_occ.append(occ)
+            seg_ov.append(0)
+        if ov_offsets is None:
+            continue
+        o_start = int(ov_offsets[t])
+        o_ln = int(ov_offsets[t + 1]) - o_start
+        for occ, k in enumerate(range(0, o_ln, r_cap)):
+            seg_t.append(t)
+            seg_col.append(col_of[int(t)])
+            seg_start.append(ov_start + o_start + k)
+            seg_len.append(min(r_cap, o_ln - k))
+            seg_occ.append(occ)
+            seg_ov.append(1)
     u_tids = _pad_pow2(np.asarray(seg_t, np.int32), -1)
     u_cols = _pad_pow2(np.asarray(seg_col, np.int32), -1)
     u_starts = np.zeros(len(u_tids), dtype=np.int32)
     u_lens = np.zeros(len(u_tids), dtype=np.int32)
+    u_occ = np.zeros(len(u_tids), dtype=np.int32)
+    u_ov = np.zeros(len(u_tids), dtype=np.int32)
     if seg_t:
         u_starts[: len(seg_t)] = seg_start
         u_lens[: len(seg_t)] = seg_len
+        u_occ[: len(seg_t)] = seg_occ
+        u_ov[: len(seg_t)] = seg_ov
     return {
         "h_slots": h_slots,
         "h_tids": h_tids,
@@ -326,6 +362,8 @@ def split_query_arrays(
         "u_lens": u_lens,
         "u_tids": u_tids,
         "u_cols": u_cols,
+        "u_occ": u_occ,
+        "u_ov": u_ov,
         "t_tids": t_tids,
     }
 
@@ -337,6 +375,7 @@ def shard_postings(
     n_shards: int,
     n_local: int,
     r_cap: int,
+    reserve: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partition term-sorted tail postings by corpus shard (row // n_local).
 
@@ -344,7 +383,9 @@ def shard_postings(
     each shard can slice its own contiguous posting windows. Returns
     (post_rows_sh [S, Pmax] i32, post_tfs_sh [S, Pmax] u8,
     offsets_sh [S, V+1] i64); Pmax is padded by r_cap like the global
-    layout (dynamic_slice clamp rule).
+    layout (dynamic_slice clamp rule) plus ``reserve`` slots per shard
+    for the O(delta) overlay region (which starts at each shard's
+    ``offsets_sh[s, -1]``).
     """
     n_vocab = len(offsets) - 1
     p = int(offsets[-1])
@@ -366,7 +407,7 @@ def shard_postings(
     np.cumsum(counts_sh, axis=1, out=offsets_sh[:, 1:])
 
     pmax = max((len(r) for r in local_rows), default=0)
-    p_pad = max(8, _round_up(pmax + r_cap, 128))
+    p_pad = max(8, _round_up(pmax + reserve + r_cap, 128))
     post_rows_sh = np.zeros((n_shards, p_pad), dtype=np.int32)
     post_tfs_sh = np.zeros((n_shards, p_pad), dtype=np.uint8)
     for s in range(n_shards):
@@ -379,23 +420,34 @@ def shard_tail_ranges(
     offsets_sh: np.ndarray,     # i64 [S, V+1]
     u_tids: np.ndarray,         # i32 [U], -1 padded (segments share tid)
     r_cap: int = TAIL_SEG_CAP,
+    u_occ: Optional[np.ndarray] = None,   # i32 [U] within-class occurrence
+    u_ov: Optional[np.ndarray] = None,    # i32 [U] 0 base / 1 overlay
+    ov_offsets_sh: Optional[np.ndarray] = None,  # i64 [S, V+1]
+    ov_starts_sh: Optional[np.ndarray] = None,   # i64 [S] region starts
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-shard (u_starts, u_lens) [S, U] for the batch's tail SEGMENT
     table (the segment/tid layout stays global and replicated; each shard
     fills its own — possibly shorter — posting list into the term's
     segment slots). A shard never needs more segments than the global
-    list does, since its local list is a subset."""
+    list does, since its local list is a subset.
+
+    With overlay tables, slots flagged ``u_ov`` resolve against the
+    per-shard overlay ranges (region at ``ov_starts_sh[s]``) instead of
+    the base offsets — same windowing rule, different list."""
     s = offsets_sh.shape[0]
     u = len(u_tids)
-    # Occurrence index of each segment slot within its term.
-    occ = np.zeros(u, dtype=np.int64)
-    seen: Dict[int, int] = {}
-    for j, t in enumerate(u_tids):
-        t = int(t)
-        if t < 0:
-            continue
-        occ[j] = seen.get(t, 0)
-        seen[t] = int(occ[j]) + 1
+    if u_occ is not None:
+        occ = u_occ.astype(np.int64)
+    else:
+        # Occurrence index of each segment slot within its term.
+        occ = np.zeros(u, dtype=np.int64)
+        seen: Dict[int, int] = {}
+        for j, t in enumerate(u_tids):
+            t = int(t)
+            if t < 0:
+                continue
+            occ[j] = seen.get(t, 0)
+            seen[t] = int(occ[j]) + 1
 
     u_starts_sh = np.zeros((s, u), dtype=np.int32)
     u_lens_sh = np.zeros((s, u), dtype=np.int32)
@@ -404,11 +456,132 @@ def shard_tail_ranges(
         tids = np.maximum(u_tids, 0).astype(np.int64)
         starts = offsets_sh[:, :-1][:, tids]          # [S, U]
         total = offsets_sh[:, 1:][:, tids] - starts
+        if u_ov is not None and ov_offsets_sh is not None:
+            ov_s = ov_offsets_sh[:, :-1][:, tids]
+            ov_total = ov_offsets_sh[:, 1:][:, tids] - ov_s
+            ov_flag = (u_ov > 0)[None, :]
+            starts = np.where(
+                ov_flag, ov_starts_sh[:, None] + ov_s, starts
+            )
+            total = np.where(ov_flag, ov_total, total)
         seg_off = (occ * r_cap)[None, :]
         ln = np.clip(total - seg_off, 0, r_cap)
         u_starts_sh[:] = (starts + np.minimum(seg_off, total)).astype(np.int32)
         u_lens_sh[:] = np.where(real[None, :], ln, 0).astype(np.int32)
     return u_starts_sh, u_lens_sh
+
+
+def head_tf_columns(
+    lut: np.ndarray,
+    c_pad: int,
+    term_ids: np.ndarray,   # i32 [R, L] — the changed rows' new content
+    tfs: np.ndarray,        # u8  [R, L]
+) -> np.ndarray:
+    """tf_head columns [c_pad, R] for changed rows under a FROZEN head
+    lut — the O(delta) replacement for rebuilding the full [C, N] head
+    matrix when only a few rows changed."""
+    r, width = term_ids.shape
+    cols = np.zeros((c_pad, r), dtype=np.uint8)
+    ids = term_ids.ravel()
+    tfv = tfs.ravel()
+    ok = (ids >= 0) & (ids < len(lut)) & (tfv > 0)
+    slots = np.where(ok, lut[np.maximum(ids, 0)], -1)
+    sel = slots >= 0
+    row_of = np.repeat(np.arange(r), width)
+    cols[slots[sel], row_of[sel]] = tfv[sel]
+    return cols
+
+
+def plan_tail_delta(
+    lut: np.ndarray,               # FROZEN head lut (may lag the vocab)
+    offsets: np.ndarray,           # base per-term ranges [V_base+1]
+    post_rows_host: np.ndarray,    # base postings rows (host copy)
+    overlay: Dict[int, Dict[int, int]],  # tid -> {row: tf}; MUTATED
+    changes: Sequence[Tuple[int, Any, Tuple[np.ndarray, np.ndarray]]],
+    reserve: int,
+    n_vocab: int,
+) -> Optional[Dict[str, np.ndarray]]:
+    """O(delta) tail-posting maintenance plan for changed rows.
+
+    ``changes`` is [(row, old, (new_ids, new_tfs))] where ``row`` is in
+    the SAME row space as ``post_rows_host`` (shard-local for a sharded
+    caller) and ``old`` is the pre-mutation (tids, tfs) or None for a
+    fresh slot.
+
+    For each row: every OLD tail entry is neutralized — removed from the
+    overlay if it lives there, else its base posting position gets tf=0
+    (an Okapi zero-tf contributes exactly nothing, and subset df comes
+    from the row-major term matrix, not the postings) — and every NEW
+    tail entry goes into the overlay. Head terms are untouched here
+    (head_tf_columns covers them); the head/tail PARTITION stays frozen
+    between full rebuilds, which costs only performance drift, never
+    correctness.
+
+    Returns None when the plan is infeasible (overlay outgrew the
+    reserve) — the caller falls back to a full rebuild and clears the
+    overlay. Otherwise: ``zero_pos`` (base positions to tf=0),
+    ``ov_rows``/``ov_tfs`` (the full overlay region content, per-term
+    contiguous, row-sorted) and ``ov_offsets`` [n_vocab+1].
+
+    Within a term's base range, postings are ROW-SORTED (build order is
+    row-major and the term sort is stable) — neutralization is a binary
+    search, not a scan.
+    """
+    lut_len = len(lut)
+    v_base = len(offsets) - 1
+    zero_pos: List[int] = []
+    for row, old, (n_ids, n_tfs) in changes:
+        pairs = []
+        if old is not None:
+            o_ids, o_tfs = old
+            live = (o_ids >= 0) & (o_tfs > 0)
+            pairs = zip(o_ids[live].tolist(), o_tfs[live].tolist())
+        for tid, _tf in pairs:
+            if tid < lut_len and lut[tid] >= 0:
+                continue  # head term: column scatter covers it
+            ov_t = overlay.get(tid)
+            if ov_t is not None and row in ov_t:
+                del ov_t[row]
+                continue
+            if tid >= v_base:
+                return None  # tail term outside the base vocab snapshot
+            lo, hi = int(offsets[tid]), int(offsets[tid + 1])
+            pos = lo + int(
+                np.searchsorted(post_rows_host[lo:hi], row)
+            )
+            if pos >= hi or int(post_rows_host[pos]) != row:
+                return None  # base entry not found: state drifted
+            zero_pos.append(pos)
+        live = (n_ids >= 0) & (n_tfs > 0)
+        for tid, tf in zip(n_ids[live].tolist(), n_tfs[live].tolist()):
+            if tid < lut_len and lut[tid] >= 0:
+                continue
+            overlay.setdefault(int(tid), {})[int(row)] = int(tf)
+
+    total = sum(len(v) for v in overlay.values())
+    if total > reserve:
+        return None
+    ov_offsets = np.zeros(n_vocab + 1, dtype=np.int64)
+    ov_rows = np.zeros(total, dtype=np.int32)
+    ov_tfs = np.zeros(total, dtype=np.uint8)
+    counts = np.zeros(n_vocab, dtype=np.int64)
+    for tid, entries in overlay.items():
+        counts[tid] = len(entries)
+    np.cumsum(counts, out=ov_offsets[1:])
+    for tid, entries in overlay.items():
+        if not entries:
+            continue
+        pos = int(ov_offsets[tid])
+        for row in sorted(entries):
+            ov_rows[pos] = row
+            ov_tfs[pos] = entries[row]
+            pos += 1
+    return {
+        "zero_pos": np.asarray(sorted(zero_pos), dtype=np.int64),
+        "ov_rows": ov_rows,
+        "ov_tfs": ov_tfs,
+        "ov_offsets": ov_offsets,
+    }
 
 
 # ---------------------------------------------------------------------------

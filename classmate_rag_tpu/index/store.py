@@ -22,6 +22,7 @@ catalog (the durable source of truth, shared format with the reference).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
@@ -113,6 +114,9 @@ class IndexStore:
         self._j_emb: set = set()
         self._j_lex: set = set()
         self._j_meta: set = set()
+        # row -> (old term_ids, old tfs) | None (fresh slot), captured at
+        # first lexical touch since the last drain (see upsert).
+        self._j_old_lex: Dict[int, Any] = {}
         # Persistence delta tracking (independent of the sharded journal,
         # which is drained by its own consumer): rows touched since the
         # last save, cleared only by save(). With a persisted base, save()
@@ -242,6 +246,17 @@ class IndexStore:
                 and np.array_equal(self.tfs[row], t_tfs_b[i])
                 and self.doc_len[row] == dl_b[i]
             ):
+                if row not in self._j_old_lex:
+                    # First-touch snapshot of the row's PRE-mutation
+                    # lexical content (None = fresh slot, no previous
+                    # content): the O(delta) tail-posting planner needs
+                    # the old terms to neutralize their base/overlay
+                    # entries. ~1 KB/row, cleared on drain.
+                    self._j_old_lex[row] = (
+                        None if fresh else (
+                            self.term_ids[row].copy(), self.tfs[row].copy()
+                        )
+                    )
                 self._j_lex.add(row)
                 self._dirty_rows.add(row)
             self.emb[row] = emb_new
@@ -322,18 +337,26 @@ class IndexStore:
         self._j_emb.clear()
         self._j_lex.clear()
         self._j_meta.clear()
+        self._j_old_lex.clear()
         self._dirty_rows.clear()
         self._need_full_save = True
         return reclaimed
 
     def drain_journal(self):
         """Consume the mutation journal: returns (epoch, emb_rows,
-        lex_rows, meta_rows) and clears the dirty sets. Epoch is NOT
-        reset — consumers compare it against the epoch they placed at;
-        a mismatch means structure changed and a full re-place is due.
-        Single-consumer semantics (the sharded serving wrapper)."""
-        out = (self._epoch, self._j_emb, self._j_lex, self._j_meta)
+        lex_rows, meta_rows, old_lex) and clears the dirty sets.
+        ``old_lex`` maps each lex row to its pre-mutation
+        (term_ids, tfs) — None for fresh slots — for the O(delta)
+        tail-posting planner. Epoch is NOT reset — consumers compare it
+        against the epoch they placed at; a mismatch means structure
+        changed and a full re-place is due. Single-consumer semantics
+        (the sharded serving wrapper)."""
+        out = (
+            self._epoch, self._j_emb, self._j_lex, self._j_meta,
+            self._j_old_lex,
+        )
         self._j_emb, self._j_lex, self._j_meta = set(), set(), set()
+        self._j_old_lex = {}
         return out
 
     # ------------------------------------------------------------------
@@ -475,7 +498,16 @@ class IndexStore:
                 if v is None:
                     continue
                 s = str(v).strip()
-                if not s or (f == "doc_type" and s.lower() == "other"):
+                # BOTH sentinels pass through unfiltered here, not just
+                # in schema._strip_sentinels: callers of the raw store /
+                # sharded APIs hand in plain dicts, and "auto" was never
+                # interned at ingest (to_dict strips it), so looking it
+                # up would set the impossible marker and drop every row.
+                if (
+                    not s
+                    or (f == "doc_type" and s.lower() == "other")
+                    or (f == "language" and s.lower() == "auto")
+                ):
                     continue
                 wanted[j] = self.interns[f].lookup(s)
             tags = where.get("tags")
@@ -823,11 +855,24 @@ class IndexStore:
         self._delta_save(catalog_fingerprint)
 
     def _full_save(self, catalog_fingerprint: Optional[str]) -> None:
-        np.save(self.directory / "embeddings.npy", self.emb[: self.n_rows])
+        # Embeddings write atomically (tmp+rename — a torn np.save would
+        # brick the dense base), and rows.json records the exact
+        # (size, mtime_ns) of the embeddings file it indexes: ids pair
+        # with embedding rows POSITIONALLY, so a crash between the two
+        # renames (e.g. right after a compact() moved rows) must read as
+        # "no persisted dense state", never as old ids silently zipped
+        # to another save's rows.
+        emb_path = self.directory / "embeddings.npy"
+        emb_tmp = self.directory / "embeddings.npy.tmp"
+        with emb_tmp.open("wb") as f:
+            np.save(f, self.emb[: self.n_rows])
+        os.replace(emb_tmp, emb_path)
+        st = emb_path.stat()
         registry = {
             "ids": self.ids,
             "valid": [bool(v) for v in self.valid[: self.n_rows]],
             "dim": self.dim,
+            "emb_stat": [int(st.st_size), int(st.st_mtime_ns)],
         }
         tmp = self.directory / "rows.json.tmp"
         tmp.write_text(json.dumps(registry), encoding="utf-8")
@@ -1033,6 +1078,18 @@ class IndexStore:
             return store
         if emb.ndim != 2 or emb.shape[1] != dim:
             return store
+        emb_stat = registry.get("emb_stat")
+        if emb_stat is not None:
+            st = emb_path.stat()
+            if [int(v) for v in emb_stat] != [
+                int(st.st_size), int(st.st_mtime_ns)
+            ]:
+                # The registry indexes a DIFFERENT embeddings file than
+                # the one on disk (crash between the two renames of
+                # _full_save): positional id↔row pairing would be silent
+                # garbage. Treat as no persisted dense state — the
+                # caller rebuilds from the catalog (+ embedding cache).
+                return store
         ids = list(registry.get("ids") or [])
         valid = list(registry.get("valid") or [])
         n = min(len(ids), emb.shape[0], len(valid))

@@ -98,6 +98,11 @@ class ShardedHybridIndex:
         )
         self._fn_cache: Dict[tuple, Any] = {}
         self._bias_cache: Dict[str, Any] = {}
+        # Bumped on every bias-cache invalidation: a bias computed from
+        # pre-invalidation store state must not be inserted AFTER the
+        # clear (it would serve deleted rows until the next metadata
+        # mutation). Guarded by _lock.
+        self._bias_gen = 0
         self._scatter_fns: Dict[str, Any] = {}
         self._lock = threading.Lock()
         self.bytes_placed_total = 0
@@ -130,12 +135,34 @@ class ShardedHybridIndex:
         )
         self._layout = layout
         n_local = store.capacity // self.n_shards
+        # Per-shard overlay reserve: room for O(delta) tail maintenance
+        # (plan_tail_delta) between full rebuilds — sized to a few
+        # percent of the base postings with a floor for small corpora.
+        self._reserve = max(
+            4096, int(layout["p_base"]) // (32 * self.n_shards)
+        )
         post_rows_sh, post_tfs_sh, offsets_sh = shard_postings(
             layout["post_rows"], layout["post_tfs"], layout["offsets"],
             self.n_shards, n_local, layout["r_cap"],
+            reserve=self._reserve,
         )
         self._offsets_sh = offsets_sh
         self._host_postings = (post_rows_sh, post_tfs_sh)
+        # Tail-overlay state (all host-side; see _try_incremental_lexical):
+        # per-shard {tid: {local_row: tf}}, the compiled per-shard overlay
+        # offsets, the replicated global overlay offsets fed to the query
+        # splitter (None = overlay empty → exact round-3 query path), and
+        # how much of each shard's overlay region currently holds data.
+        self._ov_by_term = [dict() for _ in range(self.n_shards)]
+        self._ov_offsets_sh = np.zeros(
+            (self.n_shards, len(store.vocab) + 1), np.int64
+        )
+        self._ov_offsets_global = None
+        self._ov_written = np.zeros(self.n_shards, np.int64)
+        self._tail_diverged = False
+        self.full_lexical_rebuilds = getattr(
+            self, "full_lexical_rebuilds", -1
+        ) + 1
 
         self._dev = {
             "emb": self._place(store.emb, P("shard", None)
@@ -154,6 +181,7 @@ class ShardedHybridIndex:
             "doc_len": self._place(store.doc_len, P("shard")),
         }
         self._bias_cache.clear()
+        self._bias_gen += 1
         self._scatter_fns.clear()
         self._fn_cache.clear()
 
@@ -190,7 +218,9 @@ class ShardedHybridIndex:
         docstring for the per-tier transfer costs."""
         with self._lock:
             before = self.bytes_placed_total
-            epoch, j_emb, j_lex, j_meta = self.store.drain_journal()
+            epoch, j_emb, j_lex, j_meta, old_lex = (
+                self.store.drain_journal()
+            )
             structural = (
                 epoch != self._epoch
                 or self.store.capacity != self._capacity
@@ -203,7 +233,7 @@ class ShardedHybridIndex:
                 )
                 return
             if j_lex:
-                self._refresh_lexical(sorted(j_lex))
+                self._refresh_lexical(sorted(j_lex), old_lex)
             if j_emb:
                 rows = sorted(j_emb)
                 # f16 on the wire; the scatter body casts to the placed
@@ -220,19 +250,168 @@ class ShardedHybridIndex:
                 # Filter biases derive from metadata + validity; recompute
                 # lazily per active filter (an [N] f32 each — tiny).
                 self._bias_cache.clear()
+                self._bias_gen += 1
             self.bytes_placed_last_refresh = self.bytes_placed_total - before
 
-    def _refresh_lexical(self, rows) -> None:
+    def _refresh_lexical(self, rows, old_lex) -> None:
         """Lexical content changed for ``rows``: scatter the row-sharded
-        term arrays, then refresh the derived split-BM25 structures —
-        scattering head-matrix columns when the head layout is stable,
-        re-placing the moved pieces otherwise."""
+        term arrays, then maintain the derived split-BM25 structures
+        O(delta) — frozen head partition + tail overlay
+        (lexical.plan_tail_delta) — falling back to a full layout
+        rebuild only when the plan is infeasible (overlay outgrew its
+        reserve, or a mutation's old content is unavailable). The
+        round-3 version rebuilt the full layout on EVERY delta: ~O(N·L)
+        host work per 1-row ingest, minutes at 1M rows on this 1-core
+        host."""
         store = self.store
         r = np.asarray(rows, np.int32)
         self._scatter_rows("term_ids", r, store.term_ids[rows])
         self._scatter_rows("tfs", r, store.tfs[rows])
         self._scatter_rows("doc_len", r, store.doc_len[rows])
 
+        if self._try_incremental_lexical(rows, old_lex):
+            return
+        self._rebuild_lexical(rows)
+
+    def _try_incremental_lexical(self, rows, old_lex) -> bool:
+        from classmate_rag_tpu.index.lexical import (
+            head_tf_columns, plan_tail_delta,
+        )
+
+        store = self.store
+        layout = self._layout
+        n_vocab = len(store.vocab)
+        n_local = self._capacity // self.n_shards
+        lut = layout["lut"]
+        offsets = layout["offsets"]
+        if n_vocab > len(lut):
+            # Vocab grew: new terms are tail by construction (df starts
+            # tiny) — extend the frozen tables with empty entries.
+            lut = np.concatenate(
+                [lut, np.full(n_vocab - len(lut), -1, np.int32)]
+            )
+            offsets = np.concatenate([
+                offsets,
+                np.full(n_vocab + 1 - len(offsets), offsets[-1], np.int64),
+            ])
+        if self._ov_offsets_sh.shape[1] < n_vocab + 1:
+            pad = n_vocab + 1 - self._ov_offsets_sh.shape[1]
+            self._ov_offsets_sh = np.concatenate([
+                self._ov_offsets_sh,
+                np.repeat(self._ov_offsets_sh[:, -1:], pad, axis=1),
+            ], axis=1)
+        if self._offsets_sh.shape[1] < n_vocab + 1:
+            # Keep the per-shard BASE offsets table aligned with the
+            # extended vocab too (new terms: empty base range) — query
+            # tids index all of these tables.
+            pad = n_vocab + 1 - self._offsets_sh.shape[1]
+            self._offsets_sh = np.concatenate([
+                self._offsets_sh,
+                np.repeat(self._offsets_sh[:, -1:], pad, axis=1),
+            ], axis=1)
+
+        post_rows_sh, _post_tfs_sh = self._host_postings
+        base_lens = self._offsets_sh[:, -1]
+        plans = []
+        for s in range(self.n_shards):
+            changes = []
+            for row in rows:
+                if row // n_local != s:
+                    continue
+                if row not in old_lex:
+                    return False  # uncaptured mutation
+                changes.append((
+                    row - s * n_local,
+                    old_lex[row],
+                    (store.term_ids[row], store.tfs[row]),
+                ))
+            if not changes:
+                plans.append(None)
+                continue
+            room = (
+                post_rows_sh.shape[1] - int(base_lens[s])
+                - layout["r_cap"]
+            )
+            plan = plan_tail_delta(
+                # Searches run against THIS shard's postings: ranges must
+                # come from the per-shard offsets, not the global ones.
+                lut, self._offsets_sh[s], post_rows_sh[s],
+                self._ov_by_term[s], changes,
+                reserve=room, n_vocab=n_vocab,
+            )
+            if plan is None:
+                return False
+            plans.append(plan)
+
+        # All shards feasible — apply. Head columns first (frozen lut).
+        r = np.asarray(rows, np.int32)
+        c_pad = self._dev["tf_head"].shape[0]
+        cols = head_tf_columns(
+            lut, c_pad, store.term_ids[rows], store.tfs[rows]
+        )
+        self._scatter_cols("tf_head", r, cols)
+
+        p_pad = post_rows_sh.shape[1]
+        zero_s, zero_p = [], []
+        reg_s, reg_p, reg_rows, reg_tfs = [], [], [], []
+        ov_counts = np.zeros((self.n_shards, n_vocab), np.int64)
+        for s, plan in enumerate(plans):
+            if plan is None:
+                ov_counts[s] = np.diff(
+                    self._ov_offsets_sh[s, : n_vocab + 1]
+                )
+                continue
+            zero_s.extend([s] * len(plan["zero_pos"]))
+            zero_p.extend(plan["zero_pos"].tolist())
+            n_new = len(plan["ov_rows"])
+            n_write = max(n_new, int(self._ov_written[s]))
+            if n_write:
+                reg_s.extend([s] * n_write)
+                start = int(base_lens[s])
+                reg_p.extend(range(start, start + n_write))
+                pad = n_write - n_new
+                reg_rows.extend(plan["ov_rows"].tolist() + [0] * pad)
+                reg_tfs.extend(plan["ov_tfs"].tolist() + [0] * pad)
+            self._ov_written[s] = n_new
+            ov_counts[s] = np.diff(plan["ov_offsets"])
+            self._ov_offsets_sh[s, : n_vocab + 1] = plan["ov_offsets"]
+
+        if zero_p:
+            self._scatter_elems(
+                "post_tfs_sh",
+                np.asarray(zero_s, np.int64) * p_pad
+                + np.asarray(zero_p, np.int64),
+                np.zeros(len(zero_p), np.uint8),
+            )
+            self._tail_diverged = True
+        if reg_p:
+            g = (
+                np.asarray(reg_s, np.int64) * p_pad
+                + np.asarray(reg_p, np.int64)
+            )
+            self._scatter_elems(
+                "post_rows_sh", g, np.asarray(reg_rows, np.int32)
+            )
+            self._scatter_elems(
+                "post_tfs_sh", g, np.asarray(reg_tfs, np.uint8)
+            )
+            self._tail_diverged = True
+
+        total_counts = ov_counts.sum(axis=0)
+        ov_global = np.zeros(n_vocab + 1, np.int64)
+        np.cumsum(total_counts, out=ov_global[1:])
+        self._ov_offsets_global = (
+            ov_global if int(ov_global[-1]) else None
+        )
+        self._layout = dict(layout, lut=lut, offsets=offsets)
+        self._vocab_pad = store.vocab_pad
+        return True
+
+    def _rebuild_lexical(self, rows) -> None:
+        """Full split-layout rebuild (the incremental plan was
+        infeasible): O(corpus) host work — the exceptional path."""
+        store = self.store
+        r = np.asarray(rows, np.int32)
         old_layout = self._layout
         layout = build_split_layout(
             store.term_ids, store.tfs, len(store.vocab),
@@ -242,11 +421,22 @@ class ShardedHybridIndex:
         self._layout = layout
         self._vocab_pad = store.vocab_pad
         n_local = store.capacity // self.n_shards
+        self._reserve = max(
+            4096, int(layout["p_base"]) // (32 * self.n_shards)
+        )
         post_rows_sh, post_tfs_sh, offsets_sh = shard_postings(
             layout["post_rows"], layout["post_tfs"], layout["offsets"],
             self.n_shards, n_local, layout["r_cap"],
+            reserve=self._reserve,
         )
         self._offsets_sh = offsets_sh
+        self._ov_by_term = [dict() for _ in range(self.n_shards)]
+        self._ov_offsets_sh = np.zeros(
+            (self.n_shards, len(store.vocab) + 1), np.int64
+        )
+        self._ov_offsets_global = None
+        self._ov_written = np.zeros(self.n_shards, np.int64)
+        self.full_lexical_rebuilds += 1
 
         head_stable = (
             layout["r_cap"] == old_layout["r_cap"]
@@ -269,11 +459,17 @@ class ShardedHybridIndex:
         old_rows, old_tfs = self._host_postings
         self._host_postings = (post_rows_sh, post_tfs_sh)
         if (
-            post_rows_sh.shape == old_rows.shape
+            not getattr(self, "_tail_diverged", False)
+            and post_rows_sh.shape == old_rows.shape
             and np.array_equal(post_rows_sh, old_rows)
             and np.array_equal(post_tfs_sh, old_tfs)
         ):
-            pass  # postings untouched (e.g. head-only content change)
+            # Postings untouched (e.g. head-only content change) AND the
+            # device copy never diverged through incremental
+            # zeroing/overlay writes — only then may the re-place be
+            # skipped (an A->B->A content cycle makes the fresh build
+            # equal the stale host copy while the device differs).
+            pass
         else:
             self._dev["post_rows_sh"] = self._place(
                 post_rows_sh, P("shard", None)
@@ -281,6 +477,7 @@ class ShardedHybridIndex:
             self._dev["post_tfs_sh"] = self._place(
                 post_tfs_sh, P("shard", None)
             )
+            self._tail_diverged = False
 
     # -- SPMD scatters ---------------------------------------------------
 
@@ -362,6 +559,38 @@ class ShardedHybridIndex:
         self.bytes_placed_total += int(vals.nbytes) + int(cols.nbytes)
         self._dev[name] = fn(arr, jnp.asarray(cols), jnp.asarray(vals))
 
+    def _scatter_elems(self, name: str, flat_idx: np.ndarray,
+                       vals: np.ndarray) -> None:
+        """SPMD element scatter into a P("shard", None) [S, Pmax] array:
+        ``flat_idx`` = shard * Pmax + position. Each shard applies only
+        its own elements (out-of-range drop) — the O(delta) transport
+        for tail-posting zeroing and overlay-region writes."""
+        flat_idx, vals = self._pad_updates(flat_idx, vals)
+        arr = self._dev[name]
+        fn = self._scatter_fns.get(name + "/elems")
+        if fn is None:
+
+            def body(a, g, v):
+                p_pad = a.shape[1]
+                shard = jax.lax.axis_index("shard")
+                local = g - shard.astype(g.dtype) * p_pad
+                oob = jnp.where(
+                    (local >= 0) & (local < p_pad), local, p_pad
+                )
+                return a.at[0, oob].set(v.astype(a.dtype), mode="drop")
+
+            fn = jax.jit(
+                jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(P("shard", None), P(None), P(None)),
+                    out_specs=P("shard", None),
+                ),
+                donate_argnums=(0,),
+            )
+            self._scatter_fns[name + "/elems"] = fn
+        self.bytes_placed_total += int(vals.nbytes) + int(flat_idx.nbytes)
+        self._dev[name] = fn(arr, jnp.asarray(flat_idx), jnp.asarray(vals))
+
     # ------------------------------------------------------------------
 
     def _mask_bias_sharded(self, where: Optional[Mapping[str, Any]]):
@@ -373,7 +602,9 @@ class ShardedHybridIndex:
         import json
 
         key = json.dumps(where or {}, sort_keys=True, default=str)
-        cached = self._bias_cache.get(key)
+        with self._lock:
+            cached = self._bias_cache.get(key)
+            gen = self._bias_gen
         if cached is not None:
             return cached
         store = self.store
@@ -382,21 +613,26 @@ class ShardedHybridIndex:
             store.field_cols, store.tag_bits, store.valid, wanted, tag_want
         )
         placed = self._place(bias, P("shard"))
-        self._bias_cache[key] = placed
+        with self._lock:
+            # Insert only if no invalidation raced the computation: a
+            # bias built from pre-mutation validity poisoning the cache
+            # would serve deleted rows until the NEXT metadata mutation.
+            if self._bias_gen == gen:
+                self._bias_cache[key] = placed
         return placed
 
-    def _fn_for(self, knobs: Dict[str, Any]):
-        rescore = self._dev.get("emb16") is not None
+    def _fn_for(self, knobs: Dict[str, Any], r_cap: int, vocab_pad: int,
+                rescore: bool):
         select = self.store.select_mode
         key = (
-            self._layout["r_cap"], self._vocab_pad, rescore, select,
+            r_cap, vocab_pad, rescore, select,
             tuple(knobs[k] for k in _KNOB_NAMES),
         )
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = make_sharded_split_hybrid_fn(
-                self.mesh, r_cap=self._layout["r_cap"],
-                vocab_pad=self._vocab_pad,
+                self.mesh, r_cap=r_cap,
+                vocab_pad=vocab_pad,
                 with_rescore=rescore,
                 rescore_pool=min(
                     self.store.rescore_pool, self.store.capacity
@@ -451,6 +687,20 @@ class ShardedHybridIndex:
         # vocab-growing upsert reads out of bounds. No-op when the
         # journal is empty.
         self.ensure_fresh()
+        # Coherent snapshot of the placed state: a refresh from ANOTHER
+        # query thread (ensure_fresh holds _lock for its whole update)
+        # must not hand this dispatch a new lut zipped with old shard
+        # offsets. Mutating the STORE concurrently with queries still
+        # requires the caller's reader/writer discipline (the serving
+        # daemon's RW lock) — this snapshot makes query-vs-refresh safe,
+        # not query-vs-mutation.
+        with self._lock:
+            layout = self._layout
+            offsets_sh = self._offsets_sh
+            d = dict(self._dev)
+            vocab_pad = self._vocab_pad
+            ov_global = self._ov_offsets_global
+            ov_offsets_sh = self._ov_offsets_sh
         knobs = dict(self._defaults)
         for k, v in knob_overrides.items():
             if k not in self._defaults:
@@ -486,17 +736,27 @@ class ShardedHybridIndex:
             store.vocab, term_lists, self.max_query_terms
         )
 
-        layout = self._layout
         qa = split_query_arrays(
             layout["lut"], layout["offsets"], q_terms, q_counts,
             r_cap=layout["r_cap"],
+            ov_offsets=ov_global,
         )
-        u_starts_sh, u_lens_sh = shard_tail_ranges(
-            self._offsets_sh, qa["u_tids"], r_cap=layout["r_cap"]
-        )
+        if ov_global is not None:
+            # Overlay active: per-shard windows resolve base slots from
+            # the base offsets and overlay slots from the per-shard
+            # overlay ranges (region starts at each shard's base end).
+            u_starts_sh, u_lens_sh = shard_tail_ranges(
+                offsets_sh, qa["u_tids"], r_cap=layout["r_cap"],
+                u_occ=qa["u_occ"], u_ov=qa["u_ov"],
+                ov_offsets_sh=ov_offsets_sh[:, : len(layout["offsets"])],
+                ov_starts_sh=offsets_sh[:, -1],
+            )
+        else:
+            u_starts_sh, u_lens_sh = shard_tail_ranges(
+                offsets_sh, qa["u_tids"], r_cap=layout["r_cap"]
+            )
         has_terms = np.any(q_terms >= 0, axis=1, keepdims=True)
         bias = self._mask_bias_sharded(where)
-        d = self._dev
         rep1 = P(None)
         rep2 = P(None, None)
         args = [
@@ -515,7 +775,10 @@ class ShardedHybridIndex:
         ]
         if d.get("emb16") is not None:
             args.append(d["emb16"])
-        out = self._fn_for(knobs)(*args)
+        out = self._fn_for(
+            knobs, layout["r_cap"], vocab_pad,
+            rescore=d.get("emb16") is not None,
+        )(*args)
         if b_pad == bq:
             return out
         return type(out)(*(a[:bq] for a in out))

@@ -117,6 +117,15 @@ def test_metadata_filters(tmp_path):
     # doc_type "other" sentinel never narrows
     _, rows = store.dense_topk(q, {"doc_type": "other"}, 6)
     assert sum(r >= 0 for r in rows[0]) == 6
+    # language "auto" sentinel never narrows EITHER — and must not kill
+    # the real constraints beside it ("auto" is never interned at
+    # ingest, so the raw-store path used to hit the impossible marker
+    # and drop every row, review finding r4).
+    _, rows = store.dense_topk(q, {"language": "auto"}, 6)
+    assert sum(r >= 0 for r in rows[0]) == 6
+    _, rows = store.dense_topk(q, {"language": "auto", "course": "calc"}, 6)
+    got = {store.ids[r] for r in rows[0] if r >= 0}
+    assert got == {ids[0], ids[1], ids[4]}
 
 
 def test_bm25_matches_okapi_oracle(tmp_path):
@@ -178,3 +187,29 @@ def test_save_load_roundtrip(tmp_path):
     b2 = store2.bm25_topk(["derivative"], None, 4)
     assert [store.ids[r] for r in b1[1] if r >= 0] == \
            [store2.ids[r] for r in b2[1] if r >= 0]
+
+
+def test_torn_save_embeddings_registry_mismatch_is_detected(tmp_path):
+    """Crash between _full_save's two renames (embeddings.npy updated,
+    rows.json still old): positional id<->row pairing would be silent
+    garbage (review finding r4). The emb_stat pairing must read the torn
+    state as "no persisted dense state", never misalign."""
+    import time
+
+    import numpy as np
+
+    store, catalog, ids, embs, _ = _mk_store(tmp_path, DOCS)
+    store.save(catalog_fingerprint=catalog.fingerprint())
+    catalog.save()
+    # Simulate the torn window: a NEWER embeddings file (rows shuffled,
+    # as a post-compact save would produce) lands while rows.json still
+    # describes the old save.
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    shuffled = np.asarray(store.emb[: store.n_rows])[::-1].copy()
+    with (tmp_path / "dense" / "embeddings.npy").open("wb") as f:
+        np.save(f, shuffled)
+    cat2 = Catalog.load_or_create(tmp_path / "bm25")
+    store2 = IndexStore.load_or_create(
+        DIM, tmp_path / "dense", cat2, slab_rows=64, terms_per_chunk=32
+    )
+    assert len(store2) == 0  # explicit empty, not silently wrong vectors
