@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
@@ -44,6 +45,64 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 def _round_up(x: int, m: int) -> int:
     return max(m, (x + m - 1) // m * m)
+
+
+_ROW_SET_FN = None
+_COL_SET_FN = None
+
+
+def _pad_idx_vals(rows, vals):
+    """Pad (rows, vals) to a power-of-two count so every distinct delta
+    size doesn't cost a fresh XLA compile (duplicates repeat entry 0 —
+    scatter order between equal values is irrelevant)."""
+    rows = np.asarray(rows, np.int32)
+    vals = np.asarray(vals)
+    n = len(rows)
+    n2 = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+    if n2 > n:
+        rows = np.concatenate([rows, np.repeat(rows[:1], n2 - n)])
+        vals = np.concatenate([vals, np.repeat(vals[:1], n2 - n, axis=0)])
+    return rows, vals
+
+
+def _device_row_set(arr, rows, vals):
+    """Donated in-place row scatter into a resident device array — the
+    O(delta) transport of the single-chip incremental sync."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    global _ROW_SET_FN
+    rows, vals = _pad_idx_vals(rows, vals)
+    if _ROW_SET_FN is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def f(a, r, v):
+            return a.at[r].set(v.astype(a.dtype))
+
+        _ROW_SET_FN = f
+    return _ROW_SET_FN(arr, jnp.asarray(rows), jnp.asarray(vals))
+
+
+def _device_col_set(arr, cols, vals):
+    """Donated in-place column scatter ([F, cap] arrays; vals [F, R])."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    global _COL_SET_FN
+    cols, vals_t = _pad_idx_vals(cols, np.ascontiguousarray(
+        np.asarray(vals).T
+    ))
+    vals = np.ascontiguousarray(vals_t.T)
+    if _COL_SET_FN is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def f(a, c, v):
+            return a.at[:, c].set(v.astype(a.dtype))
+
+        _COL_SET_FN = f
+    return _COL_SET_FN(arr, jnp.asarray(cols), jnp.asarray(vals))
 
 
 @dataclass
@@ -117,6 +176,28 @@ class IndexStore:
         # row -> (old term_ids, old tfs) | None (fresh slot), captured at
         # first lexical touch since the last drain (see upsert).
         self._j_old_lex: Dict[int, Any] = {}
+        # The store's OWN device-sync journal (the _j_* sets above are
+        # single-consumer for the sharded wrapper; these twins feed
+        # _sync_device/_sync_split so the single-chip path also updates
+        # O(delta) instead of re-uploading/rebuilding everything).
+        self._dev_j_emb: set = set()
+        self._dev_j_lex: set = set()
+        self._dev_j_meta: set = set()
+        self._dev_old_lex: Dict[int, Any] = {}
+        self._dev_epoch = -1
+        # Lexical rows awaiting split-structure maintenance (consumed by
+        # _sync_split; _sync_device stashes them because the split state
+        # is built lazily and may not exist yet).
+        self._split_pending: Dict[int, Any] = {}
+        # Incremental device sync is NOT idempotent (donated in-place
+        # scatters + journal consumption): two reader threads noticing
+        # _dirty concurrently must serialize through here. RLock —
+        # _sync_split re-enters via _sync_device.
+        self._sync_lock = threading.RLock()
+        # Observability: how often the O(corpus) paths ran (tests pin
+        # that small deltas do NOT grow these past the initial build).
+        self.device_full_uploads = 0
+        self.split_full_builds = 0
         # Persistence delta tracking (independent of the sharded journal,
         # which is drained by its own consumer): rows touched since the
         # last save, cleared only by save(). With a persisted base, save()
@@ -240,24 +321,31 @@ class IndexStore:
             # so a sharded wrapper re-places only the delta.
             if fresh or not np.array_equal(self.emb[row], emb_new):
                 self._j_emb.add(row)
+                self._dev_j_emb.add(row)
                 self._dirty_rows.add(row)
             if fresh or not (
                 np.array_equal(self.term_ids[row], t_ids_b[i])
                 and np.array_equal(self.tfs[row], t_tfs_b[i])
                 and self.doc_len[row] == dl_b[i]
             ):
-                if row not in self._j_old_lex:
-                    # First-touch snapshot of the row's PRE-mutation
-                    # lexical content (None = fresh slot, no previous
-                    # content): the O(delta) tail-posting planner needs
-                    # the old terms to neutralize their base/overlay
-                    # entries. ~1 KB/row, cleared on drain.
-                    self._j_old_lex[row] = (
-                        None if fresh else (
-                            self.term_ids[row].copy(), self.tfs[row].copy()
-                        )
+                # First-touch snapshot of the row's PRE-mutation lexical
+                # content (None = fresh slot, no previous content): the
+                # O(delta) tail-posting planner needs the old terms to
+                # neutralize their base/overlay entries. ~1 KB/row,
+                # cleared on drain. Two independent consumers (the
+                # sharded wrapper and the store's own device sync) each
+                # get their own copy.
+                old = (
+                    None if fresh else (
+                        self.term_ids[row].copy(), self.tfs[row].copy()
                     )
+                )
+                if row not in self._j_old_lex:
+                    self._j_old_lex[row] = old
+                if row not in self._dev_j_lex:
+                    self._dev_old_lex[row] = old
                 self._j_lex.add(row)
+                self._dev_j_lex.add(row)
                 self._dirty_rows.add(row)
             self.emb[row] = emb_new
             self.term_ids[row] = t_ids_b[i]
@@ -284,6 +372,7 @@ class IndexStore:
             self.valid[row] = True
             if meta_changed:
                 self._j_meta.add(row)
+                self._dev_j_meta.add(row)
                 self._dirty_rows.add(row)
         self._dirty = True
         return len(ids)
@@ -296,6 +385,7 @@ class IndexStore:
             if row is not None and self.valid[row]:
                 self.valid[row] = False
                 self._j_meta.add(row)
+                self._dev_j_meta.add(row)
                 self._dirty_rows.add(row)
                 n += 1
         if n:
@@ -338,6 +428,11 @@ class IndexStore:
         self._j_lex.clear()
         self._j_meta.clear()
         self._j_old_lex.clear()
+        self._dev_j_emb.clear()
+        self._dev_j_lex.clear()
+        self._dev_j_meta.clear()
+        self._dev_old_lex.clear()
+        self._split_pending.clear()
         self._dirty_rows.clear()
         self._need_full_save = True
         return reclaimed
@@ -389,25 +484,90 @@ class IndexStore:
     def _sync_device(self) -> Dict[str, Any]:
         if not self._dirty and self._device:
             return self._device
+        with self._sync_lock:
+            return self._sync_device_locked()
+
+    def _sync_device_locked(self) -> Dict[str, Any]:
+        if not self._dirty and self._device:
+            return self._device  # another reader synced while we waited
         import jax.numpy as jnp
 
-        self._device = {
-            "emb": jnp.asarray(self.emb, dtype=jnp.bfloat16),
-            # f16 storage master on device when rescoring: the bf16 slab
-            # feeds the MXU scan, this one re-scores the top pool exactly.
-            "emb16": (
-                jnp.asarray(self.emb) if self.rescore_enabled else None
-            ),
-            "term_ids": jnp.asarray(self.term_ids),
-            "tfs": jnp.asarray(self.tfs),
-            "doc_len": jnp.asarray(self.doc_len),
-            "valid": jnp.asarray(self.valid),
-            "field_cols": jnp.asarray(self.field_cols),
-            "tag_bits": jnp.asarray(self.tag_bits),
-        }
-        self._df_cache = None
-        self._nofilter_bias = None
-        self._split = None
+        dirty = self._dev_j_emb | self._dev_j_lex | self._dev_j_meta
+        structural = (
+            not self._device
+            or self._dev_epoch != self._epoch
+            or self._device["emb"].shape[0] != self.capacity
+            or len(dirty) * 4 > max(self.n_rows, 1)
+        )
+        if structural:
+            self._device = {
+                "emb": jnp.asarray(self.emb, dtype=jnp.bfloat16),
+                # f16 storage master on device when rescoring: the bf16
+                # slab feeds the MXU scan, this one re-scores the top
+                # pool exactly.
+                "emb16": (
+                    jnp.asarray(self.emb) if self.rescore_enabled else None
+                ),
+                "term_ids": jnp.asarray(self.term_ids),
+                "tfs": jnp.asarray(self.tfs),
+                "doc_len": jnp.asarray(self.doc_len),
+                "valid": jnp.asarray(self.valid),
+                "field_cols": jnp.asarray(self.field_cols),
+                "tag_bits": jnp.asarray(self.tag_bits),
+            }
+            self._dev_epoch = self._epoch
+            self.device_full_uploads += 1
+            self._dev_j_emb.clear()
+            self._dev_j_lex.clear()
+            self._dev_j_meta.clear()
+            self._dev_old_lex.clear()
+            self._df_cache = None
+            self._nofilter_bias = None
+            self._split = None
+            self._split_pending.clear()
+            self._dirty = False
+            return self._device
+
+        # Incremental: scatter only the touched rows into the resident
+        # device arrays (donated .at[] updates — no O(corpus) re-upload
+        # for a small delta; the round-3 behavior re-shipped the whole
+        # multi-GB slab set on ANY mutation).
+        d = self._device
+        if self._dev_j_emb:
+            rows = sorted(self._dev_j_emb)
+            vals = self.emb[rows]
+            d["emb"] = _device_row_set(d["emb"], rows, vals)
+            if d["emb16"] is not None:
+                d["emb16"] = _device_row_set(d["emb16"], rows, vals)
+        if self._dev_j_lex:
+            rows = sorted(self._dev_j_lex)
+            d["term_ids"] = _device_row_set(
+                d["term_ids"], rows, self.term_ids[rows]
+            )
+            d["tfs"] = _device_row_set(d["tfs"], rows, self.tfs[rows])
+            d["doc_len"] = _device_row_set(
+                d["doc_len"], rows, self.doc_len[rows]
+            )
+            self._df_cache = None
+            # Stash for the lazily-maintained split structures.
+            for r in rows:
+                if r not in self._split_pending:
+                    self._split_pending[r] = self._dev_old_lex.get(r)
+        if self._dev_j_meta or self._dev_j_lex:
+            rows = sorted(self._dev_j_meta | self._dev_j_lex)
+            d["valid"] = _device_row_set(d["valid"], rows, self.valid[rows])
+            d["field_cols"] = _device_col_set(
+                d["field_cols"], rows, self.field_cols[:, rows]
+            )
+            d["tag_bits"] = _device_row_set(
+                d["tag_bits"], rows, self.tag_bits[rows]
+            )
+            self._df_cache = None       # df masks on validity
+            self._nofilter_bias = None
+        self._dev_j_emb.clear()
+        self._dev_j_lex.clear()
+        self._dev_j_meta.clear()
+        self._dev_old_lex.clear()
         self._dirty = False
         return self._device
 
@@ -427,19 +587,35 @@ class IndexStore:
     HEAD_BYTES_BUDGET = 3584 << 20
 
     def _sync_split(self) -> Dict[str, Any]:
-        """Head/tail BM25 layout (see lexical._bm25_split_fns), rebuilt
-        lazily alongside the device arrays."""
-        self._sync_device()
+        """Head/tail BM25 layout (see lexical._bm25_split_fns), built
+        lazily alongside the device arrays and maintained O(delta)
+        between structural changes: small lexical deltas update the
+        resident split state through the frozen-head + tail-overlay
+        planner (lexical.plan_tail_delta) instead of re-running the
+        O(N·L) layout build — the same machinery as the sharded
+        engine's incremental refresh."""
+        with self._sync_lock:
+            return self._sync_split_locked()
+
+    def _sync_split_locked(self) -> Dict[str, Any]:
+        self._sync_device_locked()
         if self._split is not None:
-            return self._split
+            if not self._split_pending:
+                return self._split
+            if self._try_split_incremental():
+                self._split_pending.clear()
+                return self._split
         import jax.numpy as jnp
 
         from classmate_rag_tpu.index.lexical import build_split_layout
 
+        self._split_pending.clear()
+        self.split_full_builds += 1
         layout = build_split_layout(
             self.term_ids, self.tfs, len(self.vocab),
             head_bytes_budget=self.HEAD_BYTES_BUDGET,
             head_df_threshold=self.HEAD_DF_THRESHOLD,
+            reserve=max(4096, int(self.n_rows) * 4),
         )
         if layout["n_overflow"] > 0:
             # Self-sized: the head byte budget holds the corpus's
@@ -465,8 +641,84 @@ class IndexStore:
             "tf_head": jnp.asarray(layout["tf_head"]),
             "post_rows": jnp.asarray(layout["post_rows"]),
             "post_tfs": jnp.asarray(layout["post_tfs"]),
+            # O(delta) maintenance state (see _try_split_incremental):
+            # host copy of the base posting rows for neutralization
+            # searches, the frozen-head overlay bookkeeping, and how much
+            # of the reserve region currently holds data.
+            "p_base": layout["p_base"],
+            "post_rows_host": layout["post_rows"],
+            "overlay": {},
+            "ov_offsets": None,
+            "ov_written": 0,
         }
         return self._split
+
+    def _try_split_incremental(self) -> bool:
+        """Apply ``_split_pending`` to the resident split state O(delta);
+        False → the caller falls back to the full layout rebuild."""
+        from classmate_rag_tpu.index.lexical import (
+            head_tf_columns, plan_tail_delta,
+        )
+
+        split = self._split
+        n_vocab = len(self.vocab)
+        lut = split["lut"]
+        offsets = split["offsets"]
+        if n_vocab > len(lut):
+            # Vocab grew: new terms are tail-by-construction.
+            lut = np.concatenate(
+                [lut, np.full(n_vocab - len(lut), -1, np.int32)]
+            )
+            offsets = np.concatenate([
+                offsets,
+                np.full(n_vocab + 1 - len(offsets), offsets[-1], np.int64),
+            ])
+        rows = sorted(self._split_pending)
+        changes = [
+            (r, self._split_pending[r], (self.term_ids[r], self.tfs[r]))
+            for r in rows
+        ]
+        room = (
+            len(split["post_rows_host"]) - split["p_base"] - split["r_cap"]
+        )
+        plan = plan_tail_delta(
+            lut, offsets, split["post_rows_host"], split["overlay"],
+            changes, reserve=room, n_vocab=n_vocab,
+        )
+        if plan is None:
+            return False
+        c_pad = split["tf_head"].shape[0]
+        cols = head_tf_columns(
+            lut, c_pad, self.term_ids[rows], self.tfs[rows]
+        )
+        split["tf_head"] = _device_col_set(split["tf_head"], rows, cols)
+        if len(plan["zero_pos"]):
+            split["post_tfs"] = _device_row_set(
+                split["post_tfs"], plan["zero_pos"],
+                np.zeros(len(plan["zero_pos"]), np.uint8),
+            )
+        n_new = len(plan["ov_rows"])
+        n_write = max(n_new, split["ov_written"])
+        if n_write:
+            pos = split["p_base"] + np.arange(n_write)
+            pad = n_write - n_new
+            split["post_rows"] = _device_row_set(
+                split["post_rows"], pos,
+                np.concatenate(
+                    [plan["ov_rows"], np.zeros(pad, np.int32)]
+                ),
+            )
+            split["post_tfs"] = _device_row_set(
+                split["post_tfs"], pos,
+                np.concatenate([plan["ov_tfs"], np.zeros(pad, np.uint8)]),
+            )
+        split["ov_written"] = n_new
+        split["ov_offsets"] = (
+            plan["ov_offsets"] if int(plan["ov_offsets"][-1]) else None
+        )
+        split["lut"] = lut
+        split["offsets"] = offsets
+        return True
 
     def _split_query_arrays(self, q_tids: np.ndarray, q_counts: np.ndarray):
         """Map [B, M] query term ids onto the batch's distinct head-term
@@ -477,6 +729,8 @@ class IndexStore:
         return split_query_arrays(
             split["lut"], split["offsets"], q_tids, q_counts,
             r_cap=split["r_cap"],
+            ov_offsets=split["ov_offsets"],
+            ov_start=split["p_base"],
         )
 
     @property

@@ -192,3 +192,84 @@ def test_plan_tail_delta_unit():
         reserve=0, n_vocab=3,
     )
     assert plan3 is None
+
+
+# ---------------------------------------------------------------------------
+# Single-device store: the same O(delta) maintenance (round 4)
+# ---------------------------------------------------------------------------
+
+def test_store_sync_is_incremental_after_small_deltas(tmp_path):
+    """The single-chip store must not re-upload the slabs nor rebuild
+    the split layout for small mutations (the round-3 behavior shipped
+    the whole multi-GB device state and re-ran the O(N·L) layout build
+    on ANY dirty flag). Counters pin the O(corpus) paths to the initial
+    build; results stay oracle-exact throughout."""
+    from classmate_rag_tpu.index.lexical import bm25_oracle_scores
+
+    rng = np.random.default_rng(5)
+    store = IndexStore(DIM, tmp_path, slab_rows=8, terms_per_chunk=16,
+                       rescore="on", rescore_pool=16)
+    n0 = 30
+    store.upsert([f"d{i}" for i in range(n0)], _emb(rng, n0),
+                 [_doc(rng) for _ in range(n0)], [{} for _ in range(n0)])
+
+    def check(tag):
+        q = _doc(rng)[:4]
+        scores, rows = store.bm25_topk(q, None, 8)
+        # Oracle over the VALID subset only (deleted rows leave the
+        # corpus statistics entirely — subset-relative df/avgdl), with
+        # tokens reconstructed from the packed state at tf multiplicity.
+        inv = sorted(store.vocab, key=store.vocab.__getitem__)
+        valid_rows = [r for r in range(store.n_rows) if store.valid[r]]
+        toks = []
+        for r in valid_rows:
+            t = []
+            for tid, tf in zip(store.term_ids[r], store.tfs[r]):
+                if tid >= 0 and tf > 0:
+                    t.extend([inv[tid]] * int(tf))
+            toks.append(t)
+        oracle = dict(zip(valid_rows, bm25_oracle_scores(toks, q)))
+        for r, s in zip(rows, scores):
+            if r >= 0:
+                assert store.valid[r], tag
+                assert abs(s - oracle[r]) < 1e-3, (tag, r, s, oracle[r])
+
+    check("initial")
+    assert store.split_full_builds == 1
+    assert store.device_full_uploads == 1
+
+    # Token overwrites, a within-capacity append, new-vocab terms, and
+    # an A->B->A cycle — all must stay on the incremental path.
+    for i in (1, 7, 22):
+        store.upsert([f"d{i}"], _emb(rng), [_doc(rng)], [{}])
+        check(f"overwrite d{i}")
+    store.upsert(["d30"], _emb(rng), [_doc(rng)], [{}])
+    check("append")
+    store.upsert(["d4"], _emb(rng), [["yeti", "sasquatch", "w2"]], [{}])
+    check("new vocab")
+    scores, rows = store.bm25_topk(["yeti", "sasquatch"], None, 4)
+    assert rows[0] == store.id_to_row["d4"]
+    row9 = store.id_to_row["d9"]
+    inv = sorted(store.vocab, key=store.vocab.__getitem__)
+    a_tokens = [
+        inv[tid]
+        for tid, tf in zip(store.term_ids[row9], store.tfs[row9])
+        if tid >= 0 and tf > 0
+        for _ in range(int(tf))
+    ]
+    store.upsert(["d9"], _emb(rng), [["w1", "w2"]], [{}])
+    check("A->B")
+    store.upsert(["d9"], _emb(rng), [a_tokens], [{}])
+    check("B->A")
+    store.delete(["d3"])
+    check("delete")
+    assert store.split_full_builds == 1, "split layout was rebuilt"
+    assert store.device_full_uploads == 1, "device slabs were re-uploaded"
+
+    # Capacity growth IS structural: the full paths run once more.
+    n_new = 8
+    store.upsert([f"g{j}" for j in range(n_new)], _emb(rng, n_new),
+                 [_doc(rng) for _ in range(n_new)],
+                 [{} for _ in range(n_new)])
+    check("growth")
+    assert store.device_full_uploads == 2
