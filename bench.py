@@ -582,6 +582,24 @@ def product_child_main(n_asks: int) -> None:
         report["persist_s"] = round(persist_s, 3)
         report["persist_delta_bytes"] = int(delta_bytes)
         report["persist_rewrote_base"] = base_rewritten
+
+        # Mutation-under-serving: asks AFTER the /add must stay at
+        # steady-state latency — the O(delta) device sync + split
+        # overlay replaces what used to be a full re-upload + O(N·L)
+        # layout rebuild (minutes at 1M) on the first query after a
+        # mutation. The full-path counters prove the incremental route.
+        lat = []
+        for _ in range(4):
+            q = make_question()
+            t0 = time.perf_counter()
+            ask_question(question=q, filters=filters, top_k=8, runtime=rt)
+            lat.append(time.perf_counter() - t0)
+        report["ask_after_add_first_ms"] = round(lat[0] * 1e3, 1)
+        report["ask_after_add_p50_ms"] = round(
+            float(np.percentile(np.asarray(lat[1:]) * 1e3, 50)), 1
+        )
+        report["device_full_uploads"] = rt.store.device_full_uploads
+        report["split_full_builds"] = rt.store.split_full_builds
         report["rss_final_mb"] = _rss_mb()
 
     print("PRODUCT_CHILD_JSON:" + json.dumps(report), flush=True)
