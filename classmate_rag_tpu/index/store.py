@@ -351,22 +351,10 @@ class IndexStore:
             self.term_ids[row] = t_ids_b[i]
             self.tfs[row] = t_tfs_b[i]
             self.doc_len[row] = dl_b[i]
-            meta = metadatas[i] or {}
             meta_changed = fresh or not self.valid[row]
-            for j, f in enumerate(FILTER_FIELDS):
-                v = meta.get(f)
-                interned = self.interns[f].intern(
-                    str(v) if v is not None else None
-                )
-                meta_changed |= self.field_cols[j, row] != interned
-                self.field_cols[j, row] = interned
-            bits = np.zeros(TAG_WORDS, dtype=np.uint32)
-            # tags_from_meta reads the reference-shaped tag_<slug> flags
-            # AND legacy tags lists (pre-alignment catalogs).
-            for slug in tags_from_meta(meta):
-                slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
-                if slot < TAG_WORDS * 32:
-                    bits[slot // 32] |= np.uint32(1 << (slot % 32))
+            fields, bits = self._pack_row_metadata(metadatas[i] or {})
+            meta_changed |= not np.array_equal(self.field_cols[:, row], fields)
+            self.field_cols[:, row] = fields
             meta_changed |= not np.array_equal(self.tag_bits[row], bits)
             self.tag_bits[row] = bits
             self.valid[row] = True
@@ -376,6 +364,26 @@ class IndexStore:
                 self._dirty_rows.add(row)
         self._dirty = True
         return len(ids)
+
+    def _pack_row_metadata(self, meta: Mapping[str, Any]):
+        """Interned filter-field ids [F] + packed tag bitmask [W] for one
+        row — the SINGLE definition of metadata→columns semantics (upsert
+        and the catalog cold rebuild must never drift apart, or a
+        restored store would filter differently from a freshly built
+        one). ``tags_from_meta`` reads the reference-shaped ``tag_<slug>``
+        flags AND legacy tags lists (pre-alignment catalogs)."""
+        fields = np.empty(len(FILTER_FIELDS), np.int32)
+        for j, f in enumerate(FILTER_FIELDS):
+            v = meta.get(f)
+            fields[j] = self.interns[f].intern(
+                str(v) if v is not None else None
+            )
+        bits = np.zeros(TAG_WORDS, dtype=np.uint32)
+        for slug in tags_from_meta(meta):
+            slot = self.tag_slots.setdefault(slug, len(self.tag_slots))
+            if slot < TAG_WORDS * 32:
+                bits[slot // 32] |= np.uint32(1 << (slot % 32))
+        return fields, bits
 
     def delete(self, ids: Sequence[str]) -> int:
         """Tombstone rows; really removes them from every search path."""
@@ -1302,6 +1310,24 @@ class IndexStore:
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return False
 
+    def _restore_embeddings(self, ids: List[str], emb: np.ndarray,
+                            n: int) -> None:
+        """Registry/embedding restore shared by the snapshot path and the
+        cold rebuild: positional ids[:n] ↔ emb rows."""
+        self._grow_to(max(n, 1))
+        id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
+        if len(id_to_row) == n:
+            # Registry ids are unique (always true for our own saves):
+            # vectorized restore — one slice copy instead of n per-row
+            # copies (seconds vs minutes at 1M rows).
+            self.ids = list(ids[:n])
+            self.id_to_row = id_to_row
+            self.emb[:n] = emb[:n]
+        else:
+            for i in range(n):
+                row = self._row_for(ids[i])
+                self.emb[row] = emb[i]
+
     @classmethod
     def load_or_create(
         cls,
@@ -1347,19 +1373,7 @@ class IndexStore:
         ids = list(registry.get("ids") or [])
         valid = list(registry.get("valid") or [])
         n = min(len(ids), emb.shape[0], len(valid))
-        store._grow_to(max(n, 1))
-        id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
-        if len(id_to_row) == n:
-            # Registry ids are unique (always true for our own saves):
-            # vectorized restore — one slice copy instead of n per-row
-            # copies (seconds vs minutes at 1M rows).
-            store.ids = list(ids[:n])
-            store.id_to_row = id_to_row
-            store.emb[:n] = emb[:n]
-        else:
-            for i in range(n):
-                row = store._row_for(ids[i])
-                store.emb[row] = emb[i]
+        store._restore_embeddings(ids, emb, n)
 
         # Persisted deltas (O(delta) saves since the last full rewrite):
         # the chain base_fp -> delta_0 -> ... -> delta_last must end at
@@ -1416,16 +1430,7 @@ class IndexStore:
             store = cls(dim, directory, slab_rows, terms_per_chunk,
                         rescore=rescore, rescore_pool=rescore_pool,
                         select=select)
-            store._grow_to(max(n, 1))
-            id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
-            if len(id_to_row) == n:
-                store.ids = list(ids[:n])
-                store.id_to_row = id_to_row
-                store.emb[:n] = emb[:n]
-            else:
-                for i in range(n):
-                    row = store._row_for(ids[i])
-                    store.emb[row] = emb[i]
+            store._restore_embeddings(ids, emb, n)
 
         # Cold rebuild (no snapshot): stream the catalog ONCE instead of
         # n random per-id fetches — the disk-backed catalog reads
@@ -1449,17 +1454,8 @@ class IndexStore:
                 store.term_ids[row] = t_ids_b[j]
                 store.tfs[row] = t_tfs_b[j]
                 store.doc_len[row] = dl_b[j]
-                meta = entry.metadata
-                for j, f in enumerate(FILTER_FIELDS):
-                    v = meta.get(f)
-                    store.field_cols[j, row] = store.interns[f].intern(
-                        str(v) if v is not None else None
-                    )
-                bits = np.zeros(TAG_WORDS, dtype=np.uint32)
-                for slug in tags_from_meta(meta):
-                    slot = store.tag_slots.setdefault(slug, len(store.tag_slots))
-                    if slot < TAG_WORDS * 32:
-                        bits[slot // 32] |= np.uint32(1 << (slot % 32))
+                fields, bits = store._pack_row_metadata(entry.metadata)
+                store.field_cols[:, row] = fields
                 store.tag_bits[row] = bits
             store.valid[row] = alive
         store._dirty = True
