@@ -30,12 +30,22 @@ def _feature_index(feature: str, dim: int) -> tuple[int, float]:
     return idx, sign
 
 
+# Bumped whenever the feature map changes: the embedding cache
+# namespaces by model_name, and vectors from different feature maps must
+# never share cache entries. v2: bigram keys use "\x00" (a byte no \w
+# token can contain) — the old "_" separator misclassified
+# underscore-bearing unigrams ("snake_case") as bigrams (half-weighted)
+# and collided them with the genuine bigram of the adjacent words.
+_FEATURES_VERSION = 2
+_BIGRAM_SEP = "\x00"
+
+
 class HashingEmbedder:
     """Same public surface as the E5 encoder: encode_queries/encode_passages."""
 
     def __init__(self, dim: int = 768, model_name: str = "hashing-768") -> None:
         self.dim = dim
-        self.model_name = model_name
+        self.model_name = f"{model_name}.f{_FEATURES_VERSION}"
 
     def _embed_one(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float32)
@@ -46,12 +56,12 @@ class HashingEmbedder:
         for w in words:
             counts[w] = counts.get(w, 0) + 1
         for a, b in zip(words, words[1:]):
-            bg = f"{a}_{b}"
+            bg = a + _BIGRAM_SEP + b
             counts[bg] = counts.get(bg, 0) + 1
         for feat, tf in counts.items():
             idx, sign = _feature_index(feat, self.dim)
             weight = float(np.log1p(tf))
-            if "_" in feat:
+            if _BIGRAM_SEP in feat:
                 weight *= 0.5  # bigrams are supporting evidence
             vec[idx] += sign * weight
         norm = float(np.linalg.norm(vec))

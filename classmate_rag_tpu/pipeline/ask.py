@@ -44,6 +44,12 @@ class AskResult:
 
 
 def _looks_unknown(answer: str, lang: str) -> bool:
+    """Reference-exact unknown-answer heuristic (rag/pipeline/rag.py:
+    462-469), substring semantics included: "non so" also matches inside
+    "non sono"/"non solo" — a documented reference quirk that can flip a
+    grounded Italian answer to the general fallback. Kept byte-for-byte
+    for behavioral parity; do NOT tighten without diverging from the
+    reference."""
     a = (answer or "").strip().lower()
     if not a:
         return True
@@ -284,14 +290,17 @@ def _finish_ask_many(
         if isinstance(candidate, str) and candidate in ROUTES:
             forced_route = candidate  # type: ignore[assignment]
 
-        decisions: List[RouteDecision] = [
-            rt.router.decide(
-                q,
-                retrieved_metas=[r.get("metadata") or {} for r in results],
-                forced_subject=forced_route,
-            )
-            for q, results in zip(questions, results_list)
-        ]
+        # ONE classifier encode for the whole batch: a per-question
+        # decide() costs a full E5 forward + host fetch each, serialized
+        # in the host tail the device lock was released to overlap.
+        decisions: List[RouteDecision] = rt.router.decide_batch(
+            questions,
+            [
+                [r.get("metadata") or {} for r in results]
+                for results in results_list
+            ],
+            forced_subject=forced_route,
+        )
         messages_list = [
             [
                 {"role": "system",
@@ -376,8 +385,14 @@ def _finish_ask_many(
     from_fallback = [False] * n
     fb = [i for i in range(n) if _looks_unknown(answers[i], langs[i])]
     if fb:
+        # Same sampling knobs as the primary call: the reference's
+        # fallback shares the runner defaults with its primary
+        # (rag.py:673,680); dropping the cfg kwargs here would give the
+        # fallback different length/temperature than every other answer.
         fb_answers = runner_chat_batch(
-            [build_general_messages(questions[i]) for i in fb]
+            [build_general_messages(questions[i]) for i in fb],
+            max_tokens=cfg.llm_max_tokens,
+            temperature=cfg.llm_temperature, top_p=cfg.llm_top_p,
         )
         for i, a in zip(fb, fb_answers):
             answers[i] = a.strip()

@@ -12,7 +12,7 @@ it runs wherever the embedder runs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -67,6 +67,26 @@ class SubjectClassifier:
         if not question or not question.strip():
             return {r: 0.0 for r in ROUTES}
         return self._score(self.embedder.encode_queries([question])[0])
+
+    def score_queries(
+        self, questions: Sequence[str]
+    ) -> List[Dict[Route, float]]:
+        """Batch variant of :meth:`score_query`: ONE encoder dispatch for
+        all questions (the serving tail routes whole micro-batches; a
+        per-question encode is a full E5 forward + host fetch each —
+        B serialized link round trips where one suffices). Same scores
+        as B score_query calls."""
+        live = [
+            (i, q) for i, q in enumerate(questions) if q and q.strip()
+        ]
+        out: List[Dict[Route, float]] = [
+            {r: 0.0 for r in ROUTES} for _ in questions
+        ]
+        if live:
+            vecs = self.embedder.encode_queries([q for _, q in live])
+            for (i, _q), v in zip(live, vecs):
+                out[i] = self._score(v)
+        return out
 
     def score_passage(self, text: str) -> Dict[Route, float]:
         if not text or not text.strip():

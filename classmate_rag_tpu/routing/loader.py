@@ -27,6 +27,7 @@ class StickyModelLoader:
     def __init__(self, cfg: Optional[Config] = None) -> None:
         self.cfg = cfg or load_config()
         self._resident_route: Optional[Route] = None
+        self._resident_path: str = ""
         self._resident: Any = None
         # Generation lock: the serving daemon runs the generation tail
         # OUTSIDE the device read lock (so it overlaps retrieval), which
@@ -45,21 +46,44 @@ class StickyModelLoader:
             log.info("evicting resident model for route %s", self._resident_route)
             self._resident = None
             self._resident_route = None
+            self._resident_path = ""
             gc.collect()
 
     def ensure_loaded(self, route: Route) -> Any:
         with self._lock:
-            if self._resident_route == route and self._resident is not None:
-                return self._resident
-            self._evict()
+            # Residency keys on the RESOLVED spec's route (the reference
+            # compares target.route + model_path after fallback,
+            # rag/routing/loader.py:70-71): when 'math' falls back to the
+            # default model, a later 'default'/'code' question must NOT
+            # evict and reload the identical multi-GB model — with
+            # chat_grouped iterating route groups per batch, keying on
+            # the REQUESTED route turned every mixed-route batch into one
+            # full model reload per group.
             try:
                 spec = get_model_spec(route, self.cfg)
-                runner = get_runner(self.cfg, model_path=str(spec.model_path))
+                resolved, model_path = spec.route, str(spec.model_path)
             except FileNotFoundError:
+                # No model file for ANY route: the extractive fallback is
+                # route-independent — share one residency for all routes.
+                spec, resolved, model_path = None, "__unresolved__", ""
+            if (
+                self._resident is not None
+                and self._resident_route == resolved
+                and self._resident_path == model_path
+            ):
+                return self._resident
+            self._evict()
+            if spec is None:
                 runner = ExtractiveRunner()
+            else:
+                try:
+                    runner = get_runner(self.cfg, model_path=model_path)
+                except FileNotFoundError:
+                    runner = ExtractiveRunner()
             self._resident = runner
-            self._resident_route = route
-            log.info("loaded %s for route %s", type(runner).__name__, route)
+            self._resident_route = resolved
+            self._resident_path = model_path
+            log.info("loaded %s for route %s", type(runner).__name__, resolved)
             return runner
 
     def chat(

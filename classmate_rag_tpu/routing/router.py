@@ -69,8 +69,41 @@ class HybridRouter:
                 query_scores={r: 0.0 for r in ROUTES},
                 meta_scores=_meta_fractions(metas), margin=0.0,
             )
+        return self._decide_scored(
+            question, self.classifier.score_query(question), metas
+        )
 
-        q_scores = self.classifier.score_query(question)
+    def decide_batch(
+        self,
+        questions: Sequence[str],
+        retrieved_metas_list: Sequence[Sequence[Dict[str, object]]],
+        *,
+        forced_subject: Optional[Route] = None,
+    ) -> list:
+        """decide() for a whole batch with ONE classifier encode
+        (classifier.score_queries) instead of B serialized encoder
+        dispatches — same decisions as B decide() calls."""
+        if forced_subject in ROUTES:
+            return [
+                RouteDecision(
+                    route=forced_subject, reason="forced",
+                    query_scores={r: 0.0 for r in ROUTES},
+                    meta_scores=_meta_fractions(metas or []), margin=0.0,
+                )
+                for metas in retrieved_metas_list
+            ]
+        scores = self.classifier.score_queries(list(questions))
+        return [
+            self._decide_scored(q, qs, metas or [])
+            for q, qs, metas in zip(questions, scores, retrieved_metas_list)
+        ]
+
+    def _decide_scored(
+        self,
+        question: str,
+        q_scores: Dict[Route, float],
+        metas: Sequence[Dict[str, object]],
+    ) -> RouteDecision:
         m_scores = _meta_fractions(metas)
         ranked = sorted(
             ((r, s) for r, s in q_scores.items() if s > 0.0),

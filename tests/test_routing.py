@@ -109,11 +109,13 @@ def test_registry_raises_when_all_missing(tmp_path, monkeypatch):
 def test_sticky_loader_single_resident(tmp_index_env):
     loader = StickyModelLoader(tmp_index_env)
     r1 = loader.ensure_loaded("math")
-    assert loader.resident_route == "math"
     r2 = loader.ensure_loaded("math")
     assert r1 is r2  # sticky: no reload for the same route
-    loader.ensure_loaded("code")
-    assert loader.resident_route == "code"
+    # Residency keys on the RESOLVED spec (reference
+    # rag/routing/loader.py:70-71): with no model files at all, every
+    # route resolves to the same fallback — no eviction between routes.
+    r3 = loader.ensure_loaded("code")
+    assert r1 is r3
 
 
 def test_system_prompts_language_and_contract():
@@ -124,3 +126,63 @@ def test_system_prompts_language_and_contract():
     tr = system_prompt_for("translation", "en")
     assert "translat" in tr.lower()
     assert "I don't know" not in tr  # translation skips the contract
+
+
+def test_decide_batch_matches_per_question(classifier):
+    """decide_batch (one classifier encode) must produce exactly the
+    decisions of B decide() calls — same cascade, same scores."""
+    router = HybridRouter(classifier)
+    questions = [
+        "solve the differential equation for x",
+        "write a python function to sort a list",
+        "translate this sentence into italian please",
+        "zqx wvut completely unrelated nonsense",
+        "",
+    ]
+    metas_list = [
+        [{"subject": "math"}] * 5,
+        [],
+        [{"subject": "translation"}] * 3 + [{}],
+        [{"subject": "code"}] * 2 + [{"subject": "math"}],
+        [],
+    ]
+    batch = router.decide_batch(questions, metas_list)
+    for q, metas, got in zip(questions, metas_list, batch):
+        want = router.decide(q, retrieved_metas=metas)
+        assert got.route == want.route, q
+        assert got.reason == want.reason, q
+        assert got.query_scores == want.query_scores, q
+        assert got.meta_scores == want.meta_scores, q
+    forced = router.decide_batch(questions, metas_list,
+                                 forced_subject="code")
+    assert all(d.route == "code" and d.reason == "forced" for d in forced)
+
+
+def test_sticky_loader_keys_on_resolved_spec(tmp_index_env, monkeypatch):
+    """When several routes fall back to the SAME default model, route
+    changes must not evict/reload it (the reference compares the
+    resolved spec's route+path, rag/routing/loader.py:70-71)."""
+    from classmate_rag_tpu.config import load_config
+
+    monkeypatch.setenv("LLM_BACKEND", "extractive")
+    loader = StickyModelLoader(load_config(reload=True))
+    r1 = loader.ensure_loaded("math")      # falls back (no model files)
+    r2 = loader.ensure_loaded("default")
+    r3 = loader.ensure_loaded("code")
+    assert r1 is r2 is r3, "same resolved model must stay resident"
+
+
+def test_hashing_underscore_tokens_are_unigrams():
+    """'snake_case' must be a full-weight unigram, not half-weighted as
+    a bigram, and must not collide with the real bigram 'snake case'
+    (review finding r4 — the old '_' bigram separator conflated them)."""
+    e = HashingEmbedder(dim=512)
+    ident = e.encode_queries(["my_var my_var"])[0]
+    spaced = e.encode_queries(["my var my var"])[0]
+    # Distinct texts must not hash to near-identical vectors through a
+    # separator collision (unigram 'my_var' vs bigram my+var).
+    assert float(ident @ spaced) < 0.9
+    # An underscore unigram matches itself at full weight: similarity of
+    # identical identifier-heavy texts stays 1.0.
+    again = e.encode_queries(["my_var my_var"])[0]
+    assert abs(float(ident @ again) - 1.0) < 1e-6
