@@ -28,7 +28,7 @@ FILTER_FIELDS: Tuple[str, ...] = (
 )
 ABSENT = 0          # interned id for "field not present"
 TAG_WORDS = 4       # 128 distinct tag slugs supported per index
-NEG_INF = float(np.finfo(np.float32).min)
+from classmate_rag_tpu.utils.numerics import NEG_INF  # noqa: E402
 
 
 @dataclass

@@ -29,6 +29,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from classmate_rag_tpu.utils.numerics import round_up as _round_up
+
 K1 = 1.5
 B = 0.75
 EPSILON = 0.25
@@ -123,10 +125,6 @@ def pack_tokens(
         ids[j] = tid
         tfs[j] = min(tf, 255)
     return ids, tfs, float(len(tokens))
-
-
-def _round_up(x: int, m: int) -> int:
-    return max(m, (x + m - 1) // m * m)
 
 
 def pack_query_terms(

@@ -40,12 +40,8 @@ from classmate_rag_tpu.index.filters import (
 from classmate_rag_tpu.index.lexical import device_fns, pack_tokens
 from classmate_rag_tpu.metadata.validation import slug_tag, tags_from_meta
 
-NEG_INF = float(np.finfo(np.float32).min)
-
-
-def _round_up(x: int, m: int) -> int:
-    return max(m, (x + m - 1) // m * m)
-
+from classmate_rag_tpu.utils.numerics import NEG_INF
+from classmate_rag_tpu.utils.numerics import round_up as _round_up
 
 _ROW_SET_FN = None
 _COL_SET_FN = None

@@ -30,7 +30,7 @@ from classmate_rag_tpu.index.lexical import (
 )
 from classmate_rag_tpu.ops.mmr import mmr_order
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from classmate_rag_tpu.utils.numerics import NEG_INF  # noqa: E402
 
 
 class HybridBatchResult(NamedTuple):

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from classmate_rag_tpu.utils.numerics import NEG_INF  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from classmate_rag_tpu.utils.numerics import NEG_INF  # noqa: E402
 
 
 def quantize_rows(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -37,11 +37,8 @@ import jax.numpy as jnp
 # Pallas pulls ~1s of jaxlib MLIR dialect imports — deferred into the
 # functions that lower kernels so catalog-only CLI verbs never pay it.
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from classmate_rag_tpu.utils.numerics import NEG_INF
+from classmate_rag_tpu.utils.numerics import round_up as _round_up
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from classmate_rag_tpu.ops.fusion import rrf_merge
 from classmate_rag_tpu.ops.mmr import mmr_order
 from classmate_rag_tpu.utils.lang import detect_lang_tag
 
-NEG_INF = float(np.finfo(np.float32).min)
+from classmate_rag_tpu.utils.numerics import NEG_INF  # noqa: E402
 
 
 @dataclass
