@@ -126,7 +126,10 @@ def resolve_ids(
     where: Optional[Mapping[str, Any]] = None,
     runtime: Optional[Runtime] = None,
 ) -> List[str]:
-    """Resolve chunk ids by explicit ids, source path, and/or filters."""
+    """Resolve chunk ids: explicit ``ids`` take FULL precedence (path and
+    filters are ignored when ids are given — the reference's documented
+    contract, rag/admin/manage.py:154-166: "If ids provided → use
+    directly"); otherwise path AND filters conjoin."""
     rt = runtime or get_runtime()
     if ids:
         return [cid for cid in ids if cid in rt.catalog]
@@ -220,9 +223,24 @@ def reingest_paths(
         )
         try:
             res = ingest_file(path=p, doc_meta=meta, runtime=rt)
+            # Stable chunk ids make the re-ingest an idempotent upsert of
+            # ids 0..k-1 — but when the edited document SHRANK (or chunk
+            # boundaries shifted), the old tail ids keep their stale text
+            # and would silently mix into answers. Delete every previous
+            # id this run did not re-write. (The reference cannot do
+            # this — its vector delete was a silent no-op, SURVEY
+            # §2.4.1; here deletion is real.)
+            fresh = set(res.chunk_ids)
+            stale = [e.id for e in existing if e.id not in fresh]
+            removed = 0
+            if stale:
+                removed = rt.store.delete(stale)
+                rt.catalog.delete(stale)
+                rt.persist()
             results.append({
                 "path": str(p), "ok": True,
                 "chunks": res.total_chunks, "doc_type": res.doc_type,
+                "stale_removed": removed,
             })
         except (FileNotFoundError, ValueError, OSError) as exc:
             results.append({"path": str(p), "ok": False, "error": str(exc)})

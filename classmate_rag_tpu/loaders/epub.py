@@ -80,6 +80,11 @@ def load_epub(path: Path) -> Pages:
                 seen.add(href)
 
         pages: Pages = []
+        # Page numbers COMPACT over empty documents (an image-only cover
+        # does not consume page 1) — byte-for-byte the reference's
+        # numbering (rag/loaders/epub_loader.py:36-43 increments only on
+        # non-empty docs), which stable chunk IDs depend on. Do NOT
+        # switch to positional spine indices.
         page = 1
         names = set(zf.namelist())
         for href in ordered:

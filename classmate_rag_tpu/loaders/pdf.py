@@ -578,10 +578,17 @@ class FontDecoder:
                 pos += mm.end()
                 if pos < len(body) and body[pos : pos + 1] == b"[":
                     end = body.find(b"]", pos)
+                    if end < 0:
+                        # Truncated array form (no closing ']'): take
+                        # what's there and stop — 'pos = end + 1' would
+                        # reset to 0 and loop forever on this range.
+                        end = len(body)
                     dsts = _HEX_TOKEN_RE.findall(body[pos:end])
                     for i, dst in enumerate(dsts):
                         self.cmap[lo + i] = _utf16be_to_text(dst)
                     pos = end + 1
+                    if pos >= len(body):
+                        break
                 else:
                     mm2 = re.match(rb"<([0-9A-Fa-f]+)>\s*", body[pos:])
                     if not mm2:
@@ -691,6 +698,29 @@ def extract_page_text(content: bytes, fonts: Dict[str, FontDecoder]) -> str:
             elif op == b"Tf":
                 if len(stack) >= 2 and isinstance(stack[-2], Name):
                     font = fonts.get(str(stack[-2]), _DEFAULT_FONT)
+            elif op == b"BI":
+                # Inline image: BI <dict entries> ID <binary> EI. The
+                # binary payload must NOT reach the object lexer — a
+                # stray '(' byte inside it would be parsed as a literal
+                # string that swallows the rest of the stream (and every
+                # Tj after the image with it). Skip to past the next EI
+                # delimited by whitespace.
+                data = lex.data
+                pos = lex.pos
+                while True:
+                    ei = data.find(b"EI", pos)
+                    if ei < 0:
+                        lex.pos = lex.n
+                        break
+                    before = data[ei - 1 : ei]
+                    after = data[ei + 2 : ei + 3]
+                    if (
+                        (not before or before.isspace())
+                        and (not after or after in b" \t\r\n\f/[<(%")
+                    ):
+                        lex.pos = ei + 2
+                        break
+                    pos = ei + 2
             stack.clear()
         else:
             stack.append(obj)

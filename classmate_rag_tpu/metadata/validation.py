@@ -18,14 +18,17 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Optional
 
+from classmate_rag_tpu.metadata import schema
+
 _LANGS = {"en", "it", "auto"}
 _DOC_TYPES = {"pdf", "docx", "pptx", "md", "txt", "html", "csv", "epub", "other"}
-_DOC_TYPE_FIXES = {"ppt": "pptx", "markdown": "md", "text": "txt", "htm": "html"}
-_LANG_FIXES = {
-    "en": "en", "eng": "en", "english": "en",
-    "it": "it", "ita": "it", "italian": "it", "italiano": "it",
-    "auto": "auto", "detect": "auto", "auto-detect": "auto",
+# Single alias source of truth: schema.py's enum tables (review r4 — two
+# hand-maintained copies would let validation and normalization disagree
+# the first time an alias is added to only one of them).
+_DOC_TYPE_FIXES = {
+    k: v.value for k, v in schema._DOC_TYPE_ALIASES.items()
 }
+_LANG_FIXES = {k: v.value for k, v in schema._LANG_ALIASES.items()}
 _TAG_STRICT_RE = re.compile(r"[A-Za-z0-9_\-]+")
 _TAG_SLUG_RE = re.compile(r"[^a-z0-9]+")
 

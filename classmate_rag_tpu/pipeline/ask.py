@@ -285,8 +285,16 @@ def _finish_ask_many(
 
     # ---- Routed path -------------------------------------------------
     if cfg.enable_routing:
+        from classmate_rag_tpu.metadata.schema import _normalize_subject
+
         forced_route: Optional[Route] = None
         candidate = forced_subject or filters.subject
+        if isinstance(candidate, str) and candidate not in ROUTES:
+            # Callers hand in raw user input (CLI --subject, the serve
+            # payload): run the same EN/IT alias normalization ingest
+            # applies ("matematica" -> "math") so an alias actually
+            # forces the route instead of silently doing nothing.
+            candidate = _normalize_subject(candidate) or candidate
         if isinstance(candidate, str) and candidate in ROUTES:
             forced_route = candidate  # type: ignore[assignment]
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -41,6 +41,10 @@ class IngestResult:
     total_chunks: int
     upserted: int
     created_at: str
+    # The exact ids this run wrote (admin.reingest_paths uses them to
+    # delete a shrunk document's stale tail chunks; excluded from the
+    # user-facing JSON — potentially thousands of ids for a big PDF).
+    chunk_ids: List[str] = field(default_factory=list)
 
 
 def _chunk_pages_parallel(
@@ -235,4 +239,5 @@ def _ingest_file(
     return IngestResult(
         path=str(p), doc_type=doc_type, total_pages=total_pages,
         total_chunks=len(ids), upserted=len(ids), created_at=created_at,
+        chunk_ids=list(ids),
     )

@@ -150,9 +150,6 @@ class HybridRetriever:
         top_k: int = 8,
         hybrid: bool = True,
     ) -> List[List[Dict[str, Any]]]:
-        from classmate_rag_tpu.index.lexical import tokenize
-        from classmate_rag_tpu.utils.lang import detect_lang_tag
-
         where = dict(filters) if filters else None
         live = [
             (i, q) for i, q in enumerate(questions)

@@ -213,14 +213,20 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
-        payload = self._read_json()
-        if payload is None:
-            return
+        # Admission BEFORE any body work: shed load must cost near-zero
+        # host CPU on this 1-core host (the old order read + JSON-parsed
+        # the full body before every 503). The unread body forces the
+        # connection closed — keep-alive would mis-frame the next
+        # request on this socket.
         gated = self.path in ("/ask", "/preview")
         if gated and not self.admission.acquire(blocking=False):
+            self.close_connection = True
             self._send_overloaded("admission queue full")
             return
         try:
+            payload = self._read_json()
+            if payload is None:
+                return
             if self.path == "/ask":
                 self._handle_ask(payload)
             elif self.path == "/preview":
@@ -298,7 +304,9 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 doc_meta=_meta_from_payload(payload),
                 runtime=self.runtime,
             )
-        self._send(200, dataclasses.asdict(res))
+        out = dataclasses.asdict(res)
+        out.pop("chunk_ids", None)  # thousands of ids for a big PDF
+        self._send(200, out)
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8080,

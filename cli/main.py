@@ -95,7 +95,9 @@ def cmd_add(args: argparse.Namespace) -> int:
         result = ingest_file(path=path, doc_meta=meta)
     except (FileNotFoundError, ValueError) as exc:
         return _fail("add", exc)
-    _emit({"action": "add", **dataclasses.asdict(result)})
+    out = dataclasses.asdict(result)
+    out.pop("chunk_ids", None)  # thousands of ids for a big PDF
+    _emit({"action": "add", **out})
     return 0
 
 
@@ -393,7 +395,15 @@ def main(argv: Optional[list] = None) -> int:
     _configure_logging()
     parser = build_parser()
     args = parser.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except ValueError as exc:
+        # Machine-readable JSON error for EVERY verb (an invalid --tags
+        # on `list`/`delete`/`reingest` raised out of _where_from_args
+        # uncaught and dumped a raw traceback, while `add`/`ask` handled
+        # the identical input).
+        action = args.func.__name__.removeprefix("cmd_")
+        return _fail(action, exc)
 
 
 if __name__ == "__main__":

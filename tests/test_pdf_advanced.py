@@ -106,3 +106,36 @@ def test_trusted_length_keeps_trailing_newline_bytes(tmp_path):
     pdf = tmp_path / "tail.pdf"
     pdf.write_bytes(b"".join(parts))
     assert load_pdf(pdf) == [(1, "Stream tail bytes intact.")]
+
+
+def test_truncated_bfrange_array_terminates():
+    """A bfrange array form missing its ']' used to reset the parse
+    cursor to 0 and loop forever (review finding r4, reproduced with a
+    timeout). Must terminate and keep the mappings it could read."""
+    from classmate_rag_tpu.loaders.pdf import FontDecoder
+
+    fd = FontDecoder.__new__(FontDecoder)
+    fd.code_len = 1
+    fd.cmap = {}
+    fd._parse_cmap(
+        b"begincmap 1 begincodespacerange <00> <FF> endcodespacerange "
+        b"1 beginbfrange <00> <05> [<0041> <0042> endbfrange endcmap"
+    )
+    assert fd.cmap.get(0) == "A"
+    assert fd.cmap.get(1) == "B"
+
+
+def test_inline_image_bytes_do_not_swallow_text():
+    """BI...ID <binary> EI payloads must be skipped, not lexed: a '('
+    byte inside the image data used to start a literal string that
+    consumed the rest of the stream (review finding r4)."""
+    from classmate_rag_tpu.loaders.pdf import extract_page_text
+
+    content = (
+        b"BT (before image) Tj ET "
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x28\xff\x00\xfe EI "
+        b"BT (after image) Tj ET"
+    )
+    text = extract_page_text(content, {})
+    assert "before image" in text
+    assert "after image" in text

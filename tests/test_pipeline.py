@@ -310,3 +310,55 @@ def test_ask_batch_matches_single_routed(tmp_index_env, tmp_path):
             s.answer, s.route, s.route_reason, s.sources
         )
     reset_runtime()
+
+
+def test_reingest_removes_stale_tail_chunks(rt, tmp_path):
+    """A shrunk document's old tail chunk ids must not keep serving stale
+    text after reingest (review finding r4 — the reference leaves them
+    behind because its delete was a no-op; ours is real)."""
+    from classmate_rag_tpu.admin.manage import reingest_paths, resolve_ids
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+
+    calc = tmp_path / "shrinking.md"
+    para = (
+        "Linear algebra studies vector spaces and the linear maps "
+        "between them. Matrices represent these maps in a chosen basis "
+        "and composition becomes matrix multiplication. "
+    )
+    calc.write_text("\n\n".join([para * 4] * 3))  # several chunks
+    ingest_file(path=calc,
+                doc_meta=normalize_cli_metadata(course="calc101"),
+                runtime=rt)
+    before = resolve_ids(path=str(calc), runtime=rt)
+    assert len(before) >= 2
+    calc.write_text("The derivative measures rate of change.")  # 1 chunk
+    results = reingest_paths([str(calc)], runtime=rt)
+    assert results[0]["ok"]
+    assert results[0]["chunks"] == 1
+    assert results[0]["stale_removed"] == len(before) - 1
+    after = resolve_ids(path=str(calc), runtime=rt)
+    assert len(after) == 1
+    # The stale ids are really gone from both catalog and store.
+    for cid in before:
+        if cid not in after:
+            assert cid not in rt.catalog
+            assert cid not in rt.store.id_to_row or not rt.store.valid[
+                rt.store.id_to_row[cid]
+            ]
+
+
+def test_forced_subject_accepts_aliases(rt, monkeypatch):
+    """--subject matematica must force the math route like --subject math
+    (the same EN/IT alias table ingest uses)."""
+    import dataclasses
+
+    from classmate_rag_tpu.pipeline.ask import ask_question
+
+    rt.cfg = dataclasses.replace(rt.cfg, enable_routing=True)
+    res = ask_question(
+        question="what is the derivative",
+        filters=normalize_cli_metadata(),
+        top_k=2, runtime=rt, forced_subject="matematica",
+    )
+    assert res.route == "math"
+    assert res.route_reason == "forced"
