@@ -24,6 +24,8 @@ from hashlib import blake2b
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+from classmate_rag_tpu.utils.numerics import NEG_INF
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -252,7 +254,7 @@ def encode_from_embeddings(
     n_heads = config.heads
     head_dim = H // n_heads
     # Additive attention bias: 0 for real tokens, -inf for padding.
-    attn_bias = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
+    attn_bias = (1.0 - mask)[:, None, None, :] * NEG_INF
     # Flash attention only helps (and only tiles) at longer sequences; the
     # decision is static per compiled shape. Pad tokens get segment id 0
     # vs 1 for real tokens, which reproduces the padding mask (pad keys

@@ -65,11 +65,18 @@ class ExtractiveRunner:
     # -- core ----------------------------------------------------------
     @staticmethod
     def _split_blocks(ctx: str) -> List[tuple[int, str]]:
+        """Split the numbered context into ([n], text) blocks by the
+        '[n] ' anchors themselves — NOT on blank lines: chunk text can
+        legitimately contain '\\n\\n' (normalize caps blank runs at one
+        blank line, it does not remove them), and a blank-line split
+        silently dropped every continuation paragraph of a block."""
         blocks: List[tuple[int, str]] = []
-        for chunk in ctx.split("\n\n"):
-            m = _BLOCK_RE.match(chunk.strip())
-            if m:
-                blocks.append((int(m.group(1)), m.group(2).strip()))
+        anchors = [
+            m for m in re.finditer(r"(?m)^\[(\d+)\] ", ctx)
+        ]
+        for i, m in enumerate(anchors):
+            end = anchors[i + 1].start() if i + 1 < len(anchors) else len(ctx)
+            blocks.append((int(m.group(1)), ctx[m.end():end].strip()))
         return blocks
 
     @staticmethod
@@ -394,10 +401,15 @@ class TPUDecodeRunner:
 
     def generate_ids_batch(self, prompt_ids_list: Sequence[List[int]],
                            seed: int = 42, temperature: float = 0.0,
-                           top_p: float = 0.95) -> List[List[int]]:
+                           top_p: float = 0.95,
+                           max_tokens: Optional[int] = None) -> List[List[int]]:
         """ONE batched decode for several prompts (left-padded to the
         shared width; batch pads to a power of two so arbitrary sizes
-        reuse compiled programs). Returns eos-stripped ids per prompt."""
+        reuse compiled programs). Returns eos-stripped ids per prompt,
+        truncated at the FIRST eos (any declared id stops the row) and
+        clamped to ``max_tokens`` when given (the decode still runs the
+        static max_new horizon — changing it per call would recompile —
+        but the caller-visible contract honors the cap)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -417,13 +429,23 @@ class TPUDecodeRunner:
             lens[i] = len(ids)
         toks = self._generate(
             self.params, jnp.asarray(arr), jnp.asarray(lens),
-            seed, temperature, top_p, self.eos_id,
+            seed, temperature, top_p,
+            jnp.asarray(self.eos_ids, jnp.int32),
         )
         out = np.asarray(toks)
-        return [
-            [t for t in out[i].tolist() if t not in self.eos_ids]
-            for i in range(b)
-        ]
+        cap = self.max_new if max_tokens is None else max(
+            min(int(max_tokens), self.max_new), 1
+        )
+        eos = set(self.eos_ids)
+        results: List[List[int]] = []
+        for i in range(b):
+            row: List[int] = []
+            for t in out[i].tolist()[:cap]:
+                if t in eos:
+                    break
+                row.append(t)
+            results.append(row)
+        return results
 
     def generate_ids(self, prompt_ids: List[int], seed: int = 42,
                      temperature: float = 0.0, top_p: float = 0.95):
@@ -449,7 +471,10 @@ class TPUDecodeRunner:
         **_: Any,
     ) -> str:
         ids = self._encode_prompt(messages)
-        out_ids = self.generate_ids(ids, temperature=temperature, top_p=top_p)
+        out_ids = self.generate_ids_batch(
+            [ids], temperature=temperature, top_p=top_p,
+            max_tokens=max_tokens,
+        )[0]
         return self.tokenizer.decode(out_ids).strip()
 
     def chat_batch(
@@ -465,7 +490,8 @@ class TPUDecodeRunner:
         tail's shape; per-question chat pays the full loop each time)."""
         prompt_ids = [self._encode_prompt(m) for m in messages_list]
         outs = self.generate_ids_batch(
-            prompt_ids, temperature=temperature, top_p=top_p
+            prompt_ids, temperature=temperature, top_p=top_p,
+            max_tokens=max_tokens,
         )
         return [self.tokenizer.decode(ids).strip() for ids in outs]
 
@@ -482,7 +508,12 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
     if backend in ("llama_cpp", "auto"):
         try:
             return LlamaCppRunner(model_path=model_path)
-        except (ImportError, FileNotFoundError):
+        except Exception:
+            # "auto" must DEGRADE to the tpu/extractive backends on any
+            # construction failure — including network/HTTP errors from
+            # the GGUF auto-download (ConnectionError/HfHubHTTPError are
+            # neither ImportError nor FileNotFoundError). An explicit
+            # llama_cpp backend still surfaces the real error.
             if backend == "llama_cpp":
                 raise
     if backend in ("tpu", "auto"):

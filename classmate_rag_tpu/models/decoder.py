@@ -415,9 +415,18 @@ def forward(
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # ([L,B,S,KH,D], ...)
     cache_offset: jnp.ndarray,       # [] int32: write position in the cache
     config: DecoderConfig,
-    attn_mask: Optional[jnp.ndarray] = None,  # [B, T, S] additive f32
+    attn_mask: jnp.ndarray = None,   # [B, T, S] additive f32 — REQUIRED
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Returns (logits [B, T, V] f32, updated kv cache)."""
+    """Returns (logits [B, T, V] f32, updated kv cache).
+
+    ``attn_mask`` is required (kept keyword-positioned for the existing
+    call sites): the body indexes it unconditionally, and a silent
+    causal default would mask the left-padded prefill wrong."""
+    if attn_mask is None:
+        raise TypeError(
+            "forward() requires attn_mask ([B, T, S] additive f32); see "
+            "make_generate_fn for the left-padded prefill/decode masks"
+        )
     cdtype = config.compute_dtype
     B, T = input_ids.shape
     H, KH, D = config.heads, config.kv_heads, config.head_dim
@@ -516,7 +525,12 @@ def _sample(logits, rng_key, temperature, top_p):
 
 def make_generate_fn(config: DecoderConfig, max_seq: int, max_new: int):
     """Build a jitted generate(params, prompt_ids, prompt_len, seed,
-    temperature, top_p, eos_id) → token ids [B, max_new] (eos-padded).
+    temperature, top_p, eos_ids) → token ids [B, max_new] (eos-padded).
+
+    ``eos_ids`` is an i32 [E] array: generation stops on ANY of them
+    (Llama-3-Instruct declares several — a raw <|end_of_text|> must end
+    the row, not leave it sampling from the post-eos distribution for
+    the rest of the horizon). A scalar is accepted for back-compat.
 
     ``prompt_ids`` must be LEFT-padded to a common width P so every row's
     last real token sits at slot P−1: prefill is one forward over [B, P],
@@ -525,9 +539,12 @@ def make_generate_fn(config: DecoderConfig, max_seq: int, max_new: int):
     over the static ``max_new`` horizon with per-row eos done-flags —
     static shapes throughout, zero recompiles.
     """
-    neg = jnp.finfo(jnp.float32).min
+    from classmate_rag_tpu.utils.numerics import NEG_INF as neg
 
-    def generate(params, prompt_ids, prompt_len, seed, temperature, top_p, eos_id):
+    def generate(params, prompt_ids, prompt_len, seed, temperature, top_p,
+                 eos_ids):
+        eos_arr = jnp.atleast_1d(jnp.asarray(eos_ids, jnp.int32))
+        pad_tok = eos_arr[0]
         B, P = prompt_ids.shape
         cache = empty_cache(config, B, max_seq)
         pad_offset = (P - prompt_len).astype(jnp.int32)          # [B]
@@ -554,9 +571,11 @@ def make_generate_fn(config: DecoderConfig, max_seq: int, max_new: int):
             cache, cur_logits, done = carry
             i, key = inputs
             tok = _sample(cur_logits, key, temperature, top_p)
-            tok = jnp.where(done, eos_id, tok).astype(jnp.int32)
+            tok = jnp.where(done, pad_tok, tok).astype(jnp.int32)
             out_tok = tok
-            done = done | (tok == eos_id)
+            done = done | jnp.any(
+                tok[:, None] == eos_arr[None, :], axis=1
+            )
             write_slot = P + i                                   # scalar
             positions = (write_slot - pad_offset)[:, None]       # [B, 1]
             valid = (key_slot >= pad_offset[:, None, None]) & (

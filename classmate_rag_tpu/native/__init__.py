@@ -50,41 +50,50 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
+            _declare_symbols(lib)
+        except (OSError, AttributeError):
+            # AttributeError = a STALE .so missing newer entry points
+            # (_ensure_built skips compilation when the file exists):
+            # callers must degrade to the Python paths, not crash ingest
+            # — and _load_failed must latch so we don't re-raise on
+            # every subsequent call.
             _load_failed = True
             return None
-        lib.tokenizer_create.restype = ctypes.c_void_p
-        lib.tokenizer_create.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-        ]
-        lib.tokenizer_destroy.argtypes = [ctypes.c_void_p]
-        lib.tokenize_join.restype = ctypes.c_int64
-        lib.tokenize_join.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
-        ]
-        lib.packer_create.restype = ctypes.c_void_p
-        lib.packer_create.argtypes = []
-        lib.packer_destroy.argtypes = [ctypes.c_void_p]
-        lib.packer_vocab_size.restype = ctypes.c_int32
-        lib.packer_vocab_size.argtypes = [ctypes.c_void_p]
-        lib.packer_pack_batch.restype = ctypes.c_int32
-        lib.packer_pack_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ]
-        lib.packer_export_terms.restype = ctypes.c_int64
-        lib.packer_export_terms.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
-        ]
-        lib.packer_import_terms.restype = ctypes.c_int32
-        lib.packer_import_terms.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-        ]
         _lib = lib
         return _lib
+
+
+def _declare_symbols(lib: ctypes.CDLL) -> None:
+    lib.tokenizer_create.restype = ctypes.c_void_p
+    lib.tokenizer_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+    ]
+    lib.tokenizer_destroy.argtypes = [ctypes.c_void_p]
+    lib.tokenize_join.restype = ctypes.c_int64
+    lib.tokenize_join.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.packer_create.restype = ctypes.c_void_p
+    lib.packer_create.argtypes = []
+    lib.packer_destroy.argtypes = [ctypes.c_void_p]
+    lib.packer_vocab_size.restype = ctypes.c_int32
+    lib.packer_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.packer_pack_batch.restype = ctypes.c_int32
+    lib.packer_pack_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.packer_export_terms.restype = ctypes.c_int64
+    lib.packer_export_terms.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.packer_import_terms.restype = ctypes.c_int32
+    lib.packer_import_terms.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
 
 
 class NativeTokenizer:
@@ -108,6 +117,12 @@ class NativeTokenizer:
         )
         self._buf_cap = 1 << 16
         self._buf = ctypes.create_string_buffer(self._buf_cap)
+        # get_native_tokenizer returns ONE shared instance and the
+        # serving daemon tokenizes from concurrent handler threads: the
+        # output buffer (and its grow-and-retry reassignment) must not
+        # interleave — a thread pairing the OLD small buffer with the
+        # NEW larger capacity would let C write past the end.
+        self._buf_lock = threading.Lock()
 
     def __del__(self) -> None:  # pragma: no cover - interpreter teardown
         try:
@@ -119,20 +134,23 @@ class NativeTokenizer:
     def tokenize(self, text: str, lang: Optional[str] = None) -> List[str]:
         data = (text or "").encode("utf-8")
         lang_it = 1 if (lang or "").lower().startswith("it") else 0
-        n = self._lib.tokenize_join(
-            self._handle, data, len(data), lang_it, self._buf, self._buf_cap
-        )
-        if n < 0:  # grow and retry
-            self._buf_cap = max(self._buf_cap * 2, -n + 1)
-            self._buf = ctypes.create_string_buffer(self._buf_cap)
+        with self._buf_lock:
             n = self._lib.tokenize_join(
-                self._handle, data, len(data), lang_it, self._buf, self._buf_cap
+                self._handle, data, len(data), lang_it,
+                self._buf, self._buf_cap,
             )
-            if n < 0:
-                raise RuntimeError("native tokenize buffer error")
-        if n == 0:
-            return []
-        return self._buf.raw[:n].decode("utf-8").split(" ")
+            if n < 0:  # grow and retry
+                self._buf_cap = max(self._buf_cap * 2, -n + 1)
+                self._buf = ctypes.create_string_buffer(self._buf_cap)
+                n = self._lib.tokenize_join(
+                    self._handle, data, len(data), lang_it,
+                    self._buf, self._buf_cap,
+                )
+                if n < 0:
+                    raise RuntimeError("native tokenize buffer error")
+            if n == 0:
+                return []
+            return self._buf.raw[:n].decode("utf-8").split(" ")
 
 
 class NativePacker:

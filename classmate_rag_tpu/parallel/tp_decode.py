@@ -158,7 +158,7 @@ def make_tp_generate_fn(
             scalar,           # seed
             scalar,            # temperature
             scalar,            # top_p
-            scalar,            # eos_id
+            scalar,            # eos_ids (scalar or [E]; P() replicates any rank)
         ),
         out_shardings=batch,  # tokens [B, max_new]
     )

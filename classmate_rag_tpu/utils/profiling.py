@@ -34,6 +34,8 @@ def _detect_chip() -> str:
             return key
     if "v5 lite" in kind or "v5lite" in kind:
         return "v5e"
+    if "v6 lite" in kind or "v6lite" in kind:
+        return "v6e"  # device_kind says "TPU v6 lite", not "v6e"
     return "cpu"
 
 

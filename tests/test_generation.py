@@ -206,3 +206,73 @@ class TestBatchedDecode:
             [{"role": "user", "content": "no context here"}],
         ]
         assert r.chat_batch(convs) == [r.chat(c) for c in convs]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review regressions
+# ---------------------------------------------------------------------------
+
+def test_decode_stops_on_any_declared_eos():
+    """A model that emits an EARLIER eos id (Llama-3's <|end_of_text|>
+    when <|eot_id|> is the chat ender) must stop the row — the old loop
+    only stopped on eos_ids[-1] and kept sampling past the eos (review
+    finding r4)."""
+    import jax.numpy as jnp
+
+    from classmate_rag_tpu.models.decoder import (
+        DecoderConfig, init_params, make_generate_fn,
+    )
+
+    config = DecoderConfig.tiny_test()
+    params = init_params(config, "eos-fixture")
+    gen = make_generate_fn(config, 32, 8)
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    lens = jnp.asarray([4], jnp.int32)
+    # Greedy output with a single declared eos that never fires:
+    toks_free = np.asarray(
+        gen(params, ids, lens, 0, 0.0, 0.95,
+            jnp.asarray([9999], jnp.int32))
+    )[0]
+    first = int(toks_free[0])
+    # Declare the FIRST emitted token as one of several eos ids: the row
+    # must stop immediately — every later slot is the pad (eos) token.
+    toks_stop = np.asarray(
+        gen(params, ids, lens, 0, 0.0, 0.95,
+            jnp.asarray([first, 9999], jnp.int32))
+    )[0]
+    assert int(toks_stop[0]) == first
+    assert all(int(t) == first for t in toks_stop[1:]), toks_stop
+
+
+def test_extractive_blocks_keep_multi_paragraph_chunks():
+    """Chunk text may contain blank lines; splitting the context on
+    '\\n\\n' dropped every continuation paragraph (review finding r4)."""
+    from classmate_rag_tpu.generation.runner import ExtractiveRunner
+
+    ctx = (
+        "[1] Introductory framing sentence.\n\n"
+        "The quagga zebra hybrid fact lives here.\n\n"
+        "[2] Second block text."
+    )
+    blocks = ExtractiveRunner._split_blocks(ctx)
+    assert [n for n, _ in blocks] == [1, 2]
+    assert "quagga zebra hybrid" in blocks[0][1]
+    ans = ExtractiveRunner().answer_grounded(
+        "what about the quagga zebra hybrid", ctx
+    )
+    assert "[1]" in ans and "quagga" in ans
+
+
+def test_tpu_runner_honors_max_tokens():
+    from classmate_rag_tpu.generation.runner import TPUDecodeRunner
+    from classmate_rag_tpu.models.decoder import DecoderConfig
+
+    runner = TPUDecodeRunner(
+        config=DecoderConfig.tiny_test(), max_seq=64, max_new_tokens=16,
+    )
+    full = runner.generate_ids_batch([[5, 6, 7]], temperature=0.0)
+    capped = runner.generate_ids_batch(
+        [[5, 6, 7]], temperature=0.0, max_tokens=3
+    )
+    assert len(capped[0]) <= 3
+    assert capped[0] == full[0][:len(capped[0])]
