@@ -431,3 +431,36 @@ def test_admission_control_rejects_with_503(tmp_index_env, tmp_path):
     # Rejects are immediate — far under a single slowed retrieval.
     rejects = [l for c, l in zip(codes, lat) if c == 503]
     assert rejects and max(rejects) < 0.25, rejects
+
+
+def test_follower_timeout_default_is_backend_aware(tmp_index_env, monkeypatch):
+    """8 s with the extractive runner; 60 s when a decode model is
+    configured (its healthy batch tail runs tens of seconds — a fixed
+    8 s would 503 every follower of every healthy batch)."""
+    from classmate_rag_tpu.config import load_config
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+    from classmate_rag_tpu.serve import make_server
+
+    monkeypatch.setenv("LLM_BACKEND", "extractive")
+    load_config(reload=True)
+    reset_runtime()
+    try:
+        rt = get_runtime(reload=True)
+        srv = make_server(port=0, runtime=rt)
+        assert srv.RequestHandlerClass.batcher.follower_timeout == 8.0
+        srv.server_close()
+        monkeypatch.setenv("LLM_BACKEND", "tpu")
+        load_config(reload=True)
+        srv = make_server(port=0, runtime=rt)
+        assert srv.RequestHandlerClass.batcher.follower_timeout == 60.0
+        srv.server_close()
+        # Explicit env knob wins either way.
+        monkeypatch.setenv("SERVE_FOLLOWER_TIMEOUT_S", "3.5")
+        srv = make_server(port=0, runtime=rt)
+        assert srv.RequestHandlerClass.batcher.follower_timeout == 3.5
+        srv.server_close()
+    finally:
+        monkeypatch.delenv("SERVE_FOLLOWER_TIMEOUT_S", raising=False)
+        monkeypatch.setenv("LLM_BACKEND", "extractive")
+        load_config(reload=True)
+        reset_runtime()
