@@ -137,9 +137,12 @@ mutate(store, embs)
 out = idx.query_batch(queries, q_terms)  # drains the journal first
 rows = np.asarray(out.rows.addressable_data(0))
 
-# O(delta): the refresh moved row/column updates, not a rebuild.
+# O(delta): the refresh moved row/column updates, not a rebuild —
+# and took the r4 INCREMENTAL path (frozen head + tail overlay), not
+# the full layout rebuild, identically on both processes.
 delta = idx.bytes_placed_last_refresh
 assert 0 < delta < base_bytes * 0.5, (delta, base_bytes)
+assert idx.full_lexical_rebuilds == 0, idx.full_lexical_rebuilds
 
 # Identity with a single-device store that saw the same mutations.
 single, s_embs = build_store(f"/tmp/mh_mut_single_{{pid}}")
