@@ -582,6 +582,34 @@ def plan_tail_delta(
     }
 
 
+def overlay_diff_span(
+    new_rows: np.ndarray,
+    new_tfs: np.ndarray,
+    prev: Tuple[np.ndarray, np.ndarray],
+) -> Tuple[int, int]:
+    """[lo, hi) span where the overlay region's new serialization differs
+    from the previous one, comparing with zero padding out to the longer
+    length (a shrink must zero the stale tail). (0, 0) = nothing to
+    write."""
+    prev_rows, prev_tfs = prev
+    n_new, n_prev = len(new_rows), len(prev_rows)
+    n = max(n_new, n_prev)
+    if n == 0:
+        return 0, 0
+    a_r = np.zeros(n, np.int64)
+    a_r[:n_new] = new_rows
+    a_t = np.zeros(n, np.int64)
+    a_t[:n_new] = new_tfs
+    b_r = np.zeros(n, np.int64)
+    b_r[:n_prev] = prev_rows
+    b_t = np.zeros(n, np.int64)
+    b_t[:n_prev] = prev_tfs
+    diff = np.nonzero((a_r != b_r) | (a_t != b_t))[0]
+    if not len(diff):
+        return 0, 0
+    return int(diff[0]), int(diff[-1]) + 1
+
+
 # ---------------------------------------------------------------------------
 # Device scoring
 # ---------------------------------------------------------------------------

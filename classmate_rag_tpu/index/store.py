@@ -46,19 +46,25 @@ from classmate_rag_tpu.utils.numerics import round_up as _round_up
 _ROW_SET_FN = None
 _COL_SET_FN = None
 
+# Cap on per-journal old-content snapshots (~1 KB/row): a deployment
+# whose OTHER consumer never drains (sharded-only serving never calls
+# _sync_device; store-only serving never calls drain_journal) must not
+# leak unbounded row copies. Beyond the cap, captures stop — consumers
+# detect the absence and fall back to a full rebuild, which is what a
+# cap-sized backlog warrants anyway.
+_OLD_LEX_CAP = 65536
+# Sentinel distinguishing "capture dropped at the cap" from "fresh slot
+# with no previous content" (None) in _split_pending.
+_OLD_MISSING = object()
+
 
 def _pad_idx_vals(rows, vals):
-    """Pad (rows, vals) to a power-of-two count so every distinct delta
-    size doesn't cost a fresh XLA compile (duplicates repeat entry 0 —
-    scatter order between equal values is irrelevant)."""
-    rows = np.asarray(rows, np.int32)
-    vals = np.asarray(vals)
-    n = len(rows)
-    n2 = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
-    if n2 > n:
-        rows = np.concatenate([rows, np.repeat(rows[:1], n2 - n)])
-        vals = np.concatenate([vals, np.repeat(vals[:1], n2 - n, axis=0)])
-    return rows, vals
+    """pad_pow2_updates with the row indices cast to i32 (positions into
+    single-chip arrays always fit: 2^31 posting slots would be ~10 GB of
+    u8/i32 postings on one chip's 16 GB HBM before anything else)."""
+    from classmate_rag_tpu.utils.numerics import pad_pow2_updates
+
+    return pad_pow2_updates(np.asarray(rows, np.int32), vals)
 
 
 def _device_row_set(arr, rows, vals):
@@ -154,6 +160,12 @@ class IndexStore:
         self.vocab: Dict[str, int] = {}
         self.interns: Dict[str, InternTable] = {f: InternTable() for f in FILTER_FIELDS}
         self.tag_slots: Dict[str, int] = {}
+        # Which embedder produced the persisted vectors (runtime stamps
+        # it; persisted in rows.json). Dense scores MIX FEATURE SPACES if
+        # the active embedder differs — the runtime warns on mismatch
+        # (hash feature-map v1->v2, or a genuine model swap without
+        # `rebuild`).
+        self.embedding_model: Optional[str] = None
 
         self._device: Dict[str, Any] = {}
         self._df_cache = None
@@ -336,9 +348,15 @@ class IndexStore:
                         self.term_ids[row].copy(), self.tfs[row].copy()
                     )
                 )
-                if row not in self._j_old_lex:
+                if (
+                    row not in self._j_old_lex
+                    and len(self._j_old_lex) < _OLD_LEX_CAP
+                ):
                     self._j_old_lex[row] = old
-                if row not in self._dev_j_lex:
+                if (
+                    row not in self._dev_j_lex
+                    and len(self._dev_old_lex) < _OLD_LEX_CAP
+                ):
                     self._dev_old_lex[row] = old
                 self._j_lex.add(row)
                 self._dev_j_lex.add(row)
@@ -556,7 +574,12 @@ class IndexStore:
             # Stash for the lazily-maintained split structures.
             for r in rows:
                 if r not in self._split_pending:
-                    self._split_pending[r] = self._dev_old_lex.get(r)
+                    # _OLD_MISSING (capture dropped at _OLD_LEX_CAP) must
+                    # not read as None (= fresh slot, nothing to
+                    # neutralize): it forces the full-rebuild fallback.
+                    self._split_pending[r] = self._dev_old_lex.get(
+                        r, _OLD_MISSING
+                    )
         if self._dev_j_meta or self._dev_j_lex:
             rows = sorted(self._dev_j_meta | self._dev_j_lex)
             d["valid"] = _device_row_set(d["valid"], rows, self.valid[rows])
@@ -653,7 +676,7 @@ class IndexStore:
             "post_rows_host": layout["post_rows"],
             "overlay": {},
             "ov_offsets": None,
-            "ov_written": 0,
+            "ov_prev": (np.zeros(0, np.int32), np.zeros(0, np.uint8)),
         }
         return self._split
 
@@ -661,7 +684,7 @@ class IndexStore:
         """Apply ``_split_pending`` to the resident split state O(delta);
         False → the caller falls back to the full layout rebuild."""
         from classmate_rag_tpu.index.lexical import (
-            head_tf_columns, plan_tail_delta,
+            head_tf_columns, overlay_diff_span, plan_tail_delta,
         )
 
         split = self._split
@@ -678,6 +701,8 @@ class IndexStore:
                 np.full(n_vocab + 1 - len(offsets), offsets[-1], np.int64),
             ])
         rows = sorted(self._split_pending)
+        if any(self._split_pending[r] is _OLD_MISSING for r in rows):
+            return False  # uncaptured mutation (cap): rebuild
         changes = [
             (r, self._split_pending[r], (self.term_ids[r], self.tfs[r]))
             for r in rows
@@ -701,22 +726,27 @@ class IndexStore:
                 split["post_tfs"], plan["zero_pos"],
                 np.zeros(len(plan["zero_pos"]), np.uint8),
             )
-        n_new = len(plan["ov_rows"])
-        n_write = max(n_new, split["ov_written"])
-        if n_write:
-            pos = split["p_base"] + np.arange(n_write)
-            pad = n_write - n_new
+        # Write only the DIFF SPAN against the previous serialization
+        # (zero-padded comparison clears a shrunken overlay's stale tail)
+        # — re-shipping the full region made steady-state 1-row ingests
+        # cost O(overlay) once the region filled up.
+        lo, hi = overlay_diff_span(
+            plan["ov_rows"], plan["ov_tfs"], split["ov_prev"]
+        )
+        if hi > lo:
+            pos = split["p_base"] + np.arange(lo, hi)
+            n_new = len(plan["ov_rows"])
+            rows_pad = np.zeros(hi, np.int32)
+            tfs_pad = np.zeros(hi, np.uint8)
+            rows_pad[: min(n_new, hi)] = plan["ov_rows"][:hi]
+            tfs_pad[: min(n_new, hi)] = plan["ov_tfs"][:hi]
             split["post_rows"] = _device_row_set(
-                split["post_rows"], pos,
-                np.concatenate(
-                    [plan["ov_rows"], np.zeros(pad, np.int32)]
-                ),
+                split["post_rows"], pos, rows_pad[lo:hi]
             )
             split["post_tfs"] = _device_row_set(
-                split["post_tfs"], pos,
-                np.concatenate([plan["ov_tfs"], np.zeros(pad, np.uint8)]),
+                split["post_tfs"], pos, tfs_pad[lo:hi]
             )
-        split["ov_written"] = n_new
+        split["ov_prev"] = (plan["ov_rows"], plan["ov_tfs"])
         split["ov_offsets"] = (
             plan["ov_offsets"] if int(plan["ov_offsets"][-1]) else None
         )
@@ -1132,6 +1162,8 @@ class IndexStore:
             "dim": self.dim,
             "emb_stat": [int(st.st_size), int(st.st_mtime_ns)],
         }
+        if self.embedding_model:
+            registry["embedding_model"] = self.embedding_model
         tmp = self.directory / "rows.json.tmp"
         tmp.write_text(json.dumps(registry), encoding="utf-8")
         tmp.replace(self.directory / "rows.json")
@@ -1368,6 +1400,7 @@ class IndexStore:
                 return store
         ids = list(registry.get("ids") or [])
         valid = list(registry.get("valid") or [])
+        store.embedding_model = registry.get("embedding_model") or None
         n = min(len(ids), emb.shape[0], len(valid))
         store._restore_embeddings(ids, emb, n)
 

@@ -158,7 +158,10 @@ class ShardedHybridIndex:
             (self.n_shards, len(store.vocab) + 1), np.int64
         )
         self._ov_offsets_global = None
-        self._ov_written = np.zeros(self.n_shards, np.int64)
+        self._ov_prev = [
+            (np.zeros(0, np.int32), np.zeros(0, np.uint8))
+            for _ in range(self.n_shards)
+        ]
         self._tail_diverged = False
         self.full_lexical_rebuilds = getattr(
             self, "full_lexical_rebuilds", -1
@@ -275,7 +278,8 @@ class ShardedHybridIndex:
 
     def _try_incremental_lexical(self, rows, old_lex) -> bool:
         from classmate_rag_tpu.index.lexical import (
-            head_tf_columns, plan_tail_delta,
+            head_tf_columns, overlay_diff_span as _diff_span,
+            plan_tail_delta,
         )
 
         store = self.store
@@ -351,7 +355,6 @@ class ShardedHybridIndex:
         )
         self._scatter_cols("tf_head", r, cols)
 
-        p_pad = post_rows_sh.shape[1]
         zero_s, zero_p = [], []
         reg_s, reg_p, reg_rows, reg_tfs = [], [], [], []
         ov_counts = np.zeros((self.n_shards, n_vocab), np.int64)
@@ -363,37 +366,44 @@ class ShardedHybridIndex:
                 continue
             zero_s.extend([s] * len(plan["zero_pos"]))
             zero_p.extend(plan["zero_pos"].tolist())
-            n_new = len(plan["ov_rows"])
-            n_write = max(n_new, int(self._ov_written[s]))
-            if n_write:
-                reg_s.extend([s] * n_write)
+            # Write only the DIFF SPAN of the overlay region against its
+            # previous serialization (per-term contiguous content shifts
+            # from the first affected term onward): re-shipping the full
+            # region made a steady-state 1-row ingest cost O(overlay)
+            # once the region filled up. Zero-padding the comparison
+            # clears any stale tail when the overlay shrank.
+            lo, hi = _diff_span(
+                plan["ov_rows"], plan["ov_tfs"], self._ov_prev[s]
+            )
+            if hi > lo:
                 start = int(base_lens[s])
-                reg_p.extend(range(start, start + n_write))
-                pad = n_write - n_new
-                reg_rows.extend(plan["ov_rows"].tolist() + [0] * pad)
-                reg_tfs.extend(plan["ov_tfs"].tolist() + [0] * pad)
-            self._ov_written[s] = n_new
+                reg_s.extend([s] * (hi - lo))
+                reg_p.extend(range(start + lo, start + hi))
+                rows_pad = np.zeros(hi, np.int32)
+                tfs_pad = np.zeros(hi, np.uint8)
+                n_new = len(plan["ov_rows"])
+                rows_pad[: min(n_new, hi)] = plan["ov_rows"][:hi]
+                tfs_pad[: min(n_new, hi)] = plan["ov_tfs"][:hi]
+                reg_rows.extend(rows_pad[lo:hi].tolist())
+                reg_tfs.extend(tfs_pad[lo:hi].tolist())
+            self._ov_prev[s] = (plan["ov_rows"], plan["ov_tfs"])
             ov_counts[s] = np.diff(plan["ov_offsets"])
             self._ov_offsets_sh[s, : n_vocab + 1] = plan["ov_offsets"]
 
         if zero_p:
             self._scatter_elems(
-                "post_tfs_sh",
-                np.asarray(zero_s, np.int64) * p_pad
-                + np.asarray(zero_p, np.int64),
+                "post_tfs_sh", zero_s, zero_p,
                 np.zeros(len(zero_p), np.uint8),
             )
             self._tail_diverged = True
         if reg_p:
-            g = (
-                np.asarray(reg_s, np.int64) * p_pad
-                + np.asarray(reg_p, np.int64)
+            self._scatter_elems(
+                "post_rows_sh", reg_s, reg_p,
+                np.asarray(reg_rows, np.int32),
             )
             self._scatter_elems(
-                "post_rows_sh", g, np.asarray(reg_rows, np.int32)
-            )
-            self._scatter_elems(
-                "post_tfs_sh", g, np.asarray(reg_tfs, np.uint8)
+                "post_tfs_sh", reg_s, reg_p,
+                np.asarray(reg_tfs, np.uint8),
             )
             self._tail_diverged = True
 
@@ -435,7 +445,10 @@ class ShardedHybridIndex:
             (self.n_shards, len(store.vocab) + 1), np.int64
         )
         self._ov_offsets_global = None
-        self._ov_written = np.zeros(self.n_shards, np.int64)
+        self._ov_prev = [
+            (np.zeros(0, np.int32), np.zeros(0, np.uint8))
+            for _ in range(self.n_shards)
+        ]
         self.full_lexical_rebuilds += 1
 
         head_stable = (
@@ -481,19 +494,11 @@ class ShardedHybridIndex:
 
     # -- SPMD scatters ---------------------------------------------------
 
-    def _pad_updates(self, idx: np.ndarray, vals: np.ndarray):
-        """Pad (idx, vals) to a power-of-two count so every distinct
-        delta size doesn't cost a fresh XLA compile. Duplicate padding
-        entries repeat (idx[0], vals[0]) — scatter order between equal
-        values is irrelevant."""
-        n = len(idx)
-        n2 = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
-        if n2 > n:
-            idx = np.concatenate([idx, np.repeat(idx[:1], n2 - n)])
-            vals = np.concatenate(
-                [vals, np.repeat(vals[:1], n2 - n, axis=0)]
-            )
-        return idx, vals
+    @staticmethod
+    def _pad_updates(idx: np.ndarray, vals: np.ndarray):
+        from classmate_rag_tpu.utils.numerics import pad_pow2_updates
+
+        return pad_pow2_updates(idx, vals)
 
     def _scatter_rows(self, name: str, rows: np.ndarray,
                       vals: np.ndarray) -> None:
@@ -559,37 +564,45 @@ class ShardedHybridIndex:
         self.bytes_placed_total += int(vals.nbytes) + int(cols.nbytes)
         self._dev[name] = fn(arr, jnp.asarray(cols), jnp.asarray(vals))
 
-    def _scatter_elems(self, name: str, flat_idx: np.ndarray,
-                       vals: np.ndarray) -> None:
+    def _scatter_elems(self, name: str, shard_ids: np.ndarray,
+                       positions: np.ndarray, vals: np.ndarray) -> None:
         """SPMD element scatter into a P("shard", None) [S, Pmax] array:
-        ``flat_idx`` = shard * Pmax + position. Each shard applies only
-        its own elements (out-of-range drop) — the O(delta) transport
-        for tail-posting zeroing and overlay-region writes."""
-        flat_idx, vals = self._pad_updates(flat_idx, vals)
+        each shard applies only the entries whose ``shard_ids`` match its
+        axis index (others drop) — the O(delta) transport for
+        tail-posting zeroing and overlay-region writes. Addressed as
+        (shard, local position), NOT a flattened shard*Pmax+pos index:
+        the flat form exceeds int32 once total padded posting slots pass
+        2^31 (~20M+ chunks), and jnp silently truncates int64 under the
+        default x64-disabled config."""
+        idx, vals = self._pad_updates(
+            np.stack([
+                np.asarray(shard_ids, np.int32),
+                np.asarray(positions, np.int32),
+            ], axis=1),
+            vals,
+        )
         arr = self._dev[name]
         fn = self._scatter_fns.get(name + "/elems")
         if fn is None:
 
-            def body(a, g, v):
+            def body(a, sp, v):
                 p_pad = a.shape[1]
                 shard = jax.lax.axis_index("shard")
-                local = g - shard.astype(g.dtype) * p_pad
-                oob = jnp.where(
-                    (local >= 0) & (local < p_pad), local, p_pad
-                )
+                mine = sp[:, 0] == shard
+                oob = jnp.where(mine, sp[:, 1], p_pad)
                 return a.at[0, oob].set(v.astype(a.dtype), mode="drop")
 
             fn = jax.jit(
                 jax.shard_map(
                     body, mesh=self.mesh,
-                    in_specs=(P("shard", None), P(None), P(None)),
+                    in_specs=(P("shard", None), P(None, None), P(None)),
                     out_specs=P("shard", None),
                 ),
                 donate_argnums=(0,),
             )
             self._scatter_fns[name + "/elems"] = fn
-        self.bytes_placed_total += int(vals.nbytes) + int(flat_idx.nbytes)
-        self._dev[name] = fn(arr, jnp.asarray(flat_idx), jnp.asarray(vals))
+        self.bytes_placed_total += int(vals.nbytes) + int(idx.nbytes)
+        self._dev[name] = fn(arr, jnp.asarray(idx), jnp.asarray(vals))
 
     # ------------------------------------------------------------------
 

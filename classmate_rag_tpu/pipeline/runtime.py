@@ -144,6 +144,26 @@ def get_runtime(reload: bool = False) -> Runtime:
         select=cfg.dense_select,
     )
     t2 = _time.perf_counter()
+    # Feature-space guard: vectors persisted under a DIFFERENT embedder
+    # (a model swap without `rebuild`, or the hashing fallback's
+    # feature-map version bump) silently degrade dense retrieval — the
+    # query and passage vectors stop living in the same space.
+    current_model = getattr(embedder, "model_name", None)
+    if (
+        store.embedding_model
+        and current_model
+        and store.embedding_model != current_model
+    ):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "persisted dense index was embedded with %r but the active "
+            "embedder is %r — dense scores mix feature spaces; run "
+            "`rebuild` to re-embed the corpus",
+            store.embedding_model, current_model,
+        )
+    elif current_model and not store.embedding_model:
+        store.embedding_model = current_model
     sharded = build_sharded_index(cfg, store)
     t3 = _time.perf_counter()
     timings = {

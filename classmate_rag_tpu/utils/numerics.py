@@ -20,3 +20,19 @@ def round_up(x: int, m: int) -> int:
     """Ceil ``x`` to a multiple of ``m``, clamped to at least one ``m``
     (padding semantics: a zero-size input still gets one tile)."""
     return max(m, (x + m - 1) // m * m)
+
+
+def pad_pow2_updates(idx, vals):
+    """Pad scatter updates (idx [N] or [N, K], vals [N, ...]) to a
+    power-of-two count so every distinct delta size doesn't cost a fresh
+    XLA compile. Duplicate padding entries repeat entry 0 — scatter
+    order between equal values is irrelevant. (axis=0 repeat: the 1-D
+    np.repeat default FLATTENS 2-D index arrays.)"""
+    idx = np.asarray(idx)
+    vals = np.asarray(vals)
+    n = len(idx)
+    n2 = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+    if n2 > n:
+        idx = np.concatenate([idx, np.repeat(idx[:1], n2 - n, axis=0)])
+        vals = np.concatenate([vals, np.repeat(vals[:1], n2 - n, axis=0)])
+    return idx, vals

@@ -273,3 +273,89 @@ def test_store_sync_is_incremental_after_small_deltas(tmp_path):
                  [{} for _ in range(n_new)])
     check("growth")
     assert store.device_full_uploads == 2
+
+
+def test_overlay_diff_span_unit():
+    from classmate_rag_tpu.index.lexical import overlay_diff_span
+
+    import numpy as np
+    r = lambda *a: np.asarray(a, np.int32)
+    t = lambda *a: np.asarray(a, np.uint8)
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.uint8))
+    assert overlay_diff_span(r(), t(), empty) == (0, 0)
+    assert overlay_diff_span(r(1, 2), t(1, 1), empty) == (0, 2)
+    prev = (r(1, 2), t(1, 1))
+    assert overlay_diff_span(r(1, 2), t(1, 1), prev) == (0, 0)   # no-op
+    assert overlay_diff_span(r(1, 2, 3), t(1, 1, 2), prev) == (2, 3)
+    assert overlay_diff_span(r(1, 9), t(1, 1), prev) == (1, 2)
+    # Shrink: the stale tail must be zeroed.
+    assert overlay_diff_span(r(1), t(1), prev) == (1, 2)
+
+
+def test_old_capture_cap_forces_rebuild(tmp_path, monkeypatch):
+    """Past _OLD_LEX_CAP the store stops snapshotting old row content;
+    the next split sync must detect the dropped capture and take the
+    full rebuild — never treat it as a fresh slot (which would skip
+    neutralization and double-count the old terms)."""
+    import classmate_rag_tpu.index.store as store_mod
+
+    monkeypatch.setattr(store_mod, "_OLD_LEX_CAP", 2)
+    rng = np.random.default_rng(9)
+    store = IndexStore(DIM, tmp_path, slab_rows=16, terms_per_chunk=16)
+    docs = [_doc(rng) for _ in range(10)]
+    store.upsert([f"d{i}" for i in range(10)], _emb(rng, 10), docs,
+                 [{} for _ in range(10)])
+    store.bm25_topk(["w1"], None, 4)          # build split (full #1)
+    assert store.split_full_builds == 1
+    # Touch MORE rows than the cap without a sync in between.
+    for i in range(5):
+        store.upsert([f"d{i}"], _emb(rng), [_doc(rng)], [{}])
+    scores, rows = store.bm25_topk(["w1"], None, 4)
+    assert store.split_full_builds == 2       # fallback, not silence
+    # Results stay oracle-exact after the rebuild.
+    from classmate_rag_tpu.index.lexical import bm25_oracle_scores
+
+    inv = sorted(store.vocab, key=store.vocab.__getitem__)
+    toks = []
+    for r in range(store.n_rows):
+        t = []
+        for tid, tf in zip(store.term_ids[r], store.tfs[r]):
+            if tid >= 0 and tf > 0:
+                t.extend([inv[tid]] * int(tf))
+        toks.append(t)
+    oracle = bm25_oracle_scores(toks, ["w1"])
+    for r, s in zip(rows, scores):
+        if r >= 0:
+            assert abs(s - oracle[r]) < 1e-3
+
+
+def test_runtime_warns_on_embedder_mismatch(tmp_index_env, caplog):
+    import logging
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+
+    import tempfile
+    from pathlib import Path
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    p = Path(tempfile.mkdtemp()) / "m.txt"
+    p.write_text("derivatives measure change")
+    ingest_file(path=p, doc_meta=normalize_cli_metadata(), runtime=rt)
+    rt.persist()
+    assert rt.store.embedding_model  # stamped + persisted
+    # Simulate an embedder swap: tamper the persisted registry tag.
+    import json as _json
+
+    reg = Path(rt.cfg.dense_dir) / "rows.json"
+    rec = _json.loads(reg.read_text())
+    rec["embedding_model"] = "some-other-model"
+    reg.write_text(_json.dumps(rec))
+    reset_runtime()
+    with caplog.at_level(logging.WARNING):
+        rt2 = get_runtime(reload=True)
+    assert rt2.store.embedding_model == "some-other-model"
+    assert any("mix feature spaces" in r.message for r in caplog.records)
+    reset_runtime()
