@@ -59,8 +59,15 @@ def test_incremental_refresh_matches_single_device(tmp_path, seed):
                 err_msg=tag,
             )
 
-    for round_i in range(12):
-        op = rng.integers(0, 5)
+    dead: set = set()
+    for round_i in range(24):
+        op = rng.integers(0, 6)
+        if op == 5 and dead:  # resurrect a tombstoned id (upsert revives)
+            cid = sorted(dead)[int(rng.integers(0, len(dead)))]
+            store.upsert([cid], _emb(rng), [_doc(rng)],
+                         [{"course": f"c{int(rng.integers(0, 3))}"}])
+            dead.discard(cid)
+            live.add(cid)
         if op == 0 and live:  # overwrite: new emb, same tokens (rebuild-ish)
             cid = sorted(live)[int(rng.integers(0, len(live)))]
             entry_row = store.id_to_row[cid]
@@ -91,6 +98,7 @@ def test_incremental_refresh_matches_single_device(tmp_path, seed):
             cid = sorted(live)[int(rng.integers(0, len(live)))]
             store.delete([cid])
             live.discard(cid)
+            dead.add(cid)
         elif op == 4 and rng.random() < 0.4:  # compact (structural)
             store.compact()
         check(f"round {round_i} op {op}")
