@@ -245,6 +245,9 @@ def oracle_query(qv, terms, emb, bm25, k=K, sims=None):
 def run_scale(n_chunks: int, n_oracle: int) -> dict:
     """Build a fresh index at ``n_chunks`` and measure TPU QPS, the CPU
     oracle QPS, and recall@8 over ``n_oracle`` queries."""
+    # There are only N_QUERIES queries to score: an oracle count above it
+    # would IndexError after the expensive build + timed passes.
+    n_oracle = min(n_oracle, N_QUERIES)
     rng = np.random.default_rng(42)
     docs, emb = build_corpus(rng, n_chunks)
     queries = make_queries(rng, docs, emb)
@@ -284,10 +287,16 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
     run_tpu_batch(queries[:TPU_BATCH])
     t_one_batch = time.perf_counter() - t0
     batch_starts = list(range(0, N_QUERIES, TPU_BATCH))
-    # Each timed pass must hold ≥ MIN_PASS_S of work: sub-second passes
-    # record the link's moment-to-moment load swings, not throughput.
+    # Each timed pass must hold ≥ MIN_PASS_S of WALL time: sub-second
+    # passes record the link's moment-to-moment load swings, not
+    # throughput. timed_pass dispatches with BENCH_WORKERS concurrent
+    # workers whose round trips overlap, so the serial per-batch time
+    # overestimates pass wall by ~workers× — size the repeat count for
+    # the CONCURRENT wall or the floor silently shrinks to ~0.5 s.
+    workers = int(os.getenv("BENCH_WORKERS", "4"))
+    pass_wall_est = t_one_batch * len(batch_starts) / max(workers, 1)
     repeats = max(
-        1, int(math.ceil(MIN_PASS_S / max(t_one_batch * len(batch_starts), 1e-3)))
+        1, int(math.ceil(MIN_PASS_S / max(pass_wall_est, 1e-3)))
     )
 
     def timed_pass():
@@ -300,7 +309,6 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         engine."""
         from concurrent.futures import ThreadPoolExecutor
 
-        workers = int(os.getenv("BENCH_WORKERS", "4"))
         t0 = time.perf_counter()
         with ThreadPoolExecutor(workers) as ex:
             futures = [
@@ -462,9 +470,16 @@ def _run_product_child(root: Path, n_asks: int, timeout_s: int = 3600):
          str(n_asks)],
         capture_output=True, text=True, env=env, timeout=timeout_s,
     )
+    # The child prints its report as the LAST act of the run, so a
+    # marker + nonzero rc means a teardown-time crash: surface the rc in
+    # the artifact instead of silently recording clean numbers (and
+    # instead of discarding a completed stage over an exit-path hiccup).
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("PRODUCT_CHILD_JSON:"):
-            return json.loads(line[len("PRODUCT_CHILD_JSON:"):])
+            report = json.loads(line[len("PRODUCT_CHILD_JSON:"):])
+            if proc.returncode != 0:
+                report["child_rc"] = int(proc.returncode)
+            return report
     raise RuntimeError(
         f"product child failed (rc={proc.returncode}):\n"
         f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
@@ -658,9 +673,9 @@ def main() -> None:
         # Serving scale (1M): f16 rescore active, ≥64-query oracle. TPU
         # only — the exact CPU scan at this size would take hours.
         gc.collect()
-        out["scale3"] = run_scale(
-            SCALE3_CHUNKS, n_oracle=max(min(N_ORACLE, 64), 64)
-        )
+        # ≥64-query oracle floor at serving scale (BENCH_ORACLE can raise
+        # it; the old max(min(x, 64), 64) pinned it to exactly 64).
+        out["scale3"] = run_scale(SCALE3_CHUNKS, n_oracle=max(N_ORACLE, 64))
     if PRODUCT_CHUNKS and backend == "tpu":
         # End-to-end PRODUCT path at serving scale: Runtime.ask with the
         # disk-backed catalog, measured in fresh child processes

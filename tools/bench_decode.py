@@ -88,7 +88,6 @@ def main() -> int:
         )
     batches = [int(b) for b in str(args.batch).split(",")]
     big = config.hidden >= 2048
-    t_init = time.perf_counter()
     # Big trees init on the host: an 8B f32 tree (~30 GB) must never
     # stage through HBM; only the int8 bytes are transferred.
     params = init_params(config, "bench-decode", host=big)
@@ -105,6 +104,9 @@ def main() -> int:
             lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
             if getattr(x, "ndim", 0) >= 2 else x, params,
         )
+    # Time ONLY the host->device transfer (the metric's name): host RNG
+    # init + quantization of an ~8-30 GB tree used to be folded in.
+    t_init = time.perf_counter()
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t_init
@@ -134,8 +136,12 @@ def main() -> int:
             "new_tokens": args.new,
             "int8": bool(args.int8),
             "param_bytes": param_bytes,
-            "init_transfer_seconds": round(init_s, 1),
+            "transfer_seconds": round(init_s, 1),
             "seconds": round(dt, 3),
+            # Conservative: the timed call includes ONE batch prefill
+            # over prompt_len tokens (a single weight pass) on top of
+            # new_tokens decode steps, so the reported rate slightly
+            # UNDERSTATES pure decode.
             "decode_tokens_per_sec": round(new_tokens / dt, 1),
         }
         out.update(_hbm_stats())

@@ -68,7 +68,11 @@ def main() -> int:
                 4 + (carry.astype(jnp.int32) & 3)
             )
             out = encode(params, ids_step, mask, config)
-            return out[0, 0] * 1e6, ()
+            # Row-SUM, not out[0, 0]: a carry fed from one element lets
+            # XLA narrow/elide the other B-1 rows' compute (CLAUDE.md —
+            # 'force full compute with a row-sum, not a column slice'),
+            # silently measuring a smaller batch than reported.
+            return jnp.sum(out[:, 0]) * 1e6, ()
         acc, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=args.iters)
         return acc
 

@@ -153,9 +153,20 @@ def main() -> int:
     for t in threads:
         t.start()
     time.sleep(args.warmup_seconds)  # compiles + caches settle
+    # Drop warmup-window samples from the server-side timer: the first
+    # /ask pays the (minutes-long on a cold cache) remote XLA compile,
+    # and averaging it into server_ask_mean_ms misstates the
+    # steady-state admission-to-response time by orders of magnitude.
+    from classmate_rag_tpu.utils.metrics import metrics
+
+    metrics.reset()
     measuring.set()
     t0 = time.perf_counter()
     time.sleep(args.seconds)
+    # Close the counting window AT wall end: requests completing after
+    # it (up to one per client, seconds-long at big corpora) otherwise
+    # land in the numerator while the denominator excludes their time.
+    measuring.clear()
     wall = time.perf_counter() - t0
     stop.set()
     for t in threads:
@@ -164,8 +175,6 @@ def main() -> int:
     # clients on a 1-core host, client-measured tails include GIL
     # scheduling starvation of 2x clients threads — the daemon's own
     # serve_ask timer isolates the server's admission-to-response time.
-    from classmate_rag_tpu.utils.metrics import metrics
-
     snap = metrics.snapshot()
     server.shutdown()
     server.server_close()

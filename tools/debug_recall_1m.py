@@ -45,7 +45,17 @@ def main() -> int:
     from classmate_rag_tpu.index.store import IndexStore
 
     tmp = Path(tempfile.mkdtemp(prefix="dbg_idx_"))
-    store = IndexStore(bench.DIM, tmp, slab_rows=4096, terms_per_chunk=128)
+    import os
+
+    # Honor the SAME engine knobs bench.run_scale honors: debugging a
+    # knob sweep with a defaults-built store would diagnose a different
+    # engine than the bench measured.
+    store = IndexStore(
+        bench.DIM, tmp, slab_rows=4096, terms_per_chunk=128,
+        rescore=os.getenv("DENSE_RESCORE", "auto"),
+        rescore_pool=int(os.getenv("DENSE_RESCORE_POOL", "32")),
+        select=os.getenv("DENSE_SELECT", "auto"),
+    )
     ids = [f"c{i}" for i in range(args.chunks)]
     for s in range(0, args.chunks, 8192):
         e = min(s + 8192, args.chunks)

@@ -118,6 +118,7 @@ def main() -> int:
             state = restored
             print(json.dumps({"resumed_from": str(ckpt_dir),
                               "step": int(state.step)}))
+    start_step = int(state.step)
 
     eval_batches = list(encode_pairs(
         eval_pairs, tokenizer, batch_size=args.batch, seq_len=args.seq_len,
@@ -177,7 +178,12 @@ def main() -> int:
         "train_loss": round(last_loss, 4),
         "eval_loss": round(ev_loss, 4), "eval_acc": round(ev_acc, 4),
         "eval_loss_start": round(loss0, 4), "eval_acc_start": round(acc0, 4),
-        "steps_per_s": round(step / max(dt, 1e-9), 2),
+        "steps_per_s": round(
+            # Steps RUN THIS SESSION over this session's wall: a resumed
+            # run used to divide the cumulative checkpoint counter by
+            # only its own time, inflating the recorded rate.
+            (step - start_step) / max(dt, 1e-9), 2,
+        ),
         "mesh": dict(mesh.shape),
         "checkpoint": str(final_path) if final_path else None,
     }))
