@@ -28,6 +28,11 @@ def enable_compilation_cache() -> None:
         )
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Persist even fast compiles: the O(delta) sync path compiles a
+        # DOZEN sub-second scatter programs (row/column/element updates
+        # per array) — below the 1-2 s default threshold they were never
+        # cached, so every fresh serving process re-paid ~15 s of remote
+        # compiles on its first post-mutation query at 1M rows.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # never fail the pipeline over cache plumbing
