@@ -102,3 +102,82 @@ def test_incremental_refresh_matches_single_device(tmp_path, seed):
         elif op == 4 and rng.random() < 0.4:  # compact (structural)
             store.compact()
         check(f"round {round_i} op {op}")
+
+
+def test_mutation_storm_oracle_exact(tmp_path):
+    """Long-haul storm over every mutation class (overwrite / append /
+    delete / resurrect / compact), checking BOTH the exact-Okapi oracle
+    on the valid subset and store<->sharded identity every 12 ops. A
+    500-op version of this ran clean during round-4 review; this pins a
+    120-op slice in CI."""
+    from classmate_rag_tpu.index.lexical import bm25_oracle_scores
+    from classmate_rag_tpu.parallel import corpus_mesh
+    from classmate_rag_tpu.parallel.serving import ShardedHybridIndex
+
+    rng = np.random.default_rng(123)
+    store = IndexStore(DIM, tmp_path, slab_rows=8, terms_per_chunk=16,
+                       rescore="on", rescore_pool=16)
+    n0 = 40
+    store.upsert([f"d{i}" for i in range(n0)], _emb(rng, n0),
+                 [_doc(rng) for _ in range(n0)],
+                 [{"course": f"c{i % 4}"} for i in range(n0)])
+    idx = ShardedHybridIndex(store, corpus_mesh(8), top_k=6)
+    live = {f"d{i}" for i in range(n0)}
+    dead: set = set()
+    next_id = n0
+
+    def oracle_check(tag):
+        inv = sorted(store.vocab, key=store.vocab.__getitem__)
+        valid_rows = [r for r in range(store.n_rows) if store.valid[r]]
+        toks = []
+        for r in valid_rows:
+            t = []
+            for tid, tf in zip(store.term_ids[r], store.tfs[r]):
+                if tid >= 0 and tf > 0:
+                    t.extend([inv[tid]] * int(tf))
+            toks.append(t)
+        q = _doc(rng)[:4]
+        oracle = dict(zip(valid_rows, bm25_oracle_scores(toks, q)))
+        scores, rows = store.bm25_topk(q, None, 6)
+        for r, s in zip(rows, scores):
+            if r >= 0:
+                assert store.valid[r], (tag, r)
+                assert abs(s - oracle[r]) < 1e-3, (tag, r, s, oracle[r])
+        qv = _emb(rng, 2)
+        terms = [_doc(rng)[:4], q]
+        for where in (None, {"course": "c2"}):
+            want = store.hybrid_topk_batch(qv, terms, where, top_k=6)
+            got = idx.query_batch(qv, terms, where)
+            assert np.array_equal(
+                np.asarray(want.rows), np.asarray(got.rows)
+            ), (tag, where)
+
+    for op_i in range(120):
+        op = int(rng.integers(0, 7))
+        if op in (0, 1) and live:
+            cid = sorted(live)[int(rng.integers(0, len(live)))]
+            store.upsert([cid], _emb(rng), [_doc(rng)],
+                         [{"course": f"c{int(rng.integers(0, 4))}"}])
+        elif op == 2:
+            new = [f"n{next_id + j}"
+                   for j in range(int(rng.integers(1, 3)))]
+            next_id += len(new)
+            store.upsert(new, _emb(rng, len(new)),
+                         [_doc(rng) for _ in new],
+                         [{"course": f"c{j % 4}"} for j in range(len(new))])
+            live.update(new)
+        elif op == 3 and len(live) > 6:
+            cid = sorted(live)[int(rng.integers(0, len(live)))]
+            store.delete([cid])
+            live.discard(cid)
+            dead.add(cid)
+        elif op == 4 and dead:
+            cid = sorted(dead)[int(rng.integers(0, len(dead)))]
+            store.upsert([cid], _emb(rng), [_doc(rng)], [{}])
+            dead.discard(cid)
+            live.add(cid)
+        elif op == 5 and rng.random() < 0.1:
+            store.compact()
+            dead.clear()
+        if op_i % 12 == 11:
+            oracle_check(f"op{op_i}")
