@@ -192,6 +192,11 @@ def rebuild_embeddings(
         )
         updated += len(batch)
     rt.catalog.save()
+    # Provenance stamp: every vector in the rebuilt store came from THIS
+    # embedder — record it so the runtime's feature-space guard can
+    # compare on the next cold start (legacy untagged stores are never
+    # stamped in place; this is the tagging site).
+    new_store.embedding_model = getattr(embedder, "model_name", None)
     new_store.save(catalog_fingerprint=rt.catalog.fingerprint())
     # Swap the runtime onto the new store/embedder — including the SPMD
     # serving engine, which wraps a specific store instance and would

@@ -508,7 +508,7 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
     if backend in ("llama_cpp", "auto"):
         try:
             return LlamaCppRunner(model_path=model_path)
-        except Exception:
+        except Exception as exc:
             # "auto" must DEGRADE to the tpu/extractive backends on any
             # construction failure — including network/HTTP errors from
             # the GGUF auto-download (ConnectionError/HfHubHTTPError are
@@ -516,6 +516,12 @@ def get_runner(cfg: Optional[Config] = None, model_path: Optional[str] = None):
             # llama_cpp backend still surfaces the real error.
             if backend == "llama_cpp":
                 raise
+            # Genuine construction bugs (TypeError, AttributeError) must
+            # leave a trace before auto mode silently degrades.
+            logger.debug(
+                "llama_cpp runner unavailable (%s: %s); falling through",
+                type(exc).__name__, exc,
+            )
     if backend in ("tpu", "auto"):
         # Reference context-window parity: llama.cpp ran with n_ctx=4096
         # and max_tokens=768 (rag/generation/llama_cpp_runner.py:33,65);

@@ -166,9 +166,11 @@ class Catalog:
             self._sidecar_dirty = False
             if not self.path.exists():
                 self._base_sha = _EMPTY_SHA
+                self._legacy_journal_guard()
                 self._replay_journal()
                 return
             if not self._load_sidecar():
+                self._legacy_journal_guard()
                 self._scan_base()
                 self._replay_journal()
                 self._save_sidecar()
@@ -212,6 +214,57 @@ class Catalog:
                 return
             cid = e.id
         self._index[cid] = (src, off, len(line))
+
+    def _journal_has_marker(self) -> bool:
+        """True when the journal's first line is a base-binding marker."""
+        jp = self.journal_path
+        try:
+            with jp.open("rb") as f:
+                first = f.readline().strip()
+        except OSError:
+            return False
+        if not first:
+            return False
+        try:
+            rec = json.loads(first)
+        except (json.JSONDecodeError, ValueError):
+            return False
+        return isinstance(rec, dict) and rec.get("op") == "base"
+
+    def _legacy_journal_guard(self) -> None:
+        """Stale-check MARKER-LESS journals (written before the
+        base-binding marker existed). Such a journal carries no record of
+        which base it extended, so a foreign base rewrite under it would
+        replay stale ops and resurrect deleted entries — the exact bug
+        the marker fixes, otherwise left open for upgraded deployments.
+        The sidecar's (size, mtime_ns) records witness the pairing: a
+        journal that matches the sidecar's journal_stat while the base
+        does NOT match its base_stat was written against a base that no
+        longer exists → set it aside as ``.stale``. (Marker-bearing
+        journals are validated by _replay_journal; journals whose first
+        mutation postdates this fix always carry a marker.)"""
+        jp = self.journal_path
+        if not jp.exists() or self._journal_has_marker():
+            return
+        import numpy as np
+
+        sp = self._sidecar_path
+        if not sp.exists():
+            return
+        try:
+            with np.load(sp, allow_pickle=False) as z:
+                base_stat = tuple(int(v) for v in z["base_stat"])
+                journal_stat = tuple(int(v) for v in z["journal_stat"])
+        except (OSError, ValueError, KeyError, BadZipFile):
+            return
+        if (
+            journal_stat == _stat_key(jp)
+            and base_stat != _stat_key(self.path)
+        ):
+            try:
+                os.replace(jp, jp.with_suffix(".jsonl.stale"))
+            except OSError:
+                pass
 
     def _replay_journal(self) -> None:
         """Apply journal ops in order; rebuilds the running journal hash
@@ -400,6 +453,39 @@ class Catalog:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         jp = self.journal_path
         off = jp.stat().st_size if jp.exists() else 0
+        if off and not self._journal_has_marker():
+            # Legacy journal (predates the base-binding marker): upgrade
+            # it in place — rewrite with a marker bound to the CURRENT
+            # base — so future foreign base rewrites are caught. Done at
+            # mutation time, when journal bytes (and the fingerprint that
+            # keys the store snapshot) change anyway.
+            try:
+                body = jp.read_bytes()
+                marker = (json.dumps(
+                    {"op": "base", "stat": list(_stat_key(self.path))}
+                ) + "\n").encode("utf-8")
+                tmp = jp.with_suffix(".jsonl.tmp")
+                with tmp.open("wb") as f:
+                    f.write(marker)
+                    f.write(body)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, jp)
+                h = sha1()
+                h.update(marker)
+                h.update(body)
+                self._journal_hash = h
+                # Journaled entries shifted by len(marker): fix offsets.
+                self._index = {
+                    cid: (
+                        (src, o + len(marker), ln)
+                        if src == _JOURNAL else (src, o, ln)
+                    )
+                    for cid, (src, o, ln) in self._index.items()
+                }
+                off += len(marker)
+            except OSError:
+                pass  # keep the legacy journal as-is; appends still work
         with jp.open("ab") as f:
             if off == 0:
                 # Bind a fresh journal to the exact base it extends (see

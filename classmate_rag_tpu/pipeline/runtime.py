@@ -163,7 +163,25 @@ def get_runtime(reload: bool = False) -> Runtime:
             store.embedding_model, current_model,
         )
     elif current_model and not store.embedding_model:
-        store.embedding_model = current_model
+        if len(store) == 0:
+            store.embedding_model = current_model
+        else:
+            # A NON-empty untagged legacy store must not be silently
+            # stamped with the CURRENT embedder's name: for exactly the
+            # migration this guard targets (e.g. the hashing feature-map
+            # v1 -> v2 rename) the persisted vectors live in an unknown
+            # feature space, and adopting the current name would make the
+            # mix-feature-spaces warning above impossible to ever fire.
+            # The stamp happens at save-time after a `rebuild` re-embeds.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "persisted dense index has no recorded embedding model "
+                "(pre-tagging save); if it was built with a different "
+                "embedder than %r, dense scores mix feature spaces — run "
+                "`rebuild` to re-embed and tag the corpus",
+                current_model,
+            )
     sharded = build_sharded_index(cfg, store)
     t3 = _time.perf_counter()
     timings = {

@@ -337,10 +337,11 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
         # bound), while a real decode model legitimately spends tens of
         # seconds on a 32-question batch at LLM_MAX_TOKENS=768 — an 8 s
         # deadline there would 503 every follower of every healthy batch
-        # and defeat micro-batching entirely.
-        from classmate_rag_tpu.config import load_config
-
-        backend = load_config().llm_backend.lower()
+        # and defeat micro-batching entirely. Derived from the runtime
+        # ACTUALLY serving the requests (rt.cfg), not a fresh
+        # load_config(): the caller may have built the runtime under a
+        # different LLM_BACKEND than the current env/global state.
+        backend = rt.cfg.llm_backend.lower()
         follower_timeout_s = 8.0 if backend == "extractive" else 60.0
     batcher_kw["follower_timeout_s"] = follower_timeout_s
     handler = type("Handler", (RagRequestHandler,), {

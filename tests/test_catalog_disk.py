@@ -275,3 +275,63 @@ def test_items_iteration_survives_concurrent_compaction(tmp_path):
     # And the entries parsed, not silently dropped mid-file.
     cat2_texts = {cid: e.text for cid, e in cat.items()}
     assert len(cat2_texts) == 31
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review regressions: MARKER-LESS legacy journals
+# ---------------------------------------------------------------------------
+
+def _legacy_journal_line(i):
+    return json.dumps(
+        {"id": f"cm_{i:08d}", "text": f"legacy {i}", "tokens": ["leg"],
+         "metadata": {}}, ensure_ascii=False,
+    ) + "\n"
+
+
+def test_legacy_markerless_journal_demoted_on_foreign_base_rewrite(tmp_path):
+    # A journal written BEFORE the base-binding marker existed carries no
+    # record of which base it extends; the sidecar's (size, mtime_ns)
+    # records witness the pairing instead. A foreign base rewrite under
+    # such a journal must demote it, not replay stale ops.
+    seeded_catalog(tmp_path, n=4)
+    cat = Catalog.load_or_create(tmp_path)
+    jp = cat.journal_path
+    jp.write_text(_legacy_journal_line(99), encoding="utf-8")
+    # Re-load so the sidecar records the CURRENT base+journal pairing
+    # (what a legacy deployment's sidecar holds).
+    cat = Catalog.load_or_create(tmp_path)
+    assert "cm_00000099" in cat.ids          # legacy journal replays fine
+    # Foreign rewrite: the base now contains ONLY 'x'.
+    line = json.dumps({"id": "x", "text": "foreign", "tokens": ["f"],
+                       "metadata": {}})
+    cat.path.write_text(line + "\n", encoding="utf-8")
+    cat2 = Catalog.load_or_create(tmp_path)
+    assert cat2.ids == ["x"]                 # nothing resurrected
+    assert not cat2.journal_path.exists()
+    assert cat2.journal_path.with_suffix(".jsonl.stale").exists()
+
+
+def test_legacy_markerless_journal_upgraded_at_first_mutation(tmp_path):
+    # The first save() that touches a marker-less journal rewrites it
+    # with a marker bound to the current base, permanently closing the
+    # foreign-rewrite window for upgraded deployments.
+    seeded_catalog(tmp_path, n=4)
+    cat = Catalog.load_or_create(tmp_path)
+    cat.journal_path.write_text(_legacy_journal_line(99), encoding="utf-8")
+    cat = Catalog.load_or_create(tmp_path)
+    assert not cat._journal_has_marker()
+    cat.upsert(make_entry(100))
+    cat.save()
+    assert cat._journal_has_marker()
+    # Offsets were shifted by the prepended marker: every journaled
+    # entry (pre-existing AND new) must still fetch correctly.
+    assert cat.get("cm_00000099").text == "legacy 99"
+    assert cat.get("cm_00000100").text == make_entry(100).text
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.get("cm_00000099").text == "legacy 99"
+    assert fresh.get("cm_00000100").text == make_entry(100).text
+    # And the upgraded journal now survives its binding check while a
+    # foreign rewrite demotes it like any marker-bearing journal.
+    cat.path.write_text("", encoding="utf-8")
+    cat3 = Catalog.load_or_create(tmp_path)
+    assert cat3.journal_path.with_suffix(".jsonl.stale").exists()

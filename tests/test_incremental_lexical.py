@@ -359,3 +359,39 @@ def test_runtime_warns_on_embedder_mismatch(tmp_index_env, caplog):
     assert rt2.store.embedding_model == "some-other-model"
     assert any("mix feature spaces" in r.message for r in caplog.records)
     reset_runtime()
+
+
+def test_runtime_never_stamps_nonempty_untagged_store(tmp_index_env, caplog):
+    """A NON-empty persisted store with no recorded embedding model must
+    not be silently stamped with the current embedder's name — that would
+    make the mix-feature-spaces warning impossible to ever fire for
+    exactly the migrations the tag exists for (review finding)."""
+    import json as _json
+    import logging
+    from pathlib import Path
+
+    from classmate_rag_tpu.metadata import normalize_cli_metadata
+    from classmate_rag_tpu.pipeline.ingest import ingest_file
+    from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
+
+    import tempfile
+
+    reset_runtime()
+    rt = get_runtime(reload=True)
+    p = Path(tempfile.mkdtemp()) / "m.txt"
+    p.write_text("integrals accumulate quantity")
+    ingest_file(path=p, doc_meta=normalize_cli_metadata(), runtime=rt)
+    rt.persist()
+    # Simulate a pre-tagging save: drop the provenance tag entirely.
+    reg = Path(rt.cfg.dense_dir) / "rows.json"
+    rec = _json.loads(reg.read_text())
+    rec.pop("embedding_model", None)
+    reg.write_text(_json.dumps(rec))
+    reset_runtime()
+    with caplog.at_level(logging.WARNING):
+        rt2 = get_runtime(reload=True)
+    assert len(rt2.store) > 0
+    assert rt2.store.embedding_model is None      # NOT adopted
+    assert any("no recorded embedding model" in r.message
+               for r in caplog.records)
+    reset_runtime()

@@ -436,7 +436,10 @@ def test_admission_control_rejects_with_503(tmp_index_env, tmp_path):
 def test_follower_timeout_default_is_backend_aware(tmp_index_env, monkeypatch):
     """8 s with the extractive runner; 60 s when a decode model is
     configured (its healthy batch tail runs tens of seconds — a fixed
-    8 s would 503 every follower of every healthy batch)."""
+    8 s would 503 every follower of every healthy batch). The deadline
+    derives from the RUNTIME actually serving the requests (rt.cfg), not
+    from a fresh load_config(): a runtime built under one backend keeps
+    its correctly-sized deadline even when the global env has moved on."""
     from classmate_rag_tpu.config import load_config
     from classmate_rag_tpu.pipeline.runtime import get_runtime, reset_runtime
     from classmate_rag_tpu.serve import make_server
@@ -451,7 +454,13 @@ def test_follower_timeout_default_is_backend_aware(tmp_index_env, monkeypatch):
         srv.server_close()
         monkeypatch.setenv("LLM_BACKEND", "tpu")
         load_config(reload=True)
+        # The extractive-built runtime still gets the extractive deadline
+        # — the env change alone must not resize it to the wrong backend.
         srv = make_server(port=0, runtime=rt)
+        assert srv.RequestHandlerClass.batcher.follower_timeout == 8.0
+        srv.server_close()
+        rt_tpu = get_runtime(reload=True)
+        srv = make_server(port=0, runtime=rt_tpu)
         assert srv.RequestHandlerClass.batcher.follower_timeout == 60.0
         srv.server_close()
         # Explicit env knob wins either way.
