@@ -240,9 +240,127 @@ def oracle_query(qv, terms, emb, bm25, k=K, sims=None):
     return [i for i, _ in ranked[:k]]
 
 
+def oracle_query_masked(qv, terms, emb, sub_bm25, rows_sub, k=K):
+    """Subset-relative oracle: dense cosine + Okapi (df/avgdl over the
+    SUBSET, the reference's rebuild-on-filter semantics,
+    rag/retrieval/bm25.py:175-212) + RRF + MMR, all confined to the
+    filtered rows; returns GLOBAL row ids."""
+    s = len(rows_sub)
+    if s == 0:
+        return []
+    emb_sub = emb[rows_sub]
+    sims_sub = emb_sub @ qv
+    pool = min(POOL, s)
+    if s > pool:
+        pool_idx = np.argpartition(-sims_sub, pool - 1)[:pool]
+    else:
+        pool_idx = np.arange(s)
+    pool_idx = pool_idx[np.argsort(-sims_sub[pool_idx], kind="stable")]
+    order = oracle_mmr(qv, emb_sub[pool_idx], k)
+    vec_sub = [int(pool_idx[i]) for i in order]
+    bscores = sub_bm25.get_scores(terms)
+    bm_sub = np.argsort(-bscores, kind="stable")[: min(k, s)].tolist()
+    fused = {}
+    for rank, i in enumerate(vec_sub):
+        g = int(rows_sub[i])
+        fused[g] = fused.get(g, 0.0) + 1.0 / (RRF_K + rank + 1)
+    for rank, i in enumerate(bm_sub):
+        g = int(rows_sub[i])
+        fused[g] = fused.get(g, 0.0) + 1.0 / (RRF_K + rank + 1)
+    vec_set = {int(rows_sub[i]) for i in vec_sub}
+    sim_of = {int(rows_sub[i]): float(sims_sub[i]) for i in vec_sub}
+    ranked = sorted(
+        fused.items(),
+        key=lambda kv: (
+            kv[1],
+            -(1.0 - sim_of[kv[0]]) if kv[0] in vec_set else 0.0,
+            -kv[0],
+        ),
+        reverse=True,
+    )
+    return [i for i, _ in ranked[:k]]
+
+
+# Filter cases for the filtered-recall oracle: device `where` dict +
+# the arithmetic subset predicate mirroring _bench_meta. None predicate
+# = the filter must yield an EMPTY result set. Sentinels (language=auto,
+# doc_type=other) must not narrow; an unknown tag is unsatisfiable.
+_FILTER_CASES = [
+    ("course", {"course": "c3"}, lambda i: i % 7 == 3),
+    ("language", {"language": "it"}, lambda i: i % 2 == 1),
+    ("course+lang", {"course": "c1", "language": "en"},
+     lambda i: (i % 7 == 1) & (i % 2 == 0)),
+    ("tag", {"tags": "tag2"}, lambda i: (i % 3 != 0) & (i % 5 == 2)),
+    ("sentinels", {"language": "auto", "doc_type": "other"},
+     lambda i: np.ones(len(np.atleast_1d(i)), bool)),
+    ("unknown-course", {"course": "no-such-course"}, None),
+    ("unsatisfiable-tag", {"tags": "tag1,no-such-tag"}, None),
+]
+
+
+def run_filtered_checks(store, docs, emb, queries, n_queries: int) -> dict:
+    """recall@8 of the engine's FILTERED hybrid path vs the
+    subset-relative oracle, per filter case (VERDICT r4: the mask-fused
+    scoring + subset df were never recall-validated at scale)."""
+    n = len(docs)
+    out = {}
+    for name, where, pred in _FILTER_CASES:
+        q_slice = queries[:n_queries]
+        q_vecs = np.stack([q for (q, _t) in q_slice])
+        q_terms = [t for (_q, t) in q_slice]
+        res = store.hybrid_topk_batch(
+            q_vecs, q_terms, where, k_vector=K, k_bm25=K, top_k=K,
+            pool=POOL,
+        )
+        got_rows = np.asarray(res.rows)
+        if pred is None:
+            # Empty/unsatisfiable subset: every slot must be dead.
+            out[name] = {
+                "recall@8": 1.0 if bool((got_rows < 0).all()) else 0.0,
+                "subset_rows": 0,
+            }
+            continue
+        rows_sub = np.nonzero(pred(np.arange(n)))[0]
+        sub_docs = [docs[i] for i in rows_sub]
+        bm25_cls = FastOracleBM25 if len(sub_docs) > 100_000 else OracleBM25
+        sub_bm25 = bm25_cls(sub_docs)
+        overlaps = []
+        for j, (qv, terms) in enumerate(q_slice):
+            want = set(oracle_query_masked(
+                qv, terms, emb, sub_bm25, rows_sub
+            ))
+            got = {int(r) for r in got_rows[j] if r >= 0}
+            overlaps.append(len(got & want) / max(len(want), 1))
+            if got - set(rows_sub.tolist()):
+                # A row OUTSIDE the filter leaked through the mask.
+                overlaps[-1] = 0.0
+        out[name] = {
+            "recall@8": round(float(np.mean(overlaps)), 4),
+            "subset_rows": int(len(rows_sub)),
+            "n_queries": len(q_slice),
+        }
+    return out
+
+
 # ---------------------------------------------------------------------------
 
-def run_scale(n_chunks: int, n_oracle: int) -> dict:
+def _bench_meta(i: int) -> dict:
+    """Deterministic metadata mix for the filtered-recall oracle:
+    7 courses, 2 languages, a 5-way tag cycle with a tagless stratum —
+    selectivities from ~1/7 to ~1/14 so subset-relative df is exercised
+    at every scale."""
+    meta = {
+        "course": f"c{i % 7}",
+        "language": "it" if i % 2 else "en",
+        "doc_type": "txt",
+    }
+    if i % 3 != 0:
+        meta[f"tag_tag{i % 5}"] = True
+    return meta
+
+
+def run_scale(n_chunks: int, n_oracle: int, *,
+              filtered_oracle: bool = False) -> dict:
     """Build a fresh index at ``n_chunks`` and measure TPU QPS, the CPU
     oracle QPS, and recall@8 over ``n_oracle`` queries."""
     # There are only N_QUERIES queries to score: an oracle count above it
@@ -269,7 +387,8 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
     for s in range(0, n_chunks, batch):
         e = min(s + batch, n_chunks)
         store.upsert(
-            ids[s:e], emb[s:e], docs[s:e], [{} for _ in range(s, e)]
+            ids[s:e], emb[s:e], docs[s:e],
+            [_bench_meta(i) for i in range(s, e)],
         )
 
     def run_tpu_batch(q_slice):
@@ -372,7 +491,7 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         overlaps.append(len(got & want) / max(len(want), 1))
     recall = float(np.mean(overlaps))
 
-    return {
+    out = {
         "value": round(qps_tpu, 2),
         "vs_baseline": round(qps_tpu / qps_cpu, 2),
         "baseline_qps": round(qps_cpu, 3),
@@ -383,6 +502,18 @@ def run_scale(n_chunks: int, n_oracle: int) -> dict:
         "rescore": store.rescore_enabled,
         "timed_pass_s": round(tpu_time, 3),
     }
+    if filtered_oracle:
+        n_fq = int(os.getenv(
+            "BENCH_FILTERED_QUERIES",
+            "16" if n_chunks > 100_000 else "32",
+        ))
+        out["filtered"] = run_filtered_checks(
+            store, docs, emb, queries, n_fq
+        )
+        out["recall_filtered@8"] = round(float(np.mean([
+            c["recall@8"] for c in out["filtered"].values()
+        ])), 4)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -452,6 +583,33 @@ def _build_product_corpus(root: Path, n_chunks: int) -> float:
     store.save(catalog_fingerprint=catalog.fingerprint())
     del store, catalog, docs, emb, ids, metas
     gc.collect()
+    return time.perf_counter() - t0
+
+
+def _warm_product_cache(root: Path, timeout_s: int = 1800) -> float:
+    """Deployment prep: `warmup` in a child process against the built
+    index compiles the ask executables into the persistent XLA cache
+    (the AOT-executable-ships-with-the-snapshot story) — a fresh serving
+    process then deserializes in seconds instead of paying minutes of
+    remote compile on its first answer. Returns prep seconds (one-time
+    per machine/shape; re-runs are cache hits)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        INDEX_DIR=str(root),
+        BM25_DIR=str(root / "bm25"),
+        DENSE_DIR=str(root / "dense"),
+        EMBEDDING_BACKEND=env.get("EMBEDDING_BACKEND", "hash"),
+        PYTHONPATH=str(Path(__file__).resolve().parent)
+        + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, "-m", "cli.main", "warmup"],
+        capture_output=True, text=True, env=env, timeout=timeout_s,
+        cwd=str(Path(__file__).resolve().parent),
+    )
     return time.perf_counter() - t0
 
 
@@ -615,6 +773,8 @@ def product_child_main(n_asks: int) -> None:
         )
         report["device_full_uploads"] = rt.store.device_full_uploads
         report["split_full_builds"] = rt.store.split_full_builds
+        report["split_snapshot_restores"] = rt.store.split_snapshot_restores
+        report["df_full_builds"] = rt.store.df_full_builds
         report["rss_final_mb"] = _rss_mb()
 
     print("PRODUCT_CHILD_JSON:" + json.dumps(report), flush=True)
@@ -629,6 +789,7 @@ def run_product_stage(n_chunks: int) -> dict:
     root = Path(tempfile.mkdtemp(prefix="bench_product_"))
     try:
         build_s = _build_product_corpus(root, n_chunks)
+        warmup_s = _warm_product_cache(root)
         sidecar = root / "bm25" / "catalog.offsets.npz"
         sidecar.unlink(missing_ok=True)
         cold = _run_product_child(root, n_asks=0)
@@ -636,6 +797,7 @@ def run_product_stage(n_chunks: int) -> dict:
         return {
             "corpus_chunks": n_chunks,
             "build_s": round(build_s, 1),
+            "warmup_s": round(warmup_s, 1),
             "cold_scan_start_s": cold["runtime_load_s"],
             "cold_scan_split_s": cold.get("load_split_s"),
             "warm_start_s": warm["runtime_load_s"],
@@ -657,7 +819,7 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
-    primary = run_scale(N_CHUNKS, n_oracle=N_ORACLE)
+    primary = run_scale(N_CHUNKS, n_oracle=N_ORACLE, filtered_oracle=True)
     out = {
         "metric": "hybrid_query_qps",
         "unit": "queries/s",
@@ -675,7 +837,9 @@ def main() -> None:
         gc.collect()
         # ≥64-query oracle floor at serving scale (BENCH_ORACLE can raise
         # it; the old max(min(x, 64), 64) pinned it to exactly 64).
-        out["scale3"] = run_scale(SCALE3_CHUNKS, n_oracle=max(N_ORACLE, 64))
+        out["scale3"] = run_scale(
+            SCALE3_CHUNKS, n_oracle=max(N_ORACLE, 64), filtered_oracle=True
+        )
     if PRODUCT_CHUNKS and backend == "tpu":
         # End-to-end PRODUCT path at serving scale: Runtime.ask with the
         # disk-backed catalog, measured in fresh child processes

@@ -196,6 +196,12 @@ class Config:
     # is active (10x faster selection, pool then ordered exactly);
     # "exact"/"approx" force.
     dense_select: str = "auto"
+    # Precompile + place the ask executables in a background thread at
+    # runtime load (overlaps the slab upload / XLA compile with whatever
+    # the caller does before its first query). "auto" enables it at
+    # serving scale (>= 200k rows), where a cold first ask otherwise
+    # pays minutes of remote XLA compile; "on"/"off" force.
+    runtime_precompile: str = "auto"
 
     # --- Logging ---------------------------------------------------------------
     log_level: str = "INFO"
@@ -278,6 +284,7 @@ def load_config(reload: bool = False) -> Config:
         dense_rescore=g.str("DENSE_RESCORE", "auto"),
         dense_rescore_pool=g.int("DENSE_RESCORE_POOL", 32),
         dense_select=g.str("DENSE_SELECT", "auto"),
+        runtime_precompile=g.str("RUNTIME_PRECOMPILE", "auto"),
         log_level=g.str("LOG_LEVEL", "INFO"),
     )
     _SINGLETON = cfg

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
@@ -45,6 +46,15 @@ from classmate_rag_tpu.utils.numerics import round_up as _round_up
 
 _ROW_SET_FN = None
 _COL_SET_FN = None
+_ROW_SET_BIG_FN = None
+_COL_SET_BIG_FN = None
+
+# Above this many (padded) updates the serial scan-of-DUS loop loses to
+# one full-buffer scatter pass; below it, in-place DUS avoids the
+# whole-buffer copy the scatter lowering performs (measured: a 1-column
+# donated .at[] update on the 3.6 GB head matrix costs a full HBM
+# read+write, ~37 ms).
+_DUS_MAX_UPDATES = 1024
 
 # Cap on per-journal old-content snapshots (~1 KB/row): a deployment
 # whose OTHER consumer never drains (sharded-only serving never calls
@@ -69,39 +79,82 @@ def _pad_idx_vals(rows, vals):
 
 def _device_row_set(arr, rows, vals):
     """Donated in-place row scatter into a resident device array — the
-    O(delta) transport of the single-chip incremental sync."""
+    O(delta) transport of the single-chip incremental sync.
+
+    Implemented as a ``lax.scan`` of per-row ``dynamic_update_slice``
+    rather than ``a.at[r].set(v)``: measured on the real chip, the
+    donated scatter lowering COPIES the whole buffer (a 1-row update on
+    the 3.6 GB head matrix cost ~37 ms ≈ one full HBM read+write),
+    while aliased DUS on the loop carry updates in place. Duplicate
+    padded indices (pad_pow2_updates repeats entry 0) write the same
+    value twice — harmless for set semantics."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    global _ROW_SET_FN
+    global _ROW_SET_FN, _ROW_SET_BIG_FN
     rows, vals = _pad_idx_vals(rows, vals)
+    if len(rows) > _DUS_MAX_UPDATES:
+        if _ROW_SET_BIG_FN is None:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fb(a, r, v):
+                return a.at[r].set(v.astype(a.dtype))
+
+            _ROW_SET_BIG_FN = fb
+        return _ROW_SET_BIG_FN(arr, jnp.asarray(rows), jnp.asarray(vals))
     if _ROW_SET_FN is None:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def f(a, r, v):
-            return a.at[r].set(v.astype(a.dtype))
+            v = v.astype(a.dtype)
+
+            def step(acc, rv):
+                ri, vi = rv
+                return jax.lax.dynamic_update_slice(
+                    acc, vi[None], (ri,) + (0,) * (acc.ndim - 1)
+                ), None
+
+            a, _ = jax.lax.scan(step, a, (r, v))
+            return a
 
         _ROW_SET_FN = f
     return _ROW_SET_FN(arr, jnp.asarray(rows), jnp.asarray(vals))
 
 
 def _device_col_set(arr, cols, vals):
-    """Donated in-place column scatter ([F, cap] arrays; vals [F, R])."""
+    """Donated in-place column scatter ([F, cap] arrays; vals [F, R]);
+    scan-of-DUS for the same in-place reason as _device_row_set."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    global _COL_SET_FN
+    global _COL_SET_FN, _COL_SET_BIG_FN
     cols, vals_t = _pad_idx_vals(cols, np.ascontiguousarray(
         np.asarray(vals).T
     ))
     vals = np.ascontiguousarray(vals_t.T)
+    if len(cols) > _DUS_MAX_UPDATES:
+        if _COL_SET_BIG_FN is None:
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fb(a, c, v):
+                return a.at[:, c].set(v.astype(a.dtype))
+
+            _COL_SET_BIG_FN = fb
+        return _COL_SET_BIG_FN(arr, jnp.asarray(cols), jnp.asarray(vals))
     if _COL_SET_FN is None:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def f(a, c, v):
-            return a.at[:, c].set(v.astype(a.dtype))
+            v = v.astype(a.dtype)
+
+            def step(acc, cv):
+                ci, vi = cv
+                return jax.lax.dynamic_update_slice(
+                    acc, vi[:, None], (0, ci)
+                ), None
+
+            a, _ = jax.lax.scan(step, a, (c, v.T))
+            return a
 
         _COL_SET_FN = f
     return _COL_SET_FN(arr, jnp.asarray(cols), jnp.asarray(vals))
@@ -169,6 +222,22 @@ class IndexStore:
 
         self._device: Dict[str, Any] = {}
         self._df_cache = None
+        # Host-maintained corpus df over VALID rows (i64 [len(vocab)]),
+        # the source of truth for the unfiltered BM25 statistics. Built
+        # once (lazily or restored from the lexical snapshot), then
+        # maintained O(delta) by upsert/delete — each row's presence
+        # contribution is ±1 per distinct term. The device _df_cache is
+        # just this array padded+uploaded (KBs), which removes the
+        # [N, L] device histogram (~2 s at 1M rows; scatter-add runs
+        # ~50x under HBM bandwidth) from the first query and from every
+        # first-query-after-mutation.
+        self._df_host: Optional[np.ndarray] = None
+        # Per-filter subset-df LRU (filtered queries recompute df over
+        # the masked subset — reference semantics,
+        # rag/retrieval/bm25.py:175-212); repeated filters at 1M must
+        # not re-pay the [N, L] histogram per query. Cleared on ANY
+        # mutation (metadata changes move subset membership).
+        self._df_filter_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self._nofilter_bias = None
         self._split: Optional[Dict[str, Any]] = None
         self._dirty = True
@@ -206,6 +275,15 @@ class IndexStore:
         # that small deltas do NOT grow these past the initial build).
         self.device_full_uploads = 0
         self.split_full_builds = 0
+        self.split_snapshot_restores = 0
+        self.df_full_builds = 0
+        # v2 snapshot adoption state: the persisted split-BM25 layout
+        # (host mmaps, consumed once by _sync_split_locked) and the
+        # rows the persisted deltas touched since that layout was built
+        # (row -> pre-delta (term_ids, tfs) | None for fresh slots),
+        # applied through the same O(delta) planner as live mutations.
+        self._split_persisted: Optional[Dict[str, Any]] = None
+        self._split_load_pending: Dict[int, Any] = {}
         # Persistence delta tracking (independent of the sharded journal,
         # which is drained by its own consumer): rows touched since the
         # last save, cleared only by save(). With a persisted base, save()
@@ -245,6 +323,9 @@ class IndexStore:
         # O(N²/slab); still slab-aligned for stable device shapes.
         new_cap = _round_up(max(rows, 2 * self.capacity), self.slab_rows)
         self._epoch += 1  # shape change: sharded wrappers must re-place
+        # A persisted split layout is column-sized to the OLD capacity.
+        self._split_persisted = None
+        self._split_load_pending.clear()
 
         def grow(arr: np.ndarray, fill=0) -> np.ndarray:
             shape = (new_cap,) + arr.shape[1:]
@@ -309,6 +390,91 @@ class IndexStore:
             )
         return term_ids, tfs, doc_len
 
+    # -- corpus-df maintenance (host source of truth) -------------------
+
+    def _df_note(self, tids: np.ndarray, tfs: np.ndarray,
+                 delta: int) -> None:
+        """Apply ONE row's presence contribution (±1 per distinct live
+        term) to the host df. Packed rows hold unique terms, so fancy
+        indexing (no np.add.at) is exact."""
+        live = (tids >= 0) & (tfs > 0)
+        t = tids[live]
+        if not len(t):
+            return
+        hi = int(t.max()) + 1
+        if hi > len(self._df_host):
+            self._df_host = np.concatenate([
+                self._df_host, np.zeros(hi - len(self._df_host), np.int64)
+            ])
+        self._df_host[t] += delta
+
+    def _df_invalidate(self) -> None:
+        self._df_cache = None
+        self._df_filter_cache.clear()
+
+    def _ensure_df_host(self) -> np.ndarray:
+        """Build (or extend) the host df over valid rows. The one-time
+        build is a chunked bincount over the packed term matrix — host
+        work, done once per process unless restored from the snapshot."""
+        if self._df_host is None:
+            self.df_full_builds += 1
+            nv = max(len(self.vocab), 1)
+            df = np.zeros(nv, np.int64)
+            n = self.n_rows
+            step = 65536
+            for s in range(0, n, step):
+                e = min(s + step, n)
+                ids = self.term_ids[s:e]
+                live = (
+                    (ids >= 0) & (self.tfs[s:e] > 0)
+                    & self.valid[s:e, None]
+                )
+                sel = ids[live]
+                if len(sel):
+                    df += np.bincount(sel, minlength=nv)
+            self._df_host = df
+        elif len(self._df_host) < len(self.vocab):
+            self._df_host = np.concatenate([
+                self._df_host,
+                np.zeros(len(self.vocab) - len(self._df_host), np.int64),
+            ])
+        return self._df_host
+
+    def _df_device(self, vpad: int):
+        """Unfiltered-corpus df as the device [vpad+1] f32 vector the
+        Okapi scorers take — a KB-scale upload of the host-maintained
+        counts (slot vpad is the padding sink, kept 0)."""
+        import jax.numpy as jnp
+
+        if self._df_cache is None or self._df_cache.shape[0] != vpad + 1:
+            dfh = self._ensure_df_host()
+            out = np.zeros(vpad + 1, np.float32)
+            out[: min(len(dfh), vpad)] = dfh[:vpad]
+            self._df_cache = jnp.asarray(out)
+        return self._df_cache
+
+    def _df_for_where(self, where, bias, vpad: int):
+        """Subset df for a filtered query (device histogram over the
+        masked rows — the reference's rebuild-on-subset semantics), with
+        a small per-filter LRU so repeated filters don't re-pay the
+        [N, L] pass at serving scale; unfiltered queries take the
+        host-maintained corpus df."""
+        if not where:
+            return self._df_device(vpad)
+        wanted, tag_want = self.compile_filter(where)
+        key = (wanted.tobytes(), tag_want.tobytes(), vpad)
+        hit = self._df_filter_cache.get(key)
+        if hit is not None:
+            self._df_filter_cache.move_to_end(key)
+            return hit
+        subset_df, _ = device_fns()
+        dev = self._sync_device()
+        df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, vpad)
+        self._df_filter_cache[key] = df
+        while len(self._df_filter_cache) > 8:
+            self._df_filter_cache.popitem(last=False)
+        return df
+
     def upsert(
         self,
         ids: Sequence[str],
@@ -361,6 +527,19 @@ class IndexStore:
                 self._j_lex.add(row)
                 self._dev_j_lex.add(row)
                 self._dirty_rows.add(row)
+                lex_changed = True
+            else:
+                lex_changed = False
+            # O(delta) corpus-df maintenance: subtract the row's old
+            # contribution (when it was live), add the new — BEFORE the
+            # overwrites below. Lazy until first built/restored.
+            if self._df_host is not None and (
+                lex_changed or not self.valid[row]
+            ):
+                if not fresh and self.valid[row]:
+                    self._df_note(self.term_ids[row], self.tfs[row], -1)
+                self._df_note(t_ids_b[i], t_tfs_b[i], +1)
+                self._df_cache = None
             self.emb[row] = emb_new
             self.term_ids[row] = t_ids_b[i]
             self.tfs[row] = t_tfs_b[i]
@@ -376,6 +555,9 @@ class IndexStore:
                 self._j_meta.add(row)
                 self._dev_j_meta.add(row)
                 self._dirty_rows.add(row)
+        # Any mutation moves filtered-subset membership (metadata,
+        # validity or content): drop the per-filter df cache wholesale.
+        self._df_filter_cache.clear()
         self._dirty = True
         return len(ids)
 
@@ -405,6 +587,8 @@ class IndexStore:
         for cid in ids:
             row = self.id_to_row.get(cid)
             if row is not None and self.valid[row]:
+                if self._df_host is not None:
+                    self._df_note(self.term_ids[row], self.tfs[row], -1)
                 self.valid[row] = False
                 self._j_meta.add(row)
                 self._dev_j_meta.add(row)
@@ -412,6 +596,7 @@ class IndexStore:
                 n += 1
         if n:
             self._dirty = True
+            self._df_invalidate()
         return n
 
     def compact(self) -> int:
@@ -455,6 +640,8 @@ class IndexStore:
         self._dev_j_meta.clear()
         self._dev_old_lex.clear()
         self._split_pending.clear()
+        self._split_persisted = None   # row identities moved
+        self._split_load_pending.clear()
         self._dirty_rows.clear()
         self._need_full_save = True
         return reclaimed
@@ -522,14 +709,37 @@ class IndexStore:
             or len(dirty) * 4 > max(self.n_rows, 1)
         )
         if structural:
+            if self.rescore_enabled:
+                # ONE f16 upload; the bf16 scan slab derives on-device
+                # (halves the host->device bytes of a cold start — the
+                # dominant first-ask cost at 1M over the remote link).
+                import functools
+
+                import jax
+
+                emb16 = jnp.asarray(self.emb)
+                emb_bf = jax.jit(
+                    functools.partial(jnp.asarray, dtype=jnp.bfloat16)
+                )(emb16)
+            else:
+                emb16 = None
+                emb_bf = jnp.asarray(self.emb, dtype=jnp.bfloat16)
+            if self._split_persisted is not None:
+                # Mutations journaled before the first device sync must
+                # reach the persisted-split restore path: stash their
+                # pre-mutation content with the load-pending rows (the
+                # structural upload consumes the journals below).
+                for r in self._dev_j_lex:
+                    if r not in self._split_load_pending:
+                        self._split_load_pending[r] = (
+                            self._dev_old_lex.get(r, _OLD_MISSING)
+                        )
             self._device = {
-                "emb": jnp.asarray(self.emb, dtype=jnp.bfloat16),
+                "emb": emb_bf,
                 # f16 storage master on device when rescoring: the bf16
                 # slab feeds the MXU scan, this one re-scores the top
                 # pool exactly.
-                "emb16": (
-                    jnp.asarray(self.emb) if self.rescore_enabled else None
-                ),
+                "emb16": emb16,
                 "term_ids": jnp.asarray(self.term_ids),
                 "tfs": jnp.asarray(self.tfs),
                 "doc_len": jnp.asarray(self.doc_len),
@@ -544,6 +754,7 @@ class IndexStore:
             self._dev_j_meta.clear()
             self._dev_old_lex.clear()
             self._df_cache = None
+            self._df_filter_cache.clear()
             self._nofilter_bias = None
             self._split = None
             self._split_pending.clear()
@@ -570,7 +781,11 @@ class IndexStore:
             d["doc_len"] = _device_row_set(
                 d["doc_len"], rows, self.doc_len[rows]
             )
-            self._df_cache = None
+            self._df_filter_cache.clear()
+            # NOTE: _df_cache is NOT dropped here — upsert/delete
+            # maintain the host df (and its device upload) O(delta);
+            # direct column writes (load-time rebuild) happen before any
+            # df exists.
             # Stash for the lazily-maintained split structures.
             for r in rows:
                 if r not in self._split_pending:
@@ -589,7 +804,7 @@ class IndexStore:
             d["tag_bits"] = _device_row_set(
                 d["tag_bits"], rows, self.tag_bits[rows]
             )
-            self._df_cache = None       # df masks on validity
+            self._df_filter_cache.clear()  # subset membership moved
             self._nofilter_bias = None
         self._dev_j_emb.clear()
         self._dev_j_lex.clear()
@@ -633,6 +848,38 @@ class IndexStore:
                 self._split_pending.clear()
                 return self._split
         import jax.numpy as jnp
+
+        if self._split is None and self._split_persisted is not None:
+            # v2 snapshot restore: place the persisted layout (one
+            # upload straight from the mmaps) and run the rows the
+            # persisted deltas / pre-sync mutations touched through the
+            # same O(delta) planner as live mutations — no O(N·L)
+            # rebuild on this host's single core.
+            sp, self._split_persisted = self._split_persisted, None
+            self._split = {
+                "lut": sp["lut"],
+                "offsets": sp["offsets"],
+                "r_cap": sp["r_cap"],
+                "tf_head": jnp.asarray(sp["tf_head"]),
+                "post_rows": jnp.asarray(sp["post_rows"]),
+                "post_tfs": jnp.asarray(sp["post_tfs"]),
+                "p_base": sp["p_base"],
+                "post_rows_host": sp["post_rows"],
+                "overlay": {},
+                "ov_offsets": None,
+                "ov_prev": (np.zeros(0, np.int32), np.zeros(0, np.uint8)),
+            }
+            self.split_snapshot_restores += 1
+            # Earliest capture wins: load-pending rows were snapshotted
+            # at the persisted BASE state, before any live mutation.
+            self._split_pending.update(self._split_load_pending)
+            self._split_load_pending = {}
+            if not self._split_pending:
+                return self._split
+            if self._try_split_incremental():
+                self._split_pending.clear()
+                return self._split
+            self._split = None  # infeasible: fall through to full build
 
         from classmate_rag_tpu.index.lexical import build_split_layout
 
@@ -870,18 +1117,10 @@ class IndexStore:
 
         dev = self._sync_device()
         bias = self._mask_bias(where)
-        subset_df, scores_topk = device_fns()
         vpad = self.vocab_pad
-
-        filtered = where is not None and len(where) > 0
-        if filtered:
-            df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, vpad)
-        else:
-            if self._df_cache is None or self._df_cache.shape[0] != vpad + 1:
-                self._df_cache = subset_df(
-                    dev["term_ids"], dev["tfs"], jnp.asarray(self.valid), vpad
-                )
-            df = self._df_cache
+        df = self._df_for_where(
+            where if (where and len(where)) else None, bias, vpad
+        )
 
         from classmate_rag_tpu.index.lexical import (
             pack_query_terms, split_fns,
@@ -940,16 +1179,8 @@ class IndexStore:
 
         dev = self._sync_device()
         bias = self._mask_bias(where)
-        subset_df, _ = device_fns()
         vpad = self.vocab_pad
-        if where:
-            df = subset_df(dev["term_ids"], dev["tfs"], bias == 0.0, vpad)
-        else:
-            if self._df_cache is None or self._df_cache.shape[0] != vpad + 1:
-                self._df_cache = subset_df(
-                    dev["term_ids"], dev["tfs"], jnp.asarray(self.valid), vpad
-                )
-            df = self._df_cache
+        df = self._df_for_where(where, bias, vpad)
 
         from classmate_rag_tpu.index.lexical import pack_query_terms
 
@@ -1142,6 +1373,23 @@ class IndexStore:
             return  # nothing changed since the last persist
         self._delta_save(catalog_fingerprint)
 
+    # Persist the split-BM25 layout alongside the snapshot at serving
+    # scale: rebuilding it at load costs O(N·L) host work (~80 s at 1M
+    # on this 1-core host) serially inside the FIRST query. Below the
+    # threshold the rebuild is sub-second and the extra bytes aren't
+    # worth it.
+    SPLIT_PERSIST_MIN_ROWS = 200_000
+
+    def _save_slab(self, name: str, arr: np.ndarray) -> Tuple[int, int]:
+        """Atomic raw-.npy slab write; returns its (size, mtime_ns)."""
+        path = self.directory / name
+        tmp = self.directory / (name + ".tmp")
+        with tmp.open("wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+        st = path.stat()
+        return (int(st.st_size), int(st.st_mtime_ns))
+
     def _full_save(self, catalog_fingerprint: Optional[str]) -> None:
         # Embeddings write atomically (tmp+rename — a torn np.save would
         # brick the dense base), and rows.json records the exact
@@ -1150,10 +1398,17 @@ class IndexStore:
         # renames (e.g. right after a compact() moved rows) must read as
         # "no persisted dense state", never as old ids silently zipped
         # to another save's rows.
+        #
+        # v2 layout: the embedding matrix (and every lexical column
+        # below) persists PADDED to the slab-aligned capacity, so a warm
+        # load can adopt the files as copy-on-write mmaps — byte-free
+        # load, pages stream in lazily at first device upload — instead
+        # of memcpying multi-GB arrays through the page cache (~20 s at
+        # 1M rows on this host).
         emb_path = self.directory / "embeddings.npy"
         emb_tmp = self.directory / "embeddings.npy.tmp"
         with emb_tmp.open("wb") as f:
-            np.save(f, self.emb[: self.n_rows])
+            np.save(f, self.emb)
         os.replace(emb_tmp, emb_path)
         st = emb_path.stat()
         registry = {
@@ -1180,24 +1435,75 @@ class IndexStore:
             snap.unlink(missing_ok=True)
             self._persist_fp = None
             return
-        n = self.n_rows
         vocab_terms = sorted(self.vocab, key=self.vocab.__getitem__)
+        # v2: big columns as raw padded .npy slabs (mmap-adoptable, see
+        # class comment above); the npz keeps only the small derived
+        # state + the (size, mtime_ns) binding of every slab file.
+        slab_stats = {
+            "lexical.term_ids.npy": self._save_slab(
+                "lexical.term_ids.npy", self.term_ids
+            ),
+            "lexical.tfs.npy": self._save_slab("lexical.tfs.npy", self.tfs),
+            "lexical.doc_len.npy": self._save_slab(
+                "lexical.doc_len.npy", self.doc_len
+            ),
+            "lexical.field_cols.npy": self._save_slab(
+                "lexical.field_cols.npy", self.field_cols
+            ),
+            "lexical.tag_bits.npy": self._save_slab(
+                "lexical.tag_bits.npy", self.tag_bits
+            ),
+        }
+        extra: Dict[str, Any] = {}
+        if self.n_rows >= self.SPLIT_PERSIST_MIN_ROWS:
+            # Serving scale: ship the split-BM25 layout with the
+            # snapshot so the first query neither rebuilds it on one
+            # core nor waits for it behind the compile.
+            from classmate_rag_tpu.index.lexical import build_split_layout
+
+            layout = build_split_layout(
+                self.term_ids, self.tfs, len(self.vocab),
+                head_bytes_budget=self.HEAD_BYTES_BUDGET,
+                head_df_threshold=self.HEAD_DF_THRESHOLD,
+                reserve=max(4096, int(self.n_rows) * 4),
+            )
+            slab_stats["split.tf_head.npy"] = self._save_slab(
+                "split.tf_head.npy", layout["tf_head"]
+            )
+            slab_stats["split.post_rows.npy"] = self._save_slab(
+                "split.post_rows.npy", layout["post_rows"]
+            )
+            slab_stats["split.post_tfs.npy"] = self._save_slab(
+                "split.post_tfs.npy", layout["post_tfs"]
+            )
+            extra.update(
+                split_lut=layout["lut"],
+                split_offsets=layout["offsets"],
+                split_r_cap=np.int64(layout["r_cap"]),
+                split_p_base=np.int64(layout["p_base"]),
+            )
+        else:
+            for name in ("split.tf_head.npy", "split.post_rows.npy",
+                         "split.post_tfs.npy"):
+                (self.directory / name).unlink(missing_ok=True)
         tmp_snap = self.directory / "lexical.npz.tmp"
         with tmp_snap.open("wb") as f:
             np.savez(
                 f,
                 fingerprint=np.str_(catalog_fingerprint),
                 term_width=np.int64(self.term_width),
-                term_ids=self.term_ids[:n],
-                tfs=self.tfs[:n],
-                doc_len=self.doc_len[:n],
-                field_cols=self.field_cols[:, :n],
-                tag_bits=self.tag_bits[:n],
+                capacity=np.int64(self.capacity),
+                slab_stats=np.str_(json.dumps(slab_stats)),
+                # Corpus df over valid rows: restoring it skips the
+                # one-time O(N·L) host rebuild on the next cold start
+                # (deltas maintain it incrementally on load).
+                df=self._ensure_df_host(),
                 vocab_blob=np.str_("\n".join(vocab_terms)),
                 interns=np.str_(json.dumps(
                     {f: t.to_id for f, t in self.interns.items()}
                 )),
                 tag_slots=np.str_(json.dumps(self.tag_slots)),
+                **extra,
             )
         tmp_snap.replace(snap)
         self._persist_fp = catalog_fingerprint
@@ -1262,6 +1568,7 @@ class IndexStore:
             n_after = int(z["n_rows"])
             self._grow_to(max(n_after, 1))
             # Registry extension: new rows always appended contiguously.
+            fresh_rows = set()
             for r, cid in zip(rows, row_ids):
                 r = int(r)
                 if r < len(self.ids):
@@ -1270,10 +1577,41 @@ class IndexStore:
                 elif r == len(self.ids):
                     self.ids.append(cid)
                     self.id_to_row[cid] = r
+                    fresh_rows.add(r)
                 else:
                     return False
+            if self._split_persisted is not None:
+                # The persisted split layout was built at the BASE
+                # state: first-touch capture of each delta row's
+                # pre-delta lexical content so _sync_split can apply the
+                # delta through the O(delta) planner instead of a full
+                # rebuild (None = fresh slot, nothing to neutralize).
+                for r in rows:
+                    r = int(r)
+                    if r not in self._split_load_pending:
+                        self._split_load_pending[r] = (
+                            None if r in fresh_rows else (
+                                self.term_ids[r].copy(),
+                                self.tfs[r].copy(),
+                            )
+                        )
             if len(self.ids) != n_after:
                 return False
+            if self._df_host is not None:
+                # Maintain the restored corpus df through the delta:
+                # subtract the touched rows' pre-delta live
+                # contributions (base tids are always within the base
+                # vocab the df was saved at)...
+                old_ids = self.term_ids[rows]
+                old_live = (
+                    (old_ids >= 0) & (self.tfs[rows] > 0)
+                    & self.valid[rows][:, None]
+                )
+                sel = old_ids[old_live]
+                if len(sel):
+                    self._df_host -= np.bincount(
+                        sel, minlength=len(self._df_host)
+                    )[: len(self._df_host)]
             self.valid[rows] = z["valid"]
             self.emb[rows] = z["emb"]
             self.term_ids[rows] = z["term_ids"]
@@ -1287,6 +1625,27 @@ class IndexStore:
             blob_v = str(z["vocab_new"])
             for t in (blob_v.split("\n") if blob_v else []):
                 self.vocab[t] = len(self.vocab)
+            if self._df_host is not None:
+                # ... then add the post-delta contributions (the vocab
+                # extension above may have introduced new tids).
+                new_ids = np.asarray(z["term_ids"])
+                new_live = (
+                    (new_ids >= 0) & (np.asarray(z["tfs"]) > 0)
+                    & np.asarray(z["valid"], bool)[:, None]
+                )
+                sel = new_ids[new_live]
+                if len(sel):
+                    add = np.bincount(
+                        sel, minlength=max(len(self.vocab), 1)
+                    )
+                    if len(add) > len(self._df_host):
+                        self._df_host = np.concatenate([
+                            self._df_host,
+                            np.zeros(
+                                len(add) - len(self._df_host), np.int64
+                            ),
+                        ])
+                    self._df_host[: len(add)] += add
             interns = json.loads(str(z["interns"]))
             for f_name, mapping in interns.items():
                 if f_name in self.interns:
@@ -1309,6 +1668,8 @@ class IndexStore:
             return False
         try:
             with np.load(snap, allow_pickle=False) as z:
+                if "term_ids" not in z.files:
+                    return False  # v2 snapshot: _adopt_snapshot_v2 owns it
                 if str(z["fingerprint"]) != expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
@@ -1334,9 +1695,110 @@ class IndexStore:
                     k: int(v)
                     for k, v in json.loads(str(z["tag_slots"])).items()
                 }
+                if "df" in z.files:
+                    self._df_host = z["df"].astype(np.int64)
             return True
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return False
+
+    def _adopt_snapshot_v2(self, expected_fp: str, emb: np.ndarray,
+                           ids: List[str], valid: List[bool],
+                           n: int) -> bool:
+        """Adopt a v2 slab snapshot: every big column becomes a
+        copy-on-write mmap of its padded on-disk file — the load touches
+        ~no bytes; pages stream in lazily at the first device upload
+        (which the background precompile overlaps with the XLA compile).
+        ``emb`` must be the embeddings.npy mmap opened with
+        mmap_mode='c'. Returns False → caller takes the v1/cold paths."""
+        snap = self.directory / "lexical.npz"
+        if not snap.exists():
+            return False
+        id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
+        if len(id_to_row) != n:
+            return False  # duplicate ids: slow path owns this
+        try:
+            with np.load(snap, allow_pickle=False) as z:
+                if "slab_stats" not in z.files:
+                    return False  # v1 snapshot
+                if str(z["fingerprint"]) != expected_fp:
+                    return False
+                if int(z["term_width"]) != self.term_width:
+                    return False
+                cap = int(z["capacity"])
+                if cap % self.slab_rows or cap < max(n, 1):
+                    return False
+                if emb.ndim != 2 or emb.shape != (cap, self.dim):
+                    return False
+                stats = json.loads(str(z["slab_stats"]))
+                arrs: Dict[str, np.ndarray] = {}
+                for name, want in stats.items():
+                    p = self.directory / name
+                    st = p.stat()
+                    if [int(v) for v in want] != [
+                        int(st.st_size), int(st.st_mtime_ns)
+                    ]:
+                        return False
+                    arrs[name] = np.load(p, mmap_mode="c")
+                ti = arrs["lexical.term_ids.npy"]
+                tf = arrs["lexical.tfs.npy"]
+                dl = arrs["lexical.doc_len.npy"]
+                fc = arrs["lexical.field_cols.npy"]
+                tb = arrs["lexical.tag_bits.npy"]
+                if (
+                    ti.shape != (cap, self.term_width)
+                    or tf.shape != (cap, self.term_width)
+                    or dl.shape != (cap,)
+                    or fc.shape != (len(FILTER_FIELDS), cap)
+                    or tb.shape != (cap, TAG_WORDS)
+                ):
+                    return False
+                split = None
+                if "split.tf_head.npy" in arrs and "split_lut" in z.files:
+                    split = {
+                        "lut": np.asarray(z["split_lut"]),
+                        "offsets": np.asarray(z["split_offsets"]),
+                        "r_cap": int(z["split_r_cap"]),
+                        "p_base": int(z["split_p_base"]),
+                        "tf_head": arrs["split.tf_head.npy"],
+                        "post_rows": arrs["split.post_rows.npy"],
+                        "post_tfs": arrs["split.post_tfs.npy"],
+                    }
+                    if split["tf_head"].shape[1] != cap:
+                        split = None
+                vocab_blob = str(z["vocab_blob"])
+                terms = vocab_blob.split("\n") if vocab_blob else []
+                vocab = {t: i for i, t in enumerate(terms)}
+                interns = json.loads(str(z["interns"]))
+                tag_slots = {
+                    k: int(v)
+                    for k, v in json.loads(str(z["tag_slots"])).items()
+                }
+                df = (
+                    z["df"].astype(np.int64) if "df" in z.files else None
+                )
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return False
+        # Commit — everything validated.
+        self.ids = list(ids[:n])
+        self.id_to_row = id_to_row
+        self.emb = emb
+        self.term_ids = ti
+        self.tfs = tf
+        self.doc_len = dl
+        self.field_cols = fc
+        self.tag_bits = tb
+        self.valid = np.zeros(cap, dtype=bool)
+        self.valid[:n] = np.asarray(valid[:n], bool)
+        self.vocab = vocab
+        for f_name, mapping in interns.items():
+            if f_name in self.interns:
+                self.interns[f_name].to_id = {
+                    k: int(v) for k, v in mapping.items()
+                }
+        self.tag_slots = tag_slots
+        self._df_host = df
+        self._split_persisted = split
+        return True
 
     def _restore_embeddings(self, ids: List[str], emb: np.ndarray,
                             n: int) -> None:
@@ -1379,9 +1841,10 @@ class IndexStore:
             return store
         try:
             registry = json.loads(reg_path.read_text(encoding="utf-8"))
-            # mmap: avoid double residency (file copy + slab) during the
-            # bulk slice-assign below — pages stream through the cache.
-            emb = np.load(emb_path, mmap_mode="r")
+            # Copy-on-write mmap: the v2 fast path ADOPTS this as the
+            # live emb slab (writes stay in RAM; zero bytes touched at
+            # load); the v1 copy path just streams pages through it.
+            emb = np.load(emb_path, mmap_mode="c")
         except (OSError, ValueError, json.JSONDecodeError):
             return store
         if emb.ndim != 2 or emb.shape[1] != dim:
@@ -1402,7 +1865,6 @@ class IndexStore:
         valid = list(registry.get("valid") or [])
         store.embedding_model = registry.get("embedding_model") or None
         n = min(len(ids), emb.shape[0], len(valid))
-        store._restore_embeddings(ids, emb, n)
 
         # Persisted deltas (O(delta) saves since the last full rewrite):
         # the chain base_fp -> delta_0 -> ... -> delta_last must end at
@@ -1433,27 +1895,45 @@ class IndexStore:
                 expected_fp = chain_fps[0][0]
                 chain = delta_paths
 
+        def finish_snapshot_load(st: "IndexStore") -> bool:
+            """Apply the delta chain + the final catalog-validity
+            recheck; returns False when a delta fails structurally."""
+            for p in chain:
+                if not st._apply_delta(p):
+                    return False
+            # Final validity recheck (row alive AND catalog entry
+            # present): a bulk membership test — no entry-body reads
+            # (the disk-backed catalog fetches bodies lazily).
+            m = st.n_rows
+            present = np.asarray(catalog.contains_many(st.ids[:m]), bool)
+            if st._df_host is not None:
+                flipped = np.nonzero(st.valid[:m] & ~present)[0]
+                for r in flipped:  # normally empty (torn saves only)
+                    st._df_note(st.term_ids[r], st.tfs[r], -1)
+            st.valid[:m] &= present
+            st._dirty = True
+            st._persist_fp = live_fp
+            st._persist_vocab = len(st.vocab)
+            st._delta_seq = len(chain)
+            return True
+
+        # v2 snapshot: adopt every persisted slab as a copy-on-write
+        # mmap (zero-copy load; pages stream in at first device upload).
+        if store._adopt_snapshot_v2(expected_fp, emb, ids, valid, n):
+            if finish_snapshot_load(store):
+                return store
+            # A delta failed structurally: fresh store, cold paths below.
+            store = cls(dim, directory, slab_rows, terms_per_chunk,
+                        rescore=rescore, rescore_pool=rescore_pool,
+                        select=select)
+
+        store._restore_embeddings(ids, emb, n)
         if store._load_snapshot(expected_fp):
             # Registry validity first; deltas then overwrite the flags of
             # any rows they touched (a delta is newer than the base
             # registry).
             store.valid[:n] = np.asarray(valid[:n], bool)
-            applied = True
-            for p in chain:
-                if not store._apply_delta(p):
-                    applied = False
-                    break
-            if applied:
-                # Final validity recheck (row alive AND catalog entry
-                # present): a bulk membership test — no entry-body reads
-                # (the disk-backed catalog fetches bodies lazily).
-                m = store.n_rows
-                present = catalog.contains_many(store.ids[:m])
-                store.valid[:m] &= np.asarray(present, bool)
-                store._dirty = True
-                store._persist_fp = live_fp
-                store._persist_vocab = len(store.vocab)
-                store._delta_seq = len(chain)
+            if finish_snapshot_load(store):
                 return store
             # A delta failed structurally: fall through to cold rebuild.
             store = cls(dim, directory, slab_rows, terms_per_chunk,

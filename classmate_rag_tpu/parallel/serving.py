@@ -167,6 +167,13 @@ class ShardedHybridIndex:
             self, "full_lexical_rebuilds", -1
         ) + 1
 
+        # Replicated precomputed corpus df for unfiltered queries
+        # ((vpad, placed array) — see _df_placed_for); derived from the
+        # store's host-maintained df, so the SPMD step skips the
+        # per-dispatch [N_local, L] histogram + psum. _df_gen guards the
+        # same insert-after-invalidate race as _bias_gen.
+        self._df_placed = None
+        self._df_gen = getattr(self, "_df_gen", 0) + 1
         self._dev = {
             "emb": self._place(store.emb, P("shard", None)
                                ).astype(jnp.bfloat16),
@@ -235,6 +242,12 @@ class ShardedHybridIndex:
                     self.bytes_placed_total - before
                 )
                 return
+            if j_lex or j_meta:
+                # Corpus df may have moved (content or validity): the
+                # replicated copy re-derives from the store's
+                # host-maintained df on next use (KBs, not a re-place).
+                self._df_placed = None
+                self._df_gen += 1
             if j_lex:
                 self._refresh_lexical(sorted(j_lex), old_lex)
             if j_emb:
@@ -635,10 +648,10 @@ class ShardedHybridIndex:
         return placed
 
     def _fn_for(self, knobs: Dict[str, Any], r_cap: int, vocab_pad: int,
-                rescore: bool):
+                rescore: bool, with_df: bool = False):
         select = self.store.select_mode
         key = (
-            r_cap, vocab_pad, rescore, select,
+            r_cap, vocab_pad, rescore, select, with_df,
             tuple(knobs[k] for k in _KNOB_NAMES),
         )
         fn = self._fn_cache.get(key)
@@ -651,10 +664,30 @@ class ShardedHybridIndex:
                     self.store.rescore_pool, self.store.capacity
                 ),
                 select=select,
+                with_df=with_df,
                 **knobs,
             )
             self._fn_cache[key] = fn
         return fn
+
+    def _df_placed_for(self, vocab_pad: int):
+        """Replicated [vocab_pad+1] f32 corpus df (unfiltered-query
+        statistics), cached until a mutation drains or the vocab pad
+        grows. Slot vocab_pad is the padding sink (0)."""
+        with self._lock:
+            cached = self._df_placed
+            gen = self._df_gen
+            if cached is not None and cached[0] == vocab_pad:
+                return cached[1]
+        dfh = self.store._ensure_df_host()
+        out = np.zeros(vocab_pad + 1, np.float32)
+        out[: min(len(dfh), vocab_pad)] = dfh[:vocab_pad]
+        placed = self._place(out, P(None))
+        with self._lock:
+            # Insert only if no invalidation raced the computation.
+            if self._df_gen == gen:
+                self._df_placed = (vocab_pad, placed)
+        return placed
 
     def stats(self) -> Dict[str, Any]:
         """Shard-occupancy observability: live rows, head-matrix columns,
@@ -786,11 +819,15 @@ class ShardedHybridIndex:
             self._place(q_counts, rep2),
             self._place(has_terms, rep2),
         ]
+        use_df = not where
+        if use_df:
+            args.append(self._df_placed_for(vocab_pad))
         if d.get("emb16") is not None:
             args.append(d["emb16"])
         out = self._fn_for(
             knobs, layout["r_cap"], vocab_pad,
             rescore=d.get("emb16") is not None,
+            with_df=use_df,
         )(*args)
         if b_pad == bq:
             return out

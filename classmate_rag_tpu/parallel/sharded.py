@@ -344,9 +344,17 @@ def make_sharded_split_hybrid_fn(
     with_rescore: bool = False,
     rescore_pool: int = 64,
     select: str = "exact",
+    with_df: bool = False,
 ):
     """SPMD hybrid step with SPLIT-FREQUENCY BM25 — the serving-scale
     formulation (head matmul + tail postings) on every shard.
+
+    ``with_df``: take a PRECOMPUTED replicated df [vocab_pad+1] f32 as an
+    extra argument instead of histogramming [N_local, L] + psum per
+    dispatch — the unfiltered-query path, fed by the store's
+    host-maintained corpus df (IndexStore._df_host). Filtered queries
+    keep the in-graph subset statistics (reference semantics). n_sub and
+    avgdl still derive from the live mask (cheap [N_local] reductions).
 
     Array args (N = corpus capacity, divisible by the shard count S;
     N_local = N/S):
@@ -374,7 +382,10 @@ def make_sharded_split_hybrid_fn(
              doc_len, mask_bias, q_vecs,
              h_slots, h_tids,
              u_starts_sh, u_lens_sh, u_cols, t_tids,
-             q_tids, q_counts, has_terms, *maybe_emb16):
+             q_tids, q_counts, has_terms, *extra):
+        extra = list(extra)
+        df_pre = extra.pop(0) if with_df else None
+        maybe_emb16 = extra
         n_local = emb.shape[0]
         shard = jax.lax.axis_index("shard")
         row_base = (shard * n_local).astype(jnp.int32)
@@ -396,9 +407,20 @@ def make_sharded_split_hybrid_fn(
             rescore_pool=rescore_pool, select=select,
         )
 
-        df, n_sub, avgdl = _subset_stats_sharded(
-            term_ids, tfs, doc_len, keep, vocab_pad
-        )
+        if with_df:
+            df = df_pre
+            n_sub = jnp.maximum(
+                jax.lax.psum(jnp.sum(keep.astype(jnp.float32)), "shard"),
+                1.0,
+            )
+            dl_sum = jax.lax.psum(
+                jnp.sum(jnp.where(keep, doc_len, 0.0)), "shard"
+            )
+            avgdl = dl_sum / n_sub
+        else:
+            df, n_sub, avgdl = _subset_stats_sharded(
+                term_ids, tfs, doc_len, keep, vocab_pad
+            )
         idf = okapi_idf(df, n_sub)
         fast = select == "approx"
         bm = bm25_split_score_core(
@@ -442,6 +464,8 @@ def make_sharded_split_hybrid_fn(
         P(None, None), P(None, None),   # q_tids, q_counts
         P(None, None),      # has_terms
     ]
+    if with_df:
+        in_specs.append(P(None))            # df_pre (replicated)
     if with_rescore:
         in_specs.append(P("shard", None))   # emb16 (f16 rescore master)
     sharded = jax.shard_map(

@@ -36,6 +36,9 @@ class Runtime:
     # {"catalog_s", "store_s", "sharded_s"} — the catalog scan/sidecar
     # restore vs the slab load + device placement vs SPMD engine build.
     load_timings: dict = field(default_factory=dict)
+    # Background precompile thread when runtime_precompile kicked in
+    # (join it to wait for warm state; queries are safe regardless).
+    warmup_thread: Any = field(default=None, repr=False)
     _classifier: Any = field(default=None, repr=False)
     _router: Any = field(default=None, repr=False)
     _loader: Any = field(default=None, repr=False)
@@ -74,6 +77,36 @@ class Runtime:
         # Fingerprint of the just-written catalog keys the store's
         # fast-load snapshot (skips the re-pack on next cold start).
         self.store.save(catalog_fingerprint=self.catalog.fingerprint())
+
+    def warmup(self, batch_sizes=(1,), top_k: int = 8) -> dict:
+        """Compile and place the serving executables before the first
+        real query: runs one throwaway question per batch size through
+        the EXACT product retrieval path (encode → fused hybrid step),
+        so the XLA executables land in the persistent compilation cache
+        and the corpus slabs land in HBM. At 1M rows a cold first ask
+        otherwise pays minutes of remote compile + the full upload
+        (BENCH_r04 recorded first_ask_s = 326 s); deployments call this
+        at build/load time — get_runtime kicks it in a background
+        thread at serving scale. Returns seconds per batch size."""
+        import logging
+        import time as _time
+
+        out = {}
+        for b in batch_sizes:
+            t0 = _time.perf_counter()
+            try:
+                self.retriever.retrieve_batch(
+                    questions=["warmup probe"] * int(b), filters={},
+                    top_k=top_k, hybrid=True,
+                )
+            except Exception as exc:  # warmup must never break serving
+                logging.getLogger(__name__).warning(
+                    "runtime warmup (batch %s) failed: %s", b, exc
+                )
+                out[int(b)] = None
+                continue
+            out[int(b)] = round(_time.perf_counter() - t0, 3)
+        return out
 
 
 def _pick_n_shards(cfg: Config, slab_rows: int) -> int:
@@ -209,6 +242,19 @@ def get_runtime(reload: bool = False) -> Runtime:
         embedder=embedder, retriever=retriever, sharded=sharded,
         load_timings=timings,
     )
+    mode = (cfg.runtime_precompile or "auto").lower()
+    if mode == "on" or (mode == "auto" and len(store) >= 200_000):
+        # Serving scale: start compiling/placing the ask executables NOW
+        # so the first real query finds warm state instead of paying the
+        # remote compile + slab upload serially. Daemon thread — the
+        # store's _sync_lock serializes it against a racing first query.
+        import threading as _threading
+
+        t = _threading.Thread(
+            target=_RUNTIME.warmup, name="rag-precompile", daemon=True
+        )
+        t.start()
+        _RUNTIME.warmup_thread = t
     return _RUNTIME
 
 

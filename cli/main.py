@@ -272,6 +272,26 @@ def cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warmup(args: argparse.Namespace) -> int:
+    """Deployment prep: compile + place the serving executables into the
+    persistent XLA cache so the NEXT process's first ask is bounded by
+    the upload, not by minutes of remote compile (run after building or
+    snapshotting a large index)."""
+    from classmate_rag_tpu.pipeline.runtime import get_runtime
+
+    rt = get_runtime()
+    if rt.warmup_thread is not None:
+        rt.warmup_thread.join()   # don't double-compile concurrently
+    secs = rt.warmup(batch_sizes=tuple(args.batch))
+    _emit({
+        "action": "warmup",
+        "rows": rt.store.n_rows,
+        "seconds_per_batch": secs,
+        "load_split_s": rt.load_timings,
+    })
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -365,6 +385,13 @@ def build_parser() -> argparse.ArgumentParser:
     pserve.add_argument("--host", type=str, default="127.0.0.1")
     pserve.add_argument("--port", type=int, default=8080)
     pserve.set_defaults(func=cmd_serve)
+
+    pw = sub.add_parser(
+        "warmup", help="Precompile + place the serving executables"
+    )
+    pw.add_argument("--batch", type=int, nargs="+", default=[1],
+                    help="Batch sizes to compile (each is one executable)")
+    pw.set_defaults(func=cmd_warmup)
 
     pre = sub.add_parser("reingest", help="Reingest whole files")
     pre.add_argument("--path", nargs="+", help="File paths to reingest")

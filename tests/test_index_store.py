@@ -213,3 +213,103 @@ def test_torn_save_embeddings_registry_mismatch_is_detected(tmp_path):
         DIM, tmp_path / "dense", cat2, slab_rows=64, terms_per_chunk=32
     )
     assert len(store2) == 0  # explicit empty, not silently wrong vectors
+
+
+def test_df_host_incremental_consistency(tmp_path):
+    """The host-maintained corpus df stays exactly equal to a fresh
+    histogram through upserts / re-upserts / deletes / revivals, and is
+    built O(corpus) only ONCE (df_full_builds counter)."""
+    import numpy as np
+
+    from classmate_rag_tpu.index.store import IndexStore
+
+    rng = np.random.default_rng(11)
+    store = IndexStore(8, tmp_path, slab_rows=64, terms_per_chunk=16)
+    words = [f"t{i}" for i in range(40)]
+
+    def rand_doc():
+        return list(rng.choice(words, size=int(rng.integers(3, 12))))
+
+    def fresh_df():
+        nv = len(store.vocab)
+        df = np.zeros(nv, np.int64)
+        for r in range(store.n_rows):
+            if not store.valid[r]:
+                continue
+            live = (store.term_ids[r] >= 0) & (store.tfs[r] > 0)
+            df[store.term_ids[r][live]] += 1
+        return df
+
+    ids = [f"c{i}" for i in range(30)]
+    emb = rng.standard_normal((30, 8)).astype(np.float32)
+    store.upsert(ids, emb, [rand_doc() for _ in ids], [{} for _ in ids])
+    got = store._ensure_df_host()
+    assert store.df_full_builds == 1
+    assert np.array_equal(got[: len(store.vocab)], fresh_df())
+
+    for _ in range(25):
+        op = rng.random()
+        if op < 0.5:  # mutate / revive / add rows
+            sel = list(rng.choice(40, size=3))
+            cids = [f"c{i}" for i in sel]
+            e = rng.standard_normal((3, 8)).astype(np.float32)
+            store.upsert(cids, e, [rand_doc() for _ in cids],
+                         [{} for _ in cids])
+        else:
+            sel = list(rng.choice(40, size=2))
+            store.delete([f"c{i}" for i in sel])
+        dfh = store._ensure_df_host()
+        assert np.array_equal(dfh[: len(store.vocab)], fresh_df())
+    assert store.df_full_builds == 1  # never rebuilt from scratch
+
+
+def test_df_host_survives_save_load_and_deltas(tmp_path):
+    """df persists in the lexical snapshot and is maintained through the
+    O(delta) persisted-save chain on reload (no lazy O(N*L) rebuild)."""
+    import numpy as np
+
+    from classmate_rag_tpu.index.catalog import Catalog, CatalogEntry
+    from classmate_rag_tpu.index.store import IndexStore
+
+    rng = np.random.default_rng(5)
+    cat_dir = tmp_path / "bm25"
+    dense = tmp_path / "dense"
+    cat = Catalog.load_or_create(cat_dir)
+    store = IndexStore(8, dense, slab_rows=64, terms_per_chunk=16)
+    words = [f"t{i}" for i in range(30)]
+
+    def doc():
+        return list(rng.choice(words, size=8))
+
+    docs = [doc() for _ in range(20)]
+    ids = [f"c{i}" for i in range(20)]
+    emb = rng.standard_normal((20, 8)).astype(np.float32)
+    store.upsert(ids, emb, docs, [{} for _ in ids])
+    for cid, d in zip(ids, docs):
+        cat.upsert(CatalogEntry(id=cid, text=" ".join(d), tokens=d,
+                                metadata={}))
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    # Delta save on top of the base.
+    d2 = doc() + ["brandnewterm"]
+    store.upsert(["c3"], rng.standard_normal((1, 8)).astype(np.float32),
+                 [d2], [{}])
+    cat.upsert(CatalogEntry(id="c3", text=" ".join(d2), tokens=d2,
+                            metadata={}))
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    re = IndexStore.load_or_create(8, dense, cat, slab_rows=64,
+                                   terms_per_chunk=16)
+    assert re._df_host is not None          # restored, not lazy
+    assert re.df_full_builds == 0           # never rebuilt O(corpus)
+    fresh = np.zeros(len(re.vocab), np.int64)
+    for r in range(re.n_rows):
+        if re.valid[r]:
+            live = (re.term_ids[r] >= 0) & (re.tfs[r] > 0)
+            fresh[re.term_ids[r][live]] += 1
+    assert np.array_equal(
+        re._ensure_df_host()[: len(re.vocab)], fresh
+    )
+    assert re.df_full_builds == 0

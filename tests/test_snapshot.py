@@ -122,3 +122,69 @@ def test_restored_store_continues_packing_consistently(tmp_path):
     ids_row = set(loaded.term_ids[row])
     assert loaded.vocab["brandnewterm"] in ids_row
     assert loaded.vocab["derivative"] in ids_row
+
+
+def test_v2_split_snapshot_restore_with_deltas(tmp_path, monkeypatch):
+    """The persisted split-BM25 layout restores without the O(N*L)
+    rebuild, and rows touched by persisted deltas or pre-sync mutations
+    flow through the O(delta) planner — scores stay oracle-exact."""
+    import numpy as np
+
+    from classmate_rag_tpu.index.catalog import Catalog, CatalogEntry
+    from classmate_rag_tpu.index.lexical import bm25_oracle_scores
+    from classmate_rag_tpu.index.store import IndexStore
+
+    monkeypatch.setattr(IndexStore, "SPLIT_PERSIST_MIN_ROWS", 0)
+    rng = np.random.default_rng(17)
+    cat = Catalog.load_or_create(tmp_path / "bm25")
+    store = IndexStore(8, tmp_path / "dense", slab_rows=64,
+                       terms_per_chunk=16)
+    words = [f"w{i}" for i in range(50)]
+
+    def doc():
+        return list(rng.choice(words, size=10))
+
+    docs = [doc() for _ in range(120)]
+    ids = [f"c{i}" for i in range(120)]
+    emb = rng.standard_normal((120, 8)).astype(np.float32)
+    store.upsert(ids, emb, docs, [{} for _ in ids])
+    for cid, d in zip(ids, docs):
+        cat.upsert(CatalogEntry(cid, " ".join(d), d, {}))
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    # Delta on top of the base (touches split rows on restore).
+    docs[7] = doc() + ["freshterm"]
+    store.upsert(["c7"], emb[7:8] * 0.5, [docs[7]], [{}])
+    cat.upsert(CatalogEntry("c7", " ".join(docs[7]), docs[7], {}))
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    re = IndexStore.load_or_create(8, tmp_path / "dense", cat,
+                                   slab_rows=64, terms_per_chunk=16)
+    assert re._split_persisted is not None
+    assert 7 in re._split_load_pending
+
+    # Mutate ANOTHER row before the first query (journal-before-sync).
+    docs[3] = doc()
+    re.upsert(["c3"], emb[3:4] * -1.0, [docs[3]], [{}])
+
+    scores_terms = [docs[7][0], "freshterm", docs[3][0], words[0]]
+    vals, rows = re.bm25_topk(scores_terms, None, k=10)
+    assert re.split_snapshot_restores == 1
+    assert re.split_full_builds == 0
+
+    oracle = bm25_oracle_scores(docs, scores_terms)
+    for v, r in zip(vals, rows):
+        if r >= 0:
+            assert abs(v - oracle[r]) < 1e-3, (r, v, oracle[r])
+
+    # Steady-state mutations keep flowing through the planner.
+    docs[11] = doc()
+    re.upsert(["c11"], emb[11:12], [docs[11]], [{}])
+    vals, rows = re.bm25_topk([docs[11][0]], None, k=10)
+    assert re.split_full_builds == 0
+    oracle = bm25_oracle_scores(docs, [docs[11][0]])
+    for v, r in zip(vals, rows):
+        if r >= 0:
+            assert abs(v - oracle[r]) < 1e-3

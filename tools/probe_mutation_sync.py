@@ -99,12 +99,17 @@ def main() -> int:
         jax.block_until_ready(store._split["tf_head"])
         t_split = time.perf_counter() - t0
 
-        # df recompute (what _df_cache=None forces on the next query)
-        subset_df, _ = device_fns()
-        dev = store._device
+        # df refresh cost on the next query: with the host-maintained df
+        # this is a KB upload; legacy code re-histogrammed [N, L] on
+        # device (~1.1 s at 1M).
         t0 = time.perf_counter()
-        df = subset_df(dev["term_ids"], dev["tfs"],
-                       jnp.asarray(store.valid), store.vocab_pad)
+        if hasattr(store, "_df_device"):
+            df = store._df_device(store.vocab_pad)
+        else:
+            subset_df, _ = device_fns()
+            dev = store._device
+            df = subset_df(dev["term_ids"], dev["tfs"],
+                           jnp.asarray(store.valid), store.vocab_pad)
         df.block_until_ready()
         t_df = time.perf_counter() - t0
 
