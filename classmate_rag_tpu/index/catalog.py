@@ -131,6 +131,19 @@ class Catalog:
     _base_sha: Optional[str] = None  # hex sha1 of base-file bytes
     _journal_hash: Any = field(default_factory=sha1)  # running, journal bytes
     _sidecar_dirty: bool = False
+    # Background journal fold (see _fold_concurrent): the O(corpus)
+    # rewrite runs OFF the lock so an /add that trips the compaction
+    # ratio returns in O(delta) time while serving continues.
+    _fold_thread: Any = field(default=None, repr=False)
+    # Bumped by anything that restructures the files under a running
+    # fold (synchronous compact, reload): the fold validates it at swap
+    # time and aborts instead of clobbering newer state.
+    _structure_gen: int = 0
+    # Last fold's (pre_fp, post_fp): a fold rewrites bytes without
+    # changing logical content, so artifacts keyed to the PRE-fold
+    # fingerprint (the store's snapshot/delta chain) stay valid against
+    # the post-fold catalog. Persisted in catalog.fold.json.
+    _fold_alias: Optional[Tuple[str, str]] = None
 
     # ------------------------------------------------------------------
     @property
@@ -141,6 +154,14 @@ class Catalog:
     @property
     def _sidecar_path(self) -> Path:
         return self.path.with_name("catalog.offsets.npz")
+
+    @property
+    def _fold_alias_path(self) -> Path:
+        return self.path.with_name("catalog.fold.json")
+
+    @property
+    def _pending_journal_path(self) -> Path:
+        return self.journal_path.with_suffix(".jsonl.pending")
 
     @classmethod
     def load_or_create(
@@ -157,6 +178,7 @@ class Catalog:
 
     def load(self) -> None:
         with self._lock:
+            self._structure_gen += 1   # abort any in-flight fold
             self._index.clear()
             self._pending.clear()
             self._pending_deletes.clear()
@@ -164,6 +186,8 @@ class Catalog:
             self._base_sha = None
             self._journal_hash = sha1()
             self._sidecar_dirty = False
+            self._recover_pending_journal()
+            self._load_fold_alias()
             if not self.path.exists():
                 self._base_sha = _EMPTY_SHA
                 self._legacy_journal_guard()
@@ -265,6 +289,89 @@ class Catalog:
                 os.replace(jp, jp.with_suffix(".jsonl.stale"))
             except OSError:
                 pass
+
+    @staticmethod
+    def _marker_stat(path: Path) -> Optional[Tuple[int, ...]]:
+        """The (size, mtime_ns) a journal-style file's base marker
+        records, or None when there is no marker."""
+        try:
+            with path.open("rb") as f:
+                first = f.readline().strip()
+            rec = json.loads(first) if first else None
+        except (OSError, ValueError):
+            return None
+        if isinstance(rec, dict) and rec.get("op") == "base":
+            return tuple(int(v) for v in rec.get("stat") or ())
+        return None
+
+    def _recover_pending_journal(self) -> None:
+        """Crash recovery for the background fold's two-rename swap: the
+        post-fold journal is staged at ``*.pending`` BEFORE the base
+        replace. A crash between the renames leaves a new base whose
+        stat the OLD journal's marker no longer matches while the
+        pending one does — adopt it (otherwise durable tail ops written
+        during the fold would be demoted as stale). Any other
+        combination means the pending file is leftover staging."""
+        pp = self._pending_journal_path
+        if not pp.exists():
+            return
+        base_stat = _stat_key(self.path)
+        jp = self.journal_path
+        jp_ok = jp.exists() and self._marker_stat(jp) == base_stat
+        if not jp_ok and self._marker_stat(pp) == base_stat:
+            try:
+                os.replace(pp, jp)
+                return
+            except OSError:
+                pass
+        pp.unlink(missing_ok=True)
+
+    # -- fold alias: bytes changed, content didn't ----------------------
+
+    def _load_fold_alias(self) -> None:
+        self._fold_alias = None
+        try:
+            rec = json.loads(
+                self._fold_alias_path.read_text(encoding="utf-8")
+            )
+            pre, post = str(rec["pre"]), str(rec["post"])
+            if pre and post:
+                self._fold_alias = (pre, post)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            pass
+
+    def _write_fold_alias(self, pre: str, post: str) -> None:
+        self._fold_alias = (pre, post)
+        try:
+            tmp = self._fold_alias_path.with_suffix(".json.tmp")
+            tmp.write_text(
+                json.dumps({"pre": pre, "post": post}), encoding="utf-8"
+            )
+            os.replace(tmp, self._fold_alias_path)
+        except OSError:
+            pass  # alias is an accelerator; a missed write only costs a rebuild
+
+    @property
+    def fold_alias(self) -> Optional[Tuple[str, str]]:
+        """Last fold's (pre_fp, post_fp), or None."""
+        return self._fold_alias
+
+    def fingerprint_matches(self, candidate: str) -> bool:
+        """True when ``candidate`` identifies the catalog's CURRENT
+        logical content: the live fingerprint, or the pre-fold
+        fingerprint when the only change since was a journal fold
+        (byte rewrite, same entries). Artifacts derived from the
+        pre-fold state — the store's lexical snapshot and delta
+        chain — stay valid across a fold."""
+        live = self.fingerprint()
+        if candidate == live:
+            return True
+        alias = self._fold_alias
+        return (
+            alias is not None
+            and candidate == alias[0]
+            and live == alias[1]
+        )
 
     def _replay_journal(self) -> None:
         """Apply journal ops in order; rebuilds the running journal hash
@@ -437,15 +544,167 @@ class Catalog:
                 if self.journal_path.exists() else 0
             )
             bsize = self.path.stat().st_size if self.path.exists() else 0
-            if jsize > max(_COMPACT_MIN_BYTES, int(_COMPACT_RATIO * bsize)):
-                self._compact_locked()
-            elif jsize and not bsize:
+            if jsize and not bsize:
                 # Everything lives in the journal (fresh restore / first
                 # adds): fold immediately so the reference-visible base
                 # file exists from the start.
                 self._compact_locked()
+            elif jsize > max(
+                _COMPACT_MIN_BYTES, int(_COMPACT_RATIO * bsize)
+            ):
+                # De-cliffed: the fold is an O(corpus) rewrite (a ~GB
+                # atomic file at 1M chunks) — it runs in a background
+                # thread OFF the lock, so the /add that tripped the
+                # ratio returns in O(delta) time and queries keep
+                # serving; only the final swap takes the lock.
+                self._start_fold_locked()
             if self._sidecar_dirty:
                 self._save_sidecar()
+
+    def _start_fold_locked(self) -> None:
+        t = self._fold_thread
+        if t is not None and t.is_alive():
+            return
+        t = threading.Thread(
+            target=self._fold_concurrent, name="catalog-fold", daemon=True
+        )
+        self._fold_thread = t
+        t.start()
+
+    def join_fold(self, timeout: Optional[float] = None) -> None:
+        """Wait for an in-flight background fold (tests/shutdown)."""
+        t = self._fold_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
+    def _fold_concurrent(self) -> None:
+        """Background journal fold. Three phases:
+
+        1. (lock) snapshot the index + open the current file inodes +
+           record the journal length J0 and the structure generation;
+        2. (no lock) stream every snapshotted on-disk entry to a tmp
+           base in index order — concurrent /adds keep appending to the
+           journal past J0, reads keep serving from the old files;
+        3. (lock) validate the generation, stage the post-fold journal
+           (fresh base marker + the ops appended after J0) at
+           ``*.pending``, swap base then journal (crash between the two
+           renames is healed by _recover_pending_journal), rewrite the
+           in-memory index against the new locations, and record the
+           pre→post fingerprint alias so store snapshots keyed to the
+           pre-fold catalog stay valid.
+        """
+        import logging
+
+        try:
+            with self._lock:
+                gen = self._structure_gen
+                pre_fp = self.fingerprint()
+                snapshot = list(self._index.items())
+                j0 = (
+                    self.journal_path.stat().st_size
+                    if self.journal_path.exists() else 0
+                )
+                handles: Dict[int, Any] = {}
+                for src, fpath in (
+                    (_BASE, self.path), (_JOURNAL, self.journal_path),
+                ):
+                    try:
+                        handles[src] = fpath.open("rb")
+                    except OSError:
+                        pass
+
+            tmp = self.path.with_suffix(".jsonl.tmp")
+            h = sha1()
+            new_index: Dict[str, Tuple[int, int, int]] = {}
+            off = 0
+            try:
+                with tmp.open("wb") as out:
+                    for cid, (src, loc_off, length) in snapshot:
+                        if src == _PENDING:
+                            continue  # not yet journaled: stays pending
+                        f = handles.get(src)
+                        if f is None:
+                            continue
+                        f.seek(loc_off)
+                        e = _parse_entry(f.read(length))
+                        if e is None:
+                            continue
+                        raw = (_entry_line(e) + "\n").encode("utf-8")
+                        out.write(raw)
+                        h.update(raw)
+                        new_index[cid] = (_BASE, off, len(raw) - 1)
+                        off += len(raw)
+                    out.flush()
+                    os.fsync(out.fileno())
+            finally:
+                for f in handles.values():
+                    f.close()
+
+            with self._lock:
+                if self._structure_gen != gen:
+                    tmp.unlink(missing_ok=True)   # state moved under us
+                    return
+                self._swap_fold_locked(tmp, h, new_index, j0, pre_fp)
+        except Exception:
+            logging.getLogger(__name__).exception("background fold failed")
+
+    def _swap_fold_locked(self, tmp: Path, h, new_index, j0: int,
+                          pre_fp: str) -> None:
+        jp = self.journal_path
+        tail = b""
+        if jp.exists() and j0 >= 0:
+            with jp.open("rb") as f:
+                f.seek(j0)
+                tail = f.read()
+        st_tmp = tmp.stat()   # os.replace preserves size+mtime (inode)
+        marker = (json.dumps(
+            {"op": "base",
+             "stat": [int(st_tmp.st_size), int(st_tmp.st_mtime_ns)]}
+        ) + "\n").encode("utf-8")
+        pp = self._pending_journal_path
+        new_journal = (marker + tail) if tail else b""
+        if new_journal:
+            with pp.open("wb") as f:
+                f.write(new_journal)
+                f.flush()
+                os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+        if new_journal:
+            os.replace(pp, jp)
+        else:
+            jp.unlink(missing_ok=True)
+            pp.unlink(missing_ok=True)
+        try:
+            dfd = os.open(str(self.path.parent), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+        # Rewrite the in-memory index against the new locations; ids
+        # deleted or re-journaled during the fold keep their CURRENT
+        # state (tail offsets shift by marker_len - j0).
+        shift = len(marker) - j0
+        rebuilt: Dict[str, Tuple[int, int, int]] = {}
+        for cid, (src, o, ln) in self._index.items():
+            if src == _PENDING:
+                rebuilt[cid] = (src, o, ln)
+            elif src == _JOURNAL and o >= j0:
+                rebuilt[cid] = (_JOURNAL, o + shift, ln)
+            else:
+                loc = new_index.get(cid)
+                if loc is not None:
+                    rebuilt[cid] = loc
+        self._index = rebuilt
+        self._cache.clear()
+        self._base_sha = h.hexdigest()
+        jh = sha1()
+        jh.update(new_journal)
+        self._journal_hash = jh
+        self._sidecar_dirty = True
+        self._save_sidecar()
+        self._write_fold_alias(pre_fp, self.fingerprint())
 
     def _flush_pending_locked(self) -> None:
         if not self._pending and not self._pending_deletes:
@@ -522,6 +781,8 @@ class Catalog:
         """Fold the journal into the base: stream every live entry to a
         tmp file in index order, atomically replace the base, drop the
         journal. Restores the single-file reference layout."""
+        self._structure_gen += 1   # abort any in-flight background fold
+        pre_fp = self.fingerprint()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".jsonl.tmp")
         h = sha1()
@@ -581,6 +842,9 @@ class Catalog:
         self._base_sha = h.hexdigest()
         self._journal_hash = sha1()
         self._sidecar_dirty = True
+        # Same logical content, new bytes: key the store's pre-fold
+        # snapshot chain to the post-fold catalog.
+        self._write_fold_alias(pre_fp, self.fingerprint())
 
     def compact(self) -> None:
         """Force-fold journal + pending into the base JSONL (immediate

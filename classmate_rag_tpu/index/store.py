@@ -1658,19 +1658,22 @@ class IndexStore:
             }
         return True
 
-    def _load_snapshot(self, expected_fp: str) -> bool:
+    def _load_snapshot(self, expected_fp) -> bool:
         """Restore the derived columns from lexical.npz when its recorded
-        fingerprint matches ``expected_fp`` (the live catalog fingerprint,
-        or — when persisted deltas exist — the chain's base fingerprint).
-        Returns True on success."""
+        fingerprint matches ``expected_fp`` (the live catalog fingerprint
+        — possibly via the catalog's fold alias — or, when persisted
+        deltas exist, the chain's base fingerprint). Returns True on
+        success."""
         snap = self.directory / "lexical.npz"
         if not snap.exists():
             return False
+        if isinstance(expected_fp, str):
+            expected_fp = {expected_fp}
         try:
             with np.load(snap, allow_pickle=False) as z:
                 if "term_ids" not in z.files:
                     return False  # v2 snapshot: _adopt_snapshot_v2 owns it
-                if str(z["fingerprint"]) != expected_fp:
+                if str(z["fingerprint"]) not in expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
                     return False
@@ -1701,7 +1704,7 @@ class IndexStore:
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return False
 
-    def _adopt_snapshot_v2(self, expected_fp: str, emb: np.ndarray,
+    def _adopt_snapshot_v2(self, expected_fp, emb: np.ndarray,
                            ids: List[str], valid: List[bool],
                            n: int) -> bool:
         """Adopt a v2 slab snapshot: every big column becomes a
@@ -1713,6 +1716,8 @@ class IndexStore:
         snap = self.directory / "lexical.npz"
         if not snap.exists():
             return False
+        if isinstance(expected_fp, str):
+            expected_fp = {expected_fp}
         id_to_row = {cid: i for i, cid in enumerate(ids[:n])}
         if len(id_to_row) != n:
             return False  # duplicate ids: slow path owns this
@@ -1720,7 +1725,7 @@ class IndexStore:
             with np.load(snap, allow_pickle=False) as z:
                 if "slab_stats" not in z.files:
                     return False  # v1 snapshot
-                if str(z["fingerprint"]) != expected_fp:
+                if str(z["fingerprint"]) not in expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
                     return False
@@ -1871,8 +1876,15 @@ class IndexStore:
         # the live catalog fingerprint, else everything persisted is
         # stale and the store rebuilds from the catalog.
         live_fp = catalog.fingerprint()
+        # A catalog journal FOLD rewrites bytes without changing logical
+        # content: artifacts keyed to the pre-fold fingerprint are still
+        # derived from exactly this catalog's entries.
+        accept = {live_fp}
+        alias = getattr(catalog, "fold_alias", None)
+        if alias and alias[1] == live_fp:
+            accept.add(alias[0])
         delta_paths = store._delta_paths()
-        expected_fp, chain = live_fp, []
+        expected_fp, chain = accept, []
         if delta_paths:
             chain_fps = []
             try:
@@ -1885,14 +1897,14 @@ class IndexStore:
                 chain_fps = None
             ok = (
                 chain_fps is not None
-                and chain_fps[-1][1] == live_fp
+                and chain_fps[-1][1] in accept
                 and all(
                     chain_fps[i][1] == chain_fps[i + 1][0]
                     for i in range(len(chain_fps) - 1)
                 )
             )
             if ok:
-                expected_fp = chain_fps[0][0]
+                expected_fp = {chain_fps[0][0]}
                 chain = delta_paths
 
         def finish_snapshot_load(st: "IndexStore") -> bool:

@@ -335,3 +335,106 @@ def test_legacy_markerless_journal_upgraded_at_first_mutation(tmp_path):
     cat.path.write_text("", encoding="utf-8")
     cat3 = Catalog.load_or_create(tmp_path)
     assert cat3.journal_path.with_suffix(".jsonl.stale").exists()
+
+
+# ---------------------------------------------------------------------------
+# Round-5: de-cliffed background journal fold
+# ---------------------------------------------------------------------------
+
+def _slow_entry_line(monkeypatch, seconds=0.002):
+    import time as _time
+
+    import classmate_rag_tpu.index.catalog as cat_mod
+
+    orig = cat_mod._entry_line
+
+    def slow(e):
+        _time.sleep(seconds)
+        return orig(e)
+
+    monkeypatch.setattr(cat_mod, "_entry_line", slow)
+
+
+def test_background_fold_is_nonblocking_and_consistent(tmp_path, monkeypatch):
+    """An /add that trips the compaction ratio returns in O(delta) time
+    (the O(corpus) fold runs in a background thread); mutations landed
+    DURING the fold survive into the post-fold journal tail."""
+    import time
+
+    import classmate_rag_tpu.index.catalog as cat_mod
+
+    monkeypatch.setattr(cat_mod, "_COMPACT_MIN_BYTES", 0)
+    monkeypatch.setattr(cat_mod, "_COMPACT_RATIO", 0.0)
+    cat = seeded_catalog(tmp_path, n=200)      # base exists, journal empty
+    _slow_entry_line(monkeypatch)              # ~0.4 s fold window
+    cat.upsert(make_entry(500))
+    t0 = time.perf_counter()
+    cat.save()                                 # trips ratio -> background
+    save_s = time.perf_counter() - t0
+    assert save_s < 0.2, f"save blocked on the fold ({save_s:.2f}s)"
+    assert cat._fold_thread is not None and cat._fold_thread.is_alive()
+    # Mutate while the fold streams.
+    cat.upsert(make_entry(501))
+    cat.delete(["cm_00000003"])
+    with cat._lock:
+        cat._flush_pending_locked()
+    cat.join_fold(timeout=30)
+    assert not (cat._fold_thread and cat._fold_thread.is_alive())
+    # Everything consistent in memory...
+    assert cat.get("cm_00000500").text == make_entry(500).text
+    assert cat.get("cm_00000501").text == make_entry(501).text
+    assert cat.get("cm_00000003") is None
+    # ... and on disk (tail ops preserved in the post-fold journal).
+    monkeypatch.undo()
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.get("cm_00000500") is not None
+    assert fresh.get("cm_00000501") is not None
+    assert "cm_00000003" not in fresh.ids
+    assert len(fresh) == len(cat)
+
+
+def test_fold_alias_keeps_store_snapshot_valid(tmp_path, monkeypatch):
+    """A fold rewrites catalog bytes without changing content: a store
+    snapshot keyed to the PRE-fold fingerprint must still load (no
+    O(corpus) cold rebuild) via the recorded fold alias."""
+    import numpy as np
+
+    import classmate_rag_tpu.index.catalog as cat_mod
+    from classmate_rag_tpu.index.store import IndexStore
+
+    cat = Catalog.load_or_create(tmp_path / "bm25")
+    store = IndexStore(8, tmp_path / "dense", slab_rows=64,
+                       terms_per_chunk=16)
+    rng = np.random.default_rng(3)
+    for i in range(60):
+        e = make_entry(i)
+        cat.upsert(e)
+        store.upsert([e.id], rng.standard_normal((1, 8)).astype(np.float32),
+                     [e.tokens], [e.metadata])
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    monkeypatch.setattr(cat_mod, "_COMPACT_MIN_BYTES", 0)
+    monkeypatch.setattr(cat_mod, "_COMPACT_RATIO", 0.0)
+    _slow_entry_line(monkeypatch)
+    e = make_entry(99)
+    cat.upsert(e)
+    store.upsert([e.id], rng.standard_normal((1, 8)).astype(np.float32),
+                 [e.tokens], [e.metadata])
+    cat.save()                                     # fold starts
+    fp_pre = cat.fingerprint()                     # pre-swap fingerprint
+    store.save(catalog_fingerprint=fp_pre)         # chain keyed pre-fold
+    cat.join_fold(timeout=30)
+    assert cat.fingerprint() != fp_pre             # bytes moved...
+    assert cat.fold_alias == (fp_pre, cat.fingerprint())
+    monkeypatch.undo()
+
+    re = IndexStore.load_or_create(8, tmp_path / "dense", cat,
+                                   slab_rows=64, terms_per_chunk=16)
+    # The snapshot was ADOPTED (alias matched), not cold-rebuilt: the
+    # persisted df came back with it.
+    assert re._df_host is not None
+    assert re.df_full_builds == 0
+    assert re.n_rows == store.n_rows
+    assert np.array_equal(re.term_ids[:re.n_rows],
+                          store.term_ids[:store.n_rows])
