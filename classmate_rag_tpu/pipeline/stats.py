@@ -44,6 +44,15 @@ def index_stats(runtime: Optional[Runtime] = None) -> Dict[str, object]:
         "dense_bytes": _disk_usage(Path(cfg.dense_dir)),
         "bm25_bytes": _disk_usage(Path(cfg.bm25_dir)),
         "emb_cache_bytes": _disk_usage(Path(cfg.emb_cache_dir)),
+        # O(corpus)-path counters: operators (and the serve bench's
+        # mutation-under-load stage) assert small deltas never take the
+        # full-rebuild routes.
+        "maintenance": {
+            "device_full_uploads": rt.store.device_full_uploads,
+            "split_full_builds": rt.store.split_full_builds,
+            "split_snapshot_restores": rt.store.split_snapshot_restores,
+            "df_full_builds": rt.store.df_full_builds,
+        },
         "metrics": metrics.snapshot(),
     }
     if rt.sharded is not None:

@@ -233,6 +233,8 @@ class RagRequestHandler(BaseHTTPRequestHandler):
                 self._handle_preview(payload)
             elif self.path == "/add":
                 self._handle_add(payload)
+            elif self.path == "/delete":
+                self._handle_delete(payload)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
         except Overloaded as exc:
@@ -307,6 +309,31 @@ class RagRequestHandler(BaseHTTPRequestHandler):
         out = dataclasses.asdict(res)
         out.pop("chunk_ids", None)  # thousands of ids for a big PDF
         self._send(200, out)
+
+    def _handle_delete(self, payload: Dict[str, Any]) -> None:
+        """Admin delete: {"ids": [...]} or {"path"/filters} — the CLI
+        delete verb's resolution semantics behind HTTP (ids take full
+        precedence), under the exclusive writer side of the device lock
+        like /add."""
+        from classmate_rag_tpu.admin.manage import delete_by_ids, resolve_ids
+
+        where = _meta_from_payload(payload).to_dict()
+        if not (payload.get("ids") or payload.get("path") or where):
+            # An empty selector would resolve EVERY chunk.
+            raise ValueError(
+                "refusing to delete without ids, path, or filters"
+            )
+        with write_scope(self.device_lock):
+            ids = resolve_ids(
+                ids=payload.get("ids"),
+                path=payload.get("path"),
+                where=where,
+                runtime=self.runtime,
+            )
+            res = delete_by_ids(ids, runtime=self.runtime) if ids else {
+                "vector_deleted": 0, "catalog_deleted": 0,
+            }
+        self._send(200, {"ids_resolved": len(ids), **res})
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8080,

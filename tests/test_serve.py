@@ -473,3 +473,23 @@ def test_follower_timeout_default_is_backend_aware(tmp_index_env, monkeypatch):
         monkeypatch.setenv("LLM_BACKEND", "extractive")
         load_config(reload=True)
         reset_runtime()
+
+
+def test_delete_route(server, tmp_path):
+    base, _ = server
+    # Empty selector must be refused (it would resolve every chunk).
+    code, body = _post(base + "/delete", {})
+    assert code == 400
+    # Add a doc then delete it by path; counts drop end to end.
+    doc = tmp_path / "deleteme.txt"
+    doc.write_text("Gradient descent iteratively minimizes a loss.")
+    code, body = _post(base + "/add", {"path": str(doc), "course": "ml"})
+    assert code == 200 and body["upserted"] >= 1
+    code, body = _get(base + "/stats")
+    before = body["vectors"]
+    code, body = _post(base + "/delete", {"path": str(doc)})
+    assert code == 200
+    assert body["vector_deleted"] >= 1
+    code, body = _get(base + "/stats")
+    assert body["vectors"] == before - 1
+    assert "maintenance" in body

@@ -42,6 +42,18 @@ def _hbm_stats() -> dict:
     return out
 
 
+def _rss_mb() -> dict:
+    out = {}
+    try:
+        for line in Path("/proc/self/status").read_text().splitlines():
+            if line.startswith(("VmRSS", "VmHWM")):
+                k, v = line.split(":", 1)
+                out[k] = round(int(v.split()[0]) / 1024, 1)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> int:
     from classmate_rag_tpu.utils.jaxsetup import enable_compilation_cache
 
@@ -58,6 +70,17 @@ def main() -> int:
     ap.add_argument("--hidden", type=int, default=768)
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 weight-only quantized decode")
+    ap.add_argument("--gguf", default=None,
+                    help="decode from a .gguf FILE via the lazy-mmap "
+                         "loader (the reference's exact serving input, "
+                         "rag/generation/llama_cpp_runner.py:37-60)")
+    ap.add_argument("--emit-gguf", default=None, metavar="PATH",
+                    help="write the preset geometry (random weights, "
+                         "zero egress) as a GGUF at PATH and exit — "
+                         "pairs with a later --gguf run")
+    ap.add_argument("--quant", default="q8_0",
+                    choices=["f32", "f16", "q8_0", "q4_0", "q4_k", "q6_k"],
+                    help="GGUF quantization for --emit-gguf")
     args = ap.parse_args()
 
     import dataclasses
@@ -77,6 +100,8 @@ def main() -> int:
             "qwen3-8b": DecoderConfig.qwen3_8b,
         }[args.preset]()
         config = dataclasses.replace(base, max_seq=args.prompt + args.new)
+    elif args.gguf:
+        config = None   # geometry comes from the file's metadata
     else:
         config = DecoderConfig(
             hidden=args.hidden,
@@ -86,12 +111,55 @@ def main() -> int:
             layers=12,
             max_seq=args.prompt + args.new,
         )
+
+    if args.emit_gguf:
+        # Materialize the preset geometry as a real on-disk GGUF
+        # (random weights — this rig is zero-egress) so --gguf can
+        # drive the exact file->mmap->dequant->int8->decode chain the
+        # reference serves (rag/model_fetch.py:33-109 resolves a .gguf;
+        # llama_cpp_runner.py:37-45 loads it).
+        from classmate_rag_tpu.models import gguf as gg
+
+        qmap = {"f32": gg.GGML_F32, "f16": gg.GGML_F16,
+                "q8_0": gg.GGML_Q8_0, "q4_0": gg.GGML_Q4_0,
+                "q4_k": gg.GGML_Q4_K, "q6_k": gg.GGML_Q6_K}
+        assert config is not None, "--emit-gguf needs --preset/--hidden"
+        t0 = time.perf_counter()
+        params = init_params(config, "bench-decode", host=True)
+        gg.export_decoder_to_gguf(
+            args.emit_gguf, params, config, quant_type=qmap[args.quant]
+        )
+        print(json.dumps({
+            "emitted": args.emit_gguf,
+            "quant": args.quant,
+            "file_bytes": Path(args.emit_gguf).stat().st_size,
+            "seconds": round(time.perf_counter() - t0, 1),
+            "rss_mb": _rss_mb(),
+        }), flush=True)
+        return 0
+
     batches = [int(b) for b in str(args.batch).split(",")]
-    big = config.hidden >= 2048
-    # Big trees init on the host: an 8B f32 tree (~30 GB) must never
-    # stage through HBM; only the int8 bytes are transferred.
-    params = init_params(config, "bench-decode", host=big)
-    if args.int8:
+    if args.gguf:
+        from classmate_rag_tpu.models.gguf import load_params_from_gguf
+
+        t0 = time.perf_counter()
+        config, params = load_params_from_gguf(args.gguf, host=True)
+        config = dataclasses.replace(
+            config, max_seq=args.prompt + args.new
+        )
+        load_s = time.perf_counter() - t0
+        big = config.hidden >= 2048
+        if args.int8:
+            params = quantize_decoder_params_host(params, config)
+    else:
+        load_s = None
+        big = config.hidden >= 2048
+        # Big trees init on the host: an 8B f32 tree (~30 GB) must never
+        # stage through HBM; only the int8 bytes are transferred.
+        params = init_params(config, "bench-decode", host=big)
+    if args.gguf:
+        pass    # quantization handled above (host path)
+    elif args.int8:
         if big:
             params = quantize_decoder_params_host(params, config)
         else:
@@ -129,6 +197,8 @@ def main() -> int:
         new_tokens = batch * args.new
         out = {
             "preset": args.preset,
+            "gguf": args.gguf,
+            "gguf_load_s": round(load_s, 1) if load_s is not None else None,
             "layers": config.layers,
             "hidden": config.hidden,
             "batch": batch,
@@ -144,6 +214,7 @@ def main() -> int:
             # UNDERSTATES pure decode.
             "decode_tokens_per_sec": round(new_tokens / dt, 1),
         }
+        out["rss_mb"] = _rss_mb()   # peak host RSS: the memory-safe-load claim
         out.update(_hbm_stats())
         print(json.dumps(out), flush=True)
     return 0

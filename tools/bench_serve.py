@@ -65,6 +65,11 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="Build a synthetic corpus of N chunks first")
+    ap.add_argument("--mutate", type=int, default=0,
+                    help="fire N add+delete pairs through /add and "
+                         "/delete during the MIDDLE third of the "
+                         "measured window (mutation-under-load); "
+                         "latencies report per phase")
     args = ap.parse_args()
 
     if args.synthetic:
@@ -99,9 +104,56 @@ def main() -> int:
     stop = threading.Event()
     measuring = threading.Event()
     counts = [0] * args.clients
-    latencies: list[float] = []
+    latencies: list = []     # (seconds-into-window, latency ms)
     lat_lock = threading.Lock()
+    t_start = [0.0]
     errors = [0]
+
+    def fetch_stats():
+        c = http.client.HTTPConnection("127.0.0.1", args.port, timeout=60)
+        c.request("GET", "/stats")
+        r = c.getresponse()
+        body = json.loads(r.read())
+        c.close()
+        return body
+
+    mutation_log: list = []
+
+    def mutation_storm() -> None:
+        """Admin storm through the product HTTP surface: each round
+        ingests a small doc (/add) then deletes it by path (/delete),
+        draining both store journals mid-load."""
+        import tempfile
+
+        for i in range(args.mutate):
+            if stop.is_set():
+                return
+            doc = Path(tempfile.mkdtemp()) / f"storm_{i}.txt"
+            doc.write_text(
+                f"storm document {i} about w{i % 50} w{(i * 7) % 50} "
+                f"and stormterm{i}", encoding="utf-8",
+            )
+            c = http.client.HTTPConnection(
+                "127.0.0.1", args.port, timeout=120
+            )
+            t0 = time.perf_counter()
+            c.request("POST", "/add", json.dumps(
+                {"path": str(doc), "course": "stormcourse"}
+            ), {"Content-Type": "application/json"})
+            r = c.getresponse()
+            r.read()
+            add_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            c.request("POST", "/delete", json.dumps({"path": str(doc)}),
+                      {"Content-Type": "application/json"})
+            r2 = c.getresponse()
+            r2.read()
+            c.close()
+            mutation_log.append({
+                "add_status": r.status, "add_s": round(add_s, 3),
+                "delete_status": r2.status,
+                "delete_s": round(time.perf_counter() - t0, 3),
+            })
 
     rejects = [0]
     err_statuses: dict = {}
@@ -132,7 +184,9 @@ def main() -> int:
                 if status == 200:
                     counts[ci] += 1
                     with lat_lock:
-                        latencies.append(dt * 1000.0)
+                        latencies.append(
+                            (time.perf_counter() - t_start[0], dt * 1000.0)
+                        )
                 elif status == 503:
                     # Backpressure reject: expected under overload, the
                     # explicit alternative to a second-long queue tail.
@@ -159,10 +213,26 @@ def main() -> int:
     # steady-state admission-to-response time by orders of magnitude.
     from classmate_rag_tpu.utils.metrics import metrics
 
+    stats_before = fetch_stats() if args.mutate else None
     metrics.reset()
+    t_start[0] = time.perf_counter()
     measuring.set()
     t0 = time.perf_counter()
-    time.sleep(args.seconds)
+    storm_thread = None
+    storm_window = None
+    if args.mutate:
+        # Storm fires in the middle third of the window.
+        time.sleep(args.seconds / 3)
+        storm_t0 = time.perf_counter() - t_start[0]
+        storm_thread = threading.Thread(target=mutation_storm, daemon=True)
+        storm_thread.start()
+        storm_thread.join(timeout=max(args.seconds / 3, 60))
+        storm_window = (storm_t0, time.perf_counter() - t_start[0])
+        remaining = args.seconds - (time.perf_counter() - t0)
+        if remaining > 0:
+            time.sleep(remaining)
+    else:
+        time.sleep(args.seconds)
     # Close the counting window AT wall end: requests completing after
     # it (up to one per client, seconds-long at big corpora) otherwise
     # land in the numerator while the denominator excludes their time.
@@ -176,26 +246,50 @@ def main() -> int:
     # scheduling starvation of 2x clients threads — the daemon's own
     # serve_ask timer isolates the server's admission-to-response time.
     snap = metrics.snapshot()
+    stats_after = fetch_stats() if args.mutate else None
     server.shutdown()
     server.server_close()
 
     total = sum(counts)
-    lat = sorted(latencies)
-    p50 = lat[len(lat) // 2] if lat else float("nan")
-    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))] if lat else float("nan")
-    print(json.dumps({
+
+    def pcts(ms_list):
+        s = sorted(ms_list)
+        if not s:
+            return {"p50_ms": None, "p95_ms": None, "n": 0}
+        return {
+            "p50_ms": round(s[len(s) // 2], 1),
+            "p95_ms": round(s[min(len(s) - 1, int(0.95 * len(s)))], 1),
+            "n": len(s),
+        }
+
+    out = {
         "http_ask_qps": round(total / wall, 1),
         "clients": args.clients,
         "requests": total,
         "rejects_503": rejects[0],
         "errors": errors[0],
         "error_statuses": err_statuses,
-        "p50_ms": round(p50, 1),
-        "p95_ms": round(p95, 1),
+        **pcts([ms for (_t, ms) in latencies]),
         "server_ask_mean_ms": snap.get("serve_ask_mean_ms"),
         "server_ask_p95_ms": snap.get("serve_ask_p95_ms"),
         "seconds": round(wall, 2),
-    }))
+    }
+    if args.mutate and storm_window:
+        lo, hi = storm_window
+        out["mutation"] = {
+            "storm_window_s": [round(lo, 2), round(hi, 2)],
+            "rounds": mutation_log,
+            "before": pcts([ms for (t, ms) in latencies if t < lo]),
+            "during": pcts([ms for (t, ms) in latencies if lo <= t <= hi]),
+            "after": pcts([ms for (t, ms) in latencies if t > hi]),
+        }
+
+        def maint(s):
+            return (s or {}).get("maintenance") or {}
+
+        out["mutation"]["maintenance_before"] = maint(stats_before)
+        out["mutation"]["maintenance_after"] = maint(stats_after)
+    print(json.dumps(out))
     return 0 if errors[0] == 0 else 1
 
 
