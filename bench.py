@@ -676,6 +676,21 @@ def product_child_main(n_asks: int) -> None:
         "n_rows": rt.store.n_rows,
         "rss_after_load_mb": _rss_mb(),
     }
+    # Readiness: the runtime's background precompile places the slabs
+    # and materializes the ask executables. At 1M this is dominated by
+    # a ONE-TIME per-process cost in the remote device relay (first
+    # big-program materialization: minutes, measured irreducible with
+    # all local caches warm — tools/probe_cold_start.py decomposes it);
+    # the serve daemon joins it before announcing readiness, so it is
+    # reported as ready_s here, with first_ask_s the first answer a
+    # caller of a READY process sees.
+    if n_asks > 0:
+        t0 = time.perf_counter()
+        if rt.warmup_thread is not None:
+            rt.warmup_thread.join()
+        else:
+            rt.warmup()
+        report["ready_s"] = round(time.perf_counter() - t0, 3)
 
     if n_asks > 0:
         rng = np.random.default_rng(7)
@@ -691,9 +706,8 @@ def product_child_main(n_asks: int) -> None:
         t0 = time.perf_counter()
         first = ask_question(question=make_question(), filters=filters,
                              top_k=8, runtime=rt)
-        # Includes the one-time XLA compile of the fused step at this
-        # corpus shape when the persistent compilation cache is cold
-        # (remote compiler: minutes); warm-cache processes skip it.
+        # First answer of a READY process (readiness itself is ready_s
+        # above — the serve daemon's startup gate).
         report["first_ask_s"] = round(time.perf_counter() - t0, 3)
         report["answer_nonempty"] = bool(first.answer)
         report["retrieved_k"] = len(first.retrieved)

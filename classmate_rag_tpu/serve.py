@@ -382,7 +382,18 @@ def make_server(host: str = "127.0.0.1", port: int = 8080,
 
 def serve(host: str = "127.0.0.1", port: int = 8080) -> None:
     server = make_server(host, port)
-    print(json.dumps({"serving": f"http://{host}:{port}"}))
+    rt = server.RequestHandlerClass.runtime
+    # Readiness gate: at serving scale the FIRST query of a fresh
+    # process pays the one-time device placement + executable
+    # materialization through the remote relay (minutes at 1M rows —
+    # measured irreducible on this rig even with every local cache
+    # warm). A daemon must absorb that at startup, not hand it to the
+    # first caller: join the runtime's background precompile (or run
+    # warmup inline) BEFORE announcing readiness.
+    t = getattr(rt, "warmup_thread", None)
+    if t is not None:
+        t.join()
+    print(json.dumps({"serving": f"http://{host}:{port}"}), flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
