@@ -323,16 +323,26 @@ class RagRequestHandler(BaseHTTPRequestHandler):
             raise ValueError(
                 "refusing to delete without ids, path, or filters"
             )
-        with write_scope(self.device_lock):
+        # Resolution is READ-ONLY (catalog streaming under the catalog's
+        # own lock) and can take seconds at 1M chunks — it must NOT hold
+        # the exclusive device writer side, or every concurrent query
+        # stalls behind it (measured: a path resolve held the lock 45 s
+        # at 1M and drove server p95 to 44 s). Only the actual delete
+        # mutates device state. A chunk added between resolve and delete
+        # for the same path survives — same read-then-delete window any
+        # admin CLI has.
+        with read_scope(self.device_lock):
             ids = resolve_ids(
                 ids=payload.get("ids"),
                 path=payload.get("path"),
                 where=where,
                 runtime=self.runtime,
             )
-            res = delete_by_ids(ids, runtime=self.runtime) if ids else {
-                "vector_deleted": 0, "catalog_deleted": 0,
-            }
+        if ids:
+            with write_scope(self.device_lock):
+                res = delete_by_ids(ids, runtime=self.runtime)
+        else:
+            res = {"vector_deleted": 0, "catalog_deleted": 0}
         self._send(200, {"ids_resolved": len(ids), **res})
 
 

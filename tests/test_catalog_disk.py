@@ -438,3 +438,33 @@ def test_fold_alias_keeps_store_snapshot_valid(tmp_path, monkeypatch):
     assert re.n_rows == store.n_rows
     assert np.array_equal(re.term_ids[:re.n_rows],
                           store.term_ids[:store.n_rows])
+
+
+def test_ids_for_path_matches_full_scan(tmp_path):
+    """The raw-line path scan must agree with a full metadata parse —
+    including a text body that CONTAINS the literal pattern (escaped
+    inside the JSON string, so it must not false-match)."""
+    cat = Catalog.load_or_create(tmp_path)
+    for i in range(30):
+        sp = f"/docs/file_{i % 5}.txt"
+        cat.upsert(CatalogEntry(
+            id=f"p{i:04d}",
+            text=('tricky "source_path": "/docs/file_0.txt" inside text'
+                  if i == 7 else f"text {i}"),
+            tokens=[f"t{i}"],
+            metadata={"source_path": sp, "page": i},
+        ))
+    cat.save()
+    cat = Catalog.load_or_create(tmp_path)   # scan from disk
+    for k in range(5):
+        want = sorted(
+            e.id for e in cat.entries()
+            if e.metadata.get("source_path") == f"/docs/file_{k}.txt"
+        )
+        got = sorted(cat.ids_for_path(f"/docs/file_{k}.txt"))
+        assert got == want, (k, got, want)
+    assert cat.ids_for_path("/docs/absent.txt") == []
+    # Pending (unsaved) entries are seen too.
+    cat.upsert(CatalogEntry("zz", "t", ["t"],
+                            {"source_path": "/docs/file_1.txt"}))
+    assert "zz" in cat.ids_for_path("/docs/file_1.txt")
