@@ -440,6 +440,90 @@ def test_fold_alias_keeps_store_snapshot_valid(tmp_path, monkeypatch):
                           store.term_ids[:store.n_rows])
 
 
+def _fold_with_crash(tmp_path, monkeypatch, crash_on_base_swap):
+    """Drive a real background fold with a mutation landed mid-fold,
+    then simulate a crash at one of the two renames of the swap.
+    Returns the catalog directory ready for a fresh load."""
+    from pathlib import Path
+
+    import classmate_rag_tpu.index.catalog as cat_mod
+
+    monkeypatch.setattr(cat_mod, "_COMPACT_MIN_BYTES", 0)
+    monkeypatch.setattr(cat_mod, "_COMPACT_RATIO", 0.0)
+    cat = seeded_catalog(tmp_path, n=200)
+    cat.join_fold(timeout=30)                  # settle the seed fold
+    _slow_entry_line(monkeypatch)              # widen the fold window
+    cat.upsert(make_entry(500))
+
+    base_path = Path(cat.path)
+    pending_path = Path(cat._pending_journal_path)
+    orig_replace = cat_mod.os.replace
+
+    def crashing_replace(src, dst):
+        if crash_on_base_swap and Path(dst) == base_path:
+            raise OSError("simulated crash before the base swap")
+        if not crash_on_base_swap and Path(src) == pending_path:
+            raise OSError("simulated crash between the fold renames")
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(cat_mod.os, "replace", crashing_replace)
+    cat.save()                                 # trips ratio -> background
+    # Wait until the fold's streaming phase has started (its tmp file
+    # exists), so the mutations below deterministically land PAST the
+    # fold's snapshot point and live only in the journal tail.
+    import time as _time
+
+    tmp_file = base_path.with_suffix(".jsonl.tmp")
+    deadline = _time.monotonic() + 10
+    while not tmp_file.exists() and _time.monotonic() < deadline:
+        _time.sleep(0.005)
+    assert tmp_file.exists(), "fold streaming phase never started"
+    cat.upsert(make_entry(501))
+    cat.delete(["cm_00000003"])
+    with cat._lock:
+        cat._flush_pending_locked()
+    cat.join_fold(timeout=30)                  # swap raised inside
+    monkeypatch.undo()
+    # The live object is now what a crashed process left behind; only
+    # the on-disk state matters from here.
+
+
+def test_fold_crash_between_renames_adopts_pending_journal(tmp_path,
+                                                           monkeypatch):
+    """Crash AFTER the base swap, BEFORE the journal swap: new base on
+    disk, old journal's marker stale, post-fold journal still staged at
+    *.pending. The next load must adopt the pending journal — demoting
+    it as stale would drop the mid-fold tail ops (and resurrect the
+    mid-fold delete)."""
+    _fold_with_crash(tmp_path, monkeypatch, crash_on_base_swap=False)
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.get("cm_00000500") is not None
+    assert fresh.get("cm_00000501").text == make_entry(501).text
+    assert "cm_00000003" not in fresh.ids
+    assert len(fresh) == 201                   # 200 seeds + 2 - 1 delete
+    assert not fresh._pending_journal_path.exists()
+    # The catalog stays durable after recovery.
+    fresh.upsert(make_entry(502))
+    fresh.save()
+    again = Catalog.load_or_create(tmp_path)
+    assert len(again) == 202
+
+
+def test_fold_crash_before_base_swap_discards_pending_staging(tmp_path,
+                                                              monkeypatch):
+    """Crash BEFORE the base swap: old base + old journal are intact
+    and authoritative; the staged *.pending (whose marker points at the
+    never-installed tmp base) is leftover staging and must be discarded,
+    not adopted."""
+    _fold_with_crash(tmp_path, monkeypatch, crash_on_base_swap=True)
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.get("cm_00000500") is not None
+    assert fresh.get("cm_00000501") is not None
+    assert "cm_00000003" not in fresh.ids
+    assert len(fresh) == 201
+    assert not fresh._pending_journal_path.exists()
+
+
 def test_ids_for_path_matches_full_scan(tmp_path):
     """The raw-line path scan must agree with a full metadata parse —
     including a text body that CONTAINS the literal pattern (escaped
