@@ -73,12 +73,54 @@ def _check(store: IndexStore, model: Model, rng):
     # BM25 against the published-Okapi oracle (subset = live rows).
     tokens = model.docs[target][1]
     q_tokens = list(tokens[:3])
-    want_bm = model.bm25_topk(q_tokens, k)
-    vals_bm, rows_bm = store.bm25_topk(q_tokens, None, k=k)
+    _check_bm25(store, model, q_tokens, k, None)
+
+    # FILTERED pass after every mutation: subset-relative df (and the
+    # per-filter df LRU, which must be invalidated by ANY mutation) is
+    # cross-mutation state the unfiltered checks never touch.
+    where = {"course": str(rng.choice(["a", "b"]))}
+    subset = [cid for cid in alive
+              if model.docs[cid][2].get("course") == where["course"]]
+    kf = min(3, len(subset))
+    if subset:
+        ftarget = subset[int(rng.integers(0, len(subset)))]
+        fq = model.docs[ftarget][0]
+        fwant = model.dense_topk(fq, kf, where)
+        fvals, frows = store.dense_topk(fq[None, :], where, k=kf)
+        fgot = [store.ids[r] for r in frows[0] if r >= 0]
+        assert fgot[0] == fwant[0] == ftarget
+        assert set(fgot) <= set(subset)        # mask never leaks
+        _check_bm25(store, model,
+                    list(model.docs[ftarget][1][:3]), kf, where)
+    else:
+        # Empty subset: the masked paths must return nothing, not leak.
+        _, frows = store.dense_topk(q[None, :], where, k=1)
+        assert all(r < 0 for r in frows[0])
+        fvals_bm, frows_bm = store.bm25_topk(q_tokens, where, k=1)
+        assert not [r for v, r in zip(fvals_bm, frows_bm)
+                    if r >= 0 and v > 0]
+
+
+def _check_bm25(store, model, q_tokens, k, where):
+    if k == 0:
+        return
+    want_bm = model.bm25_topk(q_tokens, k, where)
+    vals_bm, rows_bm = store.bm25_topk(q_tokens, where, k=k)
+    if where:
+        # Second identical filtered query: served from the per-filter
+        # subset-df LRU (a hit), must be bit-identical to the miss.
+        vals2, rows2 = store.bm25_topk(q_tokens, where, k=k)
+        assert np.array_equal(np.asarray(vals_bm), np.asarray(vals2))
+        assert np.array_equal(np.asarray(rows_bm), np.asarray(rows2))
     got_bm = [
         (store.ids[r], float(v))
         for v, r in zip(vals_bm, rows_bm) if r >= 0 and v > 0
     ]
+    if where:
+        assert all(
+            model.docs[gid][2].get("course") == where["course"]
+            for gid, _ in got_bm
+        )
     # Scores must match rank for rank; ids must match wherever the score
     # separates them (ties/near-ties may legitimately order differently:
     # the oracle breaks ties by sorted id, the device by row order).
@@ -86,7 +128,7 @@ def _check(store: IndexStore, model: Model, rng):
     for (_, gv), (_, wv) in zip(got_bm, want_bm):
         assert abs(gv - wv) < 1e-3 * max(1.0, abs(wv))
     eps = 1e-3
-    full = dict(model.bm25_topk(q_tokens, len(alive)))
+    full = dict(model.bm25_topk(q_tokens, len(model.docs), where))
     for j, ((gid, gv), (wid, wv)) in enumerate(zip(got_bm, want_bm)):
         if gid == wid:
             continue
