@@ -840,27 +840,40 @@ def main() -> None:
         **primary,
         "backend": backend,
     }
-    if SCALE2_CHUNKS and SCALE2_CHUNKS != N_CHUNKS:
+
+    def stage(key, fn):
+        # A later stage dying (device-link hiccup, OOM in a child, …)
+        # must not discard the COMPLETED stages: record the failure in
+        # the artifact instead of losing the whole JSON line.
+        import traceback
+
         gc.collect()
+        try:
+            out[key] = fn()
+        except Exception as exc:
+            traceback.print_exc(file=sys.stderr)
+            out[key] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    if SCALE2_CHUNKS and SCALE2_CHUNKS != N_CHUNKS:
         # Fewer oracle queries at the large scale: the numpy oracle costs
         # ~0.4 s/query at 200k chunks.
-        out["scale2"] = run_scale(SCALE2_CHUNKS, n_oracle=max(N_ORACLE // 2, 8))
+        stage("scale2", lambda: run_scale(
+            SCALE2_CHUNKS, n_oracle=max(N_ORACLE // 2, 8)
+        ))
     if SCALE3_CHUNKS and backend == "tpu":
         # Serving scale (1M): f16 rescore active, ≥64-query oracle. TPU
         # only — the exact CPU scan at this size would take hours.
-        gc.collect()
         # ≥64-query oracle floor at serving scale (BENCH_ORACLE can raise
         # it; the old max(min(x, 64), 64) pinned it to exactly 64).
-        out["scale3"] = run_scale(
+        stage("scale3", lambda: run_scale(
             SCALE3_CHUNKS, n_oracle=max(N_ORACLE, 64), filtered_oracle=True
-        )
+        ))
     if PRODUCT_CHUNKS and backend == "tpu":
         # End-to-end PRODUCT path at serving scale: Runtime.ask with the
         # disk-backed catalog, measured in fresh child processes
         # (cold-start seconds, host RSS, ask p50/p95, /add persist
         # delta) — the engine stages above bypass the catalog layer.
-        gc.collect()
-        out["product"] = run_product_stage(PRODUCT_CHUNKS)
+        stage("product", lambda: run_product_stage(PRODUCT_CHUNKS))
     print(json.dumps(out))
 
 
