@@ -861,6 +861,10 @@ class GGUFTokenizer:
 
     # -- unigram (SentencePiece) -------------------------------------------
     def _encode_unigram(self, text: str) -> List[int]:
+        if not text:
+            # SentencePiece adds the dummy prefix only to non-empty
+            # input: sp.encode("") is [] (llama.cpp: just BOS).
+            return []
         text = "▁" + text.replace(" ", "▁")
         n = len(text)
         NEG = -1e30
