@@ -141,6 +141,11 @@ def resolve_ids(
         # entries.
         fast = getattr(rt.catalog, "ids_for_path", None)
         if fast is not None:
+            if not where:
+                # No residual filters: the raw scan's ids ARE the answer
+                # — skip thousands of per-id seek+parse get() calls for
+                # a large document's chunks.
+                return list(fast(resolved_path))
             out = []
             for cid in fast(resolved_path):
                 entry = rt.catalog.get(cid)

@@ -188,6 +188,11 @@ class Catalog:
             self._sidecar_dirty = False
             self._recover_pending_journal()
             self._load_fold_alias()
+            # A fold that died in phase 2 leaves its streaming tmp
+            # behind; it was never installed, so it is pure garbage.
+            self.path.with_name(self.path.name + ".fold.tmp").unlink(
+                missing_ok=True
+            )
             if not self.path.exists():
                 self._base_sha = _EMPTY_SHA
                 self._legacy_journal_guard()
@@ -613,7 +618,12 @@ class Catalog:
                     except OSError:
                         pass
 
-            tmp = self.path.with_suffix(".jsonl.tmp")
+            # Distinct tmp from _compact_locked's: phase 2 runs WITHOUT
+            # the lock, and a synchronous compact() racing an in-flight
+            # fold on one shared tmp path would interleave two writers
+            # on the same inode (the compact's rename then installs the
+            # fold's partial bytes as the live base).
+            tmp = self.path.with_name(self.path.name + ".fold.tmp")
             h = sha1()
             new_index: Dict[str, Tuple[int, int, int]] = {}
             off = 0
@@ -938,10 +948,15 @@ class Catalog:
         Raw-line regex scan instead of JSON-parsing every body (~10x at
         1M chunks — path-scoped admin ops like delete/reingest resolve
         against this): the unescaped pattern ``"source_path": "`` can
-        only occur as a real key (any occurrence inside a JSON string
-        value has its quotes escaped). Ambiguous or absent matches fall
-        back to a full parse of that line."""
-        pat = re.compile(rb'"source_path": "((?:[^"\\]|\\.)*)"')
+        only occur as a real KEY somewhere in the document (any
+        occurrence inside a JSON string value has its quotes escaped) —
+        but not necessarily the TOP-LEVEL metadata key (a nested object
+        under metadata could carry one), and foreign writers may use
+        different separators. So the regex tolerates any whitespace
+        around the colon, zero matches mean "no such key anywhere" (safe
+        to skip), and every candidate HIT is confirmed by a full parse
+        of that one line — O(matches) parses, not O(corpus)."""
+        pat = re.compile(rb'"source_path"\s*:\s*"((?:[^"\\]|\\.)*)"')
         out: List[str] = []
         with self._lock:
             snapshot = list(self._index.items())
@@ -969,17 +984,22 @@ class Catalog:
                 f.seek(off)
                 line = f.read(length)
                 ms = pat.findall(line)
-                if len(ms) == 1:
-                    try:
-                        val = json.loads('"' + ms[0].decode("utf-8") + '"')
-                    except (ValueError, UnicodeDecodeError):
-                        val = None
-                    if val == resolved_path:
-                        out.append(cid)
-                    continue
                 if not ms:
-                    continue  # no source_path key: cannot match
-                e = _parse_entry(line)  # ambiguous: full parse decides
+                    continue  # no source_path key anywhere: cannot match
+                hit = False
+                for m in ms:
+                    try:
+                        val = json.loads('"' + m.decode("utf-8") + '"')
+                    except (ValueError, UnicodeDecodeError):
+                        continue
+                    if val == resolved_path:
+                        hit = True
+                        break
+                if not hit:
+                    continue
+                # Confirm the hit is the TOP-LEVEL metadata key (not a
+                # same-named key inside a nested metadata value).
+                e = _parse_entry(line)
                 if e is not None and str(
                     e.metadata.get("source_path")
                 ) == resolved_path:

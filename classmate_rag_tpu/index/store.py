@@ -291,6 +291,11 @@ class IndexStore:
         # rewriting the multi-GB base at serving scale.
         self._dirty_rows: set = set()
         self._persist_fp: Optional[str] = None  # catalog fp chain head
+        # Fingerprint RECORDED in the snapshot that load adopted (may be
+        # the pre-fold fp accepted via the catalog's fold alias): the
+        # next delta must chain from what is ON DISK, not from the live
+        # fp, or the following load rejects the whole persisted chain.
+        self._snap_fp: Optional[str] = None
         self._persist_vocab = 0  # vocab size at last persist (delta base)
         self._delta_seq = 0
         self._need_full_save = False
@@ -728,7 +733,14 @@ class IndexStore:
                 # Mutations journaled before the first device sync must
                 # reach the persisted-split restore path: stash their
                 # pre-mutation content with the load-pending rows (the
-                # structural upload consumes the journals below).
+                # structural upload consumes the journals below). Rows
+                # drained by EARLIER incremental syncs live only in
+                # _split_pending (the split was never built yet) — fold
+                # them in first: for a twice-mutated row its capture is
+                # the older, persisted-base-relative content.
+                for r, old in self._split_pending.items():
+                    if r not in self._split_load_pending:
+                        self._split_load_pending[r] = old
                 for r in self._dev_j_lex:
                     if r not in self._split_load_pending:
                         self._split_load_pending[r] = (
@@ -1673,7 +1685,8 @@ class IndexStore:
             with np.load(snap, allow_pickle=False) as z:
                 if "term_ids" not in z.files:
                     return False  # v2 snapshot: _adopt_snapshot_v2 owns it
-                if str(z["fingerprint"]) not in expected_fp:
+                snap_fp = str(z["fingerprint"])
+                if snap_fp not in expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
                     return False
@@ -1700,6 +1713,7 @@ class IndexStore:
                 }
                 if "df" in z.files:
                     self._df_host = z["df"].astype(np.int64)
+            self._snap_fp = snap_fp
             return True
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return False
@@ -1725,7 +1739,8 @@ class IndexStore:
             with np.load(snap, allow_pickle=False) as z:
                 if "slab_stats" not in z.files:
                     return False  # v1 snapshot
-                if str(z["fingerprint"]) not in expected_fp:
+                snap_fp = str(z["fingerprint"])
+                if snap_fp not in expected_fp:
                     return False
                 if int(z["term_width"]) != self.term_width:
                     return False
@@ -1803,6 +1818,7 @@ class IndexStore:
         self.tag_slots = tag_slots
         self._df_host = df
         self._split_persisted = split
+        self._snap_fp = snap_fp
         return True
 
     def _restore_embeddings(self, ids: List[str], emb: np.ndarray,
@@ -1885,6 +1901,7 @@ class IndexStore:
             accept.add(alias[0])
         delta_paths = store._delta_paths()
         expected_fp, chain = accept, []
+        chain_tail: Optional[str] = None
         if delta_paths:
             chain_fps = []
             try:
@@ -1906,6 +1923,7 @@ class IndexStore:
             if ok:
                 expected_fp = {chain_fps[0][0]}
                 chain = delta_paths
+                chain_tail = chain_fps[-1][1]
 
         def finish_snapshot_load(st: "IndexStore") -> bool:
             """Apply the delta chain + the final catalog-validity
@@ -1924,7 +1942,14 @@ class IndexStore:
                     st._df_note(st.term_ids[r], st.tfs[r], -1)
             st.valid[:m] &= present
             st._dirty = True
-            st._persist_fp = live_fp
+            # Chain the NEXT delta from what is on disk: the chain's
+            # last fingerprint, or the snapshot's own recorded one —
+            # either may be the PRE-fold fp accepted via the catalog's
+            # fold alias. Keying to live_fp here would orphan every
+            # persisted artifact at the load after the next delta save
+            # (snapshot fp != the chain base it implies) and force a
+            # cold O(N·L) rebuild.
+            st._persist_fp = chain_tail if chain else st._snap_fp
             st._persist_vocab = len(st.vocab)
             st._delta_seq = len(chain)
             return True

@@ -473,7 +473,7 @@ def _fold_with_crash(tmp_path, monkeypatch, crash_on_base_swap):
     # fold's snapshot point and live only in the journal tail.
     import time as _time
 
-    tmp_file = base_path.with_suffix(".jsonl.tmp")
+    tmp_file = base_path.with_name(base_path.name + ".fold.tmp")
     deadline = _time.monotonic() + 10
     while not tmp_file.exists() and _time.monotonic() < deadline:
         _time.sleep(0.005)
@@ -552,3 +552,91 @@ def test_ids_for_path_matches_full_scan(tmp_path):
     cat.upsert(CatalogEntry("zz", "t", ["t"],
                             {"source_path": "/docs/file_1.txt"}))
     assert "zz" in cat.ids_for_path("/docs/file_1.txt")
+
+def test_delta_save_after_alias_adoption_keeps_chain_valid(tmp_path,
+                                                           monkeypatch):
+    """Regression: a load that adopts the store snapshot via the fold
+    alias must chain the NEXT delta save from the fingerprint ON DISK
+    (the pre-fold one), not the live post-fold one — otherwise the load
+    after that delta save rejects the whole persisted chain (snapshot
+    keyed to pre-fold, chain base post-fold) and cold-rebuilds O(N*L)."""
+    import numpy as np
+
+    import classmate_rag_tpu.index.catalog as cat_mod
+    from classmate_rag_tpu.index.store import IndexStore
+
+    cat = Catalog.load_or_create(tmp_path / "bm25")
+    store = IndexStore(8, tmp_path / "dense", slab_rows=64,
+                       terms_per_chunk=16)
+    rng = np.random.default_rng(7)
+
+    def ingest(c, s, i):
+        e = make_entry(i)
+        c.upsert(e)
+        s.upsert([e.id],
+                 rng.standard_normal((1, 8)).astype(np.float32),
+                 [e.tokens], [e.metadata])
+
+    for i in range(60):
+        ingest(cat, store, i)
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    # Fold the catalog: bytes move, alias (pre -> post) recorded.
+    monkeypatch.setattr(cat_mod, "_COMPACT_MIN_BYTES", 0)
+    monkeypatch.setattr(cat_mod, "_COMPACT_RATIO", 0.0)
+    ingest(cat, store, 99)
+    cat.save()
+    fp_pre = cat.fingerprint()
+    store.save(catalog_fingerprint=fp_pre)
+    cat.join_fold(timeout=30)
+    assert cat.fold_alias is not None and cat.fold_alias[0] == fp_pre
+
+    # Adopt via the alias, mutate ONCE, delta-save, reload: the second
+    # load must still adopt (df restored, no full lexical rebuild).
+    re1 = IndexStore.load_or_create(8, tmp_path / "dense", cat,
+                                    slab_rows=64, terms_per_chunk=16)
+    assert re1._df_host is not None        # adopted via the alias
+    ingest(cat, re1, 100)
+    cat.save()
+    re1.save(catalog_fingerprint=cat.fingerprint())
+    assert list((tmp_path / "dense").glob("lexical.delta_*.npz")), \
+        "expected an O(delta) save, not a full rewrite"
+
+    re2 = IndexStore.load_or_create(8, tmp_path / "dense", cat,
+                                    slab_rows=64, terms_per_chunk=16)
+    assert re2._df_host is not None, \
+        "persisted chain orphaned after alias adoption + delta save"
+    assert re2.df_full_builds == 0
+    assert re2.n_rows == re1.n_rows
+    assert np.array_equal(re2.term_ids[:re2.n_rows],
+                          re1.term_ids[:re1.n_rows])
+
+def test_ids_for_path_nested_key_and_foreign_separators(tmp_path):
+    """The raw-line scan must not resolve a chunk whose only
+    "source_path" is nested inside a metadata VALUE, and must still
+    find entries written by a foreign writer with compact separators."""
+    cat = Catalog.load_or_create(tmp_path)
+    cat.upsert(CatalogEntry(
+        id="real", text="t", tokens=["t"],
+        metadata={"source_path": "/x/a.txt"},
+    ))
+    cat.upsert(CatalogEntry(
+        id="nested", text="t", tokens=["t"],
+        metadata={"provenance": {"source_path": "/x/a.txt"}},
+    ))
+    cat.save()
+    assert sorted(cat.ids_for_path("/x/a.txt")) == ["real"]
+
+    # Foreign base rewrite with separators=(",", ":") — still resolved.
+    line = json.dumps(
+        {"id": "compact", "text": "t", "tokens": ["t"],
+         "metadata": {"source_path": "/y/b.txt"}},
+        separators=(",", ":"),
+    )
+    with cat.path.open("a", encoding="utf-8") as f:
+        f.write(line + "\n")
+    cat.journal_path.unlink(missing_ok=True)
+    cat._sidecar_path.unlink(missing_ok=True)
+    fresh = Catalog.load_or_create(tmp_path)
+    assert fresh.ids_for_path("/y/b.txt") == ["compact"]

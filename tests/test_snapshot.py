@@ -188,3 +188,67 @@ def test_v2_split_snapshot_restore_with_deltas(tmp_path, monkeypatch):
     for v, r in zip(vals, rows):
         if r >= 0:
             assert abs(v - oracle[r]) < 1e-3
+
+def test_v2_split_restore_survives_structural_sync(tmp_path, monkeypatch):
+    """Regression: rows drained by EARLIER incremental device syncs are
+    stashed only in _split_pending while the split is not yet built; a
+    later STRUCTURAL sync used to clear them without folding them into
+    _split_load_pending, so the persisted-split restore silently kept
+    those rows' BASE postings (stale BM25 scores, no fallback)."""
+    import numpy as np
+
+    from classmate_rag_tpu.index.catalog import Catalog, CatalogEntry
+    from classmate_rag_tpu.index.lexical import bm25_oracle_scores
+    from classmate_rag_tpu.index.store import IndexStore
+
+    monkeypatch.setattr(IndexStore, "SPLIT_PERSIST_MIN_ROWS", 0)
+    rng = np.random.default_rng(23)
+    cat = Catalog.load_or_create(tmp_path / "bm25")
+    store = IndexStore(8, tmp_path / "dense", slab_rows=64,
+                       terms_per_chunk=16)
+    words = [f"w{i}" for i in range(50)]
+
+    def doc():
+        return list(rng.choice(words, size=10))
+
+    docs = [doc() for _ in range(120)]
+    ids = [f"c{i}" for i in range(120)]
+    emb = rng.standard_normal((120, 8)).astype(np.float32)
+    store.upsert(ids, emb, docs, [{} for _ in ids])
+    for cid, d in zip(ids, docs):
+        cat.upsert(CatalogEntry(cid, " ".join(d), d, {}))
+    cat.save()
+    store.save(catalog_fingerprint=cat.fingerprint())
+
+    re = IndexStore.load_or_create(8, tmp_path / "dense", cat,
+                                   slab_rows=64, terms_per_chunk=16)
+    assert re._split_persisted is not None
+    re.dense_topk(emb[:1], None, k=4)       # initial structural upload
+
+    # (1) mutate one row; a DENSE-only query drains it incrementally —
+    # the split is not built yet, so the capture sits in _split_pending.
+    docs[5] = doc() + ["mutatedterm"]
+    re.upsert(["c5"], emb[5:6], [docs[5]], [{}])
+    re.dense_topk(emb[:1], None, k=4)
+    assert 5 in re._split_pending
+
+    # (2) a big batch makes the NEXT device sync structural.
+    big = list(range(40, 85))
+    for r in big:
+        docs[r] = doc()
+    re.upsert([f"c{r}" for r in big], emb[big],
+              [docs[r] for r in big], [{} for _ in big])
+    re.dense_topk(emb[:1], None, k=4)
+    assert not re._split_pending            # cleared by the structural sync
+    assert 5 in re._split_load_pending      # ... but preserved for restore
+
+    # (3) first BM25 query: the persisted-split restore must replay the
+    # incrementally-drained row too.
+    terms = ["mutatedterm", docs[5][0], docs[big[0]][0], words[0]]
+    vals, rows = re.bm25_topk(terms, None, k=10)
+    assert re.split_snapshot_restores == 1
+    assert re.split_full_builds == 0
+    oracle = bm25_oracle_scores(docs, terms)
+    for v, r in zip(vals, rows):
+        if r >= 0:
+            assert abs(v - oracle[r]) < 1e-3, (r, v, oracle[r])
